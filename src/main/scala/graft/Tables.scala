@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  * All engine queries take `(spark, sfDir)` and read through here so the
+  * scan is a plain parquet FileScan — Catalyst pushes filters/pruning into
+  * it (verified via `.explain("formatted")`: `PushedFilters`/`ReadSchema`).
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects. Read nanos as long and convert with *integer* division
+    * (ns → µs; a double division would lose precision above 2^53). The
+    * testdata's sub-microsecond component is verified zero, so this is
+    * lossless and matches DuckDB's TIMESTAMP_NS view of the same file.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** One registered engine query: a DataFrame program plus (optionally) the
+  * ANSI-SQL oracle the driver runs in DuckDB over the same parquet tables.
+  *
+  * Determinism rules every query here follows (so the driver's hash compare
+  * is stable across engines):
+  *  - money/measure sums go through an exact DECIMAL cast (float addition
+  *    order never reaches the result);
+  *  - ratios divide two exact values as doubles (single IEEE op, no
+  *    accumulation);
+  *  - percentiles are *positional* (reference semantics,
+  *    /root/reference/explore.py:365-398) — picked values, not interpolated;
+  *  - every result is fully ordered by a unique key prefix;
+  *  - ties in top-1-per-group are broken by a unique id.
+  */
+final case class Q(
+    name: String,
+    doc: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

@@ -1,0 +1,526 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+
+/** Reference-parity relational operators (SURVEY.md §2.2–§2.8) expressed as
+  * idiomatic Catalyst-optimized DataFrame pipelines over the oracle tables.
+  *
+  * Each query mirrors a concrete reference computation (cited per query into
+  * /root/reference/explore.py) re-mapped onto the TPC-H-ish testdata per
+  * FIXTURES.md §B. Scale posture: grouped aggregations shuffle on their group
+  * keys (low cardinality → tiny shuffle); all dimension joins are explicit
+  * `broadcast()`; ratio-of-total windows run over the already-aggregated
+  * (tiny) relation, never the fact table.
+  */
+object Relational {
+
+  private val D18_2 = DecimalType(18, 2)
+  private val D4_2  = DecimalType(4, 2)
+
+  /** Exact-decimal sum of a double column, returned as double. */
+  private def dsum(c: Column): Column = sum(c.cast(D18_2)).cast("double")
+
+  // ---------------------------------------------------------------- q01
+  /** Workload-share core (SURVEY §7.2): grouped SUMs (A1–A3), grand totals
+    * (A4), ratio-of-total (A5/W1), global desc sort (O1).
+    * Ref: explore.py:939-998 (per-table sums), 1745-1750 (% of total).
+    */
+  def q01(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    // exact decimal partial sums; window totals computed on the 6-row agg
+    val agg = li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+      sum(col("l_quantity").cast(D18_2)).as("qty_d"),
+      sum(col("l_extendedprice").cast(D18_2)).as("price_d"),
+      count(lit(1)).as("n_rows"))
+    val w = Window.partitionBy()
+    agg
+      .withColumn("sum_qty", col("qty_d").cast("double"))
+      .withColumn("sum_price", col("price_d").cast("double"))
+      .withColumn("share_price",
+        col("price_d").cast("double") / sum(col("price_d")).over(w).cast("double"))
+      .withColumn("share_rows",
+        col("n_rows").cast("double") / sum(col("n_rows")).over(w).cast("double"))
+      .select("l_returnflag", "l_linestatus", "sum_qty", "sum_price",
+        "n_rows", "share_price", "share_rows")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q01Sql: String =
+    """WITH agg AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_d,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS price_d,
+      |         COUNT(*) AS n_rows
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, l_linestatus,
+      |       CAST(qty_d AS DOUBLE) AS sum_qty,
+      |       CAST(price_d AS DOUBLE) AS sum_price,
+      |       n_rows,
+      |       CAST(price_d AS DOUBLE) / CAST(SUM(price_d) OVER () AS DOUBLE) AS share_price,
+      |       CAST(n_rows AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE) AS share_rows
+      |FROM agg ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** Broadcast dimension-join chain (J1/J2/J4) + exact decimal revenue.
+    * Ref: explore.py:592-628, 674-712 (dict-lookup joins → broadcast hash).
+    * lineitem ⋈ supplier ⋈ nation ⋈ region, all dims broadcast — at 100 TB
+    * the fact side streams, zero shuffle for the joins.
+    */
+  def q02(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val na = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val re = Tables.region(s, dir).select("r_regionkey", "r_name")
+    val one = lit(1).cast(DecimalType(3, 2))
+    li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(na), su("s_nationkey") === na("n_nationkey"))
+      .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("l_extendedprice").cast(D18_2) * (one - col("l_discount").cast(D4_2)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q02Sql: String =
+    """SELECT r_name, n_name,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** RF-normalization with missing-dim fallback (J3): value ÷ coalesce(rf,1).
+    * Ref: explore.py:939-943, 962-966 — `except: count = raw` ⇒ coalesce.
+    * The rf dimension is deliberately partial (n_nationkey < 20) to exercise
+    * the fallback path; dim is broadcast.
+    */
+  def q03(s: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val rf = Tables.nation(s, dir)
+      .filter(col("n_nationkey") < 20)
+      .select(col("n_nationkey").as("rf_nationkey"),
+        ((col("n_nationkey") % 3) + 1).cast("double").as("rf"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(rf), col("c_nationkey") === col("rf_nationkey"), "left")
+      .withColumn("norm",
+        (col("o_totalprice") / coalesce(col("rf"), lit(1.0))).cast(DecimalType(18, 4)))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("norm")).cast("double").as("sum_norm"), count(lit(1)).as("n_orders"))
+      .orderBy("c_nationkey")
+  }
+
+  val q03Sql: String =
+    """WITH rfdim AS (
+      |  SELECT n_nationkey AS rf_nationkey,
+      |         CAST((n_nationkey % 3) + 1 AS DOUBLE) AS rf
+      |  FROM nation WHERE n_nationkey < 20)
+      |SELECT c_nationkey,
+      |       CAST(SUM(CAST(o_totalprice / COALESCE(rf, 1.0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_norm,
+      |       COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN rfdim ON c_nationkey = rf_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** Positional multi-percentile (A6): the reference's exact semantics —
+    * sort, pick index round(n·q)−1, clamped (explore.py:365-398) — via a
+    * rank window + conditional max, no interpolation, no collect. Scales:
+    * the window shuffles once on the group key; everything after is
+    * map-side.
+    */
+  def q04(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val byType = Window.partitionBy(col("event_type"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(byType.orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+    def pick(q: Double): Column = {
+      val idx = least(greatest(floor(col("n") * q + 0.5), lit(1L)), col("n"))
+      max(when(col("rn") === idx, col("value")))
+    }
+    ranked.groupBy(col("event_type"), col("n")).agg(
+      min(col("value")).as("min_v"),
+      pick(0.50).as("p50"), pick(0.75).as("p75"), pick(0.90).as("p90"),
+      pick(0.95).as("p95"), pick(0.98).as("p98"), pick(0.99).as("p99"),
+      max(col("value")).as("max_v"))
+      .orderBy("event_type")
+  }
+
+  val q04Sql: String = {
+    def pick(q: String, name: String) =
+      s"MAX(CASE WHEN rn = LEAST(GREATEST(CAST(FLOOR(n * $q + 0.5) AS BIGINT), 1), n) THEN value END) AS $name"
+    s"""WITH ranked AS (
+       |  SELECT event_type, event_id, value,
+       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events)
+       |SELECT event_type, n, MIN(value) AS min_v,
+       |       ${pick("0.50", "p50")}, ${pick("0.75", "p75")}, ${pick("0.90", "p90")},
+       |       ${pick("0.95", "p95")}, ${pick("0.98", "p98")}, ${pick("0.99", "p99")},
+       |       MAX(value) AS max_v
+       |FROM ranked GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q05
+  /** Multi-level rollup (A6 levels) + count/min/max/argmax (A7–A9).
+    * Ref: explore.py:332-341, 1072-1077 — the same events bucketed at
+    * database and per-type level; argmax = timestamp of the max value,
+    * tie-broken by unique event_id so both engines agree.
+    */
+  def q05(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.rollup(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("oldest"),
+        max(col("ts")).as("newest"),
+        max_by(col("ts"), col("value") * 1e8 + col("event_id")).as("ts_of_max"))
+      .withColumn("level", coalesce(col("event_type"), lit("__ALL__")))
+      .select("level", "n_events", "oldest", "newest", "ts_of_max")
+      .orderBy("level")
+  }
+
+  val q05Sql: String =
+    """SELECT COALESCE(event_type, '__ALL__') AS level,
+      |       COUNT(*) AS n_events,
+      |       MIN(ts) AS oldest,
+      |       MAX(ts) AS newest,
+      |       MAX_BY(ts, value * 1e8 + event_id) AS ts_of_max
+      |FROM events GROUP BY ROLLUP(event_type) ORDER BY level""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** Two-level threshold/guardrail predicate with severity (P3/P4).
+    * Ref: explore.py:1085-1119, 1440-1464 — `> guardrail` ⇒ "***",
+    * `> test-param` ⇒ warn. Filter pushes to the parquet scan.
+    */
+  def q06(s: SparkSession, dir: String): DataFrame = {
+    val (warn, guard) = (100.0, 150.0)
+    Tables.events(s, dir)
+      .withColumn("severity",
+        when(col("value") > guard, "guardrail").when(col("value") > warn, "warn"))
+      .filter(col("severity").isNotNull)
+      .select("event_id", "event_type", "value", "severity")
+      .orderBy("event_id")
+  }
+
+  val q06Sql: String =
+    """SELECT event_id, event_type, value,
+      |       CASE WHEN value > 150.0 THEN 'guardrail'
+      |            WHEN value > 100.0 THEN 'warn' END AS severity
+      |FROM events WHERE value > 100.0 ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** Top-1-per-group (A10/W2): the reference's *intended* max-per-key
+    * (explore.py:1477-1492; actual code is last-wins — documented intent
+    * implemented, SURVEY §4). row_number window, unique-key tiebreak.
+    */
+  def q07(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  val q07Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Dedup-after-sort = first-wins = max-per-key (A11).
+    * Ref: explore.py:1594-1602 — tombstone tab dedup on (ks,tbl) after
+    * `sort desc` ⇒ keeps the max-count row. Same shape as W2 but keyed on
+    * a different relation; kept separate to pin A11's semantics.
+    */
+  def q08(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  val q08Sql: String =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |                            ORDER BY value DESC, event_id) AS rn
+      |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** DISTINCT + lexical sort (A11/O3). Ref: explore.py:1079-1083 (dc_list). */
+  def q09(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select("event_type").distinct().orderBy("event_type")
+
+  val q09Sql: String =
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+
+  // ---------------------------------------------------------------- q10
+  /** Conditional warning collection (A12): collect_set of flagged keys per
+    * category, emitted as a sorted joined string so both engines agree on
+    * order. Ref: explore.py:230-239, 1444-1464.
+    */
+  def q10(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value") > 150.0)
+      .groupBy(col("event_type"))
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("user_id").cast("string"))))
+          .as("flagged_users"),
+        count(lit(1)).as("n_flags"))
+      .orderBy("event_type")
+
+  val q10Sql: String =
+    """SELECT event_type,
+      |       COALESCE(STRING_AGG(DISTINCT CAST(user_id AS VARCHAR), ','
+      |                           ORDER BY CAST(user_id AS VARCHAR)), '') AS flagged_users,
+      |       COUNT(*) AS n_flags
+      |FROM events WHERE value > 150.0 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** UNION ALL across slices (U1/U2) + anti-join blocklist (U3/P2).
+    * Ref: explore.py:1043-1066 (log-file union), 469-476 (system-keyspace
+    * blocklist ⇒ left_anti against a tiny broadcast DF).
+    */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val jan = ev.filter(month(col("ts")) === 1)
+    val feb = ev.filter(month(col("ts")) === 2)
+    import s.implicits._
+    val blocklist = Seq("error", "debug").toDF("event_type")
+    jan.unionByName(feb)
+      .join(broadcast(blocklist), Seq("event_type"), "left_anti")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val q11Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (SELECT * FROM events WHERE DATE_PART('month', ts) = 1
+      |      UNION ALL
+      |      SELECT * FROM events WHERE DATE_PART('month', ts) = 2)
+      |WHERE event_type NOT IN ('error', 'debug')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** String/regex scalar family (§2.8): regexp extraction, token counting,
+    * contains-predicate. Ref: explore.py:242-247 (regex extract), 320-326
+    * (substring-between), 914-924 (split/strip).
+    */
+  def q12(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("first_word", regexp_extract(col("text"), "^(\\w+)", 1))
+      .withColumn("n_words", size(split(trim(col("text")), " +")))
+      .withColumn("has_spark", col("text").contains("spark").cast("int"))
+      .select("doc_id", "first_word", "n_words", "has_spark", "n_chars")
+      .orderBy("doc_id")
+
+  val q12Sql: String =
+    """SELECT doc_id,
+      |       REGEXP_EXTRACT(text, '^(\w+)', 1) AS first_word,
+      |       LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS n_words,
+      |       CAST(CONTAINS(text, 'spark') AS INT) AS has_spark,
+      |       n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** JSON extraction (§2.8): the gossip-payload pattern — pull a typed field
+    * out of an embedded JSON string. Ref: explore.py:694-705 (json.loads of
+    * DSE_GOSSIP_STATE → workload/graph/dse_version).
+    */
+  def q13(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("k") > 80)
+      .select("event_id", "event_type", "k")
+      .orderBy("event_id")
+
+  val q13Sql: String =
+    """SELECT event_id, event_type, CAST(props->>'$.k' AS INT) AS k
+      |FROM events WHERE CAST(props->>'$.k' AS INT) > 80
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Date/time scalar family (§2.8): month bucketing + the reference's
+    * TPS→TPMo arithmetic (explore.py:1814-1820: ×60·60·24·365.25/12) moved
+    * from the Excel sink into the engine (SURVEY §7.5).
+    */
+  def q14(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("orders_per_mo_equiv", col("n_orders") * (365.25 / 12))
+      .orderBy("month")
+
+  val q14Sql: String =
+    """SELECT DATE_TRUNC('month', o_orderdate) AS month,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |       COUNT(*) * (365.25 / 12) AS orders_per_mo_equiv
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** Partitioned ratio-of-total window (A5/W1 over a real partition key):
+    * customer share of spend within each order priority.
+    * Ref: explore.py:1745-1750 re-keyed per group.
+    */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"), col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(D18_2)).as("spend_d"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+    agg
+      .withColumn("spend", col("spend_d").cast("double"))
+      .withColumn("share",
+        col("spend_d").cast("double") / sum(col("spend_d")).over(w).cast("double"))
+      .select("o_orderpriority", "o_custkey", "spend", "share")
+      .orderBy("o_orderpriority", "o_custkey")
+  }
+
+  val q15Sql: String =
+    """WITH agg AS (
+      |  SELECT o_orderpriority, o_custkey,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_d
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderpriority, o_custkey,
+      |       CAST(spend_d AS DOUBLE) AS spend,
+      |       CAST(spend_d AS DOUBLE) / CAST(SUM(spend_d) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS share
+      |FROM agg ORDER BY o_orderpriority, o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** AVG (A13) computed as exact-sum ÷ count (engines differ on decimal AVG
+    * result types, so the division is explicit). Ref: explore.py:1557-1563.
+    */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        (sum(col("c_acctbal").cast(D18_2)).cast("double") / count(lit(1))).as("avg_bal"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"))
+      .orderBy("n_name")
+  }
+
+  val q16Sql: String =
+    """SELECT n_name, COUNT(*) AS n_cust,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal,
+      |       MIN(c_acctbal) AS min_bal,
+      |       MAX(c_acctbal) AS max_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Shape counts (A14): counts + distinct counts per group.
+    * Ref: explore.py:1093-1119 (#MV/SI per source table, #columns).
+    */
+  def q17(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        countDistinct(col("p_type")).as("n_types"),
+        countDistinct(col("p_size")).as("n_sizes"))
+      .orderBy("p_brand")
+
+  val q17Sql: String =
+    """SELECT p_brand, COUNT(*) AS n_parts,
+      |       COUNT(DISTINCT p_type) AS n_types,
+      |       COUNT(DISTINCT p_size) AS n_sizes
+      |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** Semi/anti join (U3 generalized): per-nation counts of customers with
+    * and without orders. Ref: the P2 blocklist is anti-join semantics
+    * (explore.py:469-476); semi is its dual.
+    */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    val withO    = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with_orders"))
+    val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without_orders"))
+    withO.join(withoutO, Seq("c_nationkey"), "full_outer")
+      .na.fill(0L, Seq("n_with_orders", "n_without_orders"))
+      .orderBy("c_nationkey")
+  }
+
+  val q18Sql: String =
+    """WITH w AS (
+      |  SELECT c_nationkey, COUNT(*) AS n_with_orders FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY 1),
+      |wo AS (
+      |  SELECT c_nationkey, COUNT(*) AS n_without_orders FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY 1)
+      |SELECT COALESCE(w.c_nationkey, wo.c_nationkey) AS c_nationkey,
+      |       COALESCE(n_with_orders, 0) AS n_with_orders,
+      |       COALESCE(n_without_orders, 0) AS n_without_orders
+      |FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Tumbling event-time window aggregation — the batch twin of the
+    * Structured Streaming pipeline in graft.streaming (SURVEY §2.9):
+    * hour-aligned windows over the event stream.
+    */
+  def q19(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("n"), col("sum_value"))
+      .orderBy("hour_start")
+
+  val q19Sql: String =
+    """SELECT DATE_TRUNC('hour', ts) AS hour_start, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Registry of this family. */
+  val qs: Seq[Q] = Seq(
+    Q("q01_workload_share", "A1–A5/W1/O1 grouped sums + ratio-of-total", q01, Some(q01Sql)),
+    Q("q02_dim_join_revenue", "J1/J2/J4 broadcast dim-join chain", q02, Some(q02Sql)),
+    Q("q03_rf_normalize", "J3 RF-normalize with coalesce fallback", q03, Some(q03Sql)),
+    Q("q04_percentiles_positional", "A6 positional percentiles", q04, Some(q04Sql)),
+    Q("q05_rollup_minmax_argmax", "A6–A9 rollup + min/max/argmax", q05, Some(q05Sql)),
+    Q("q06_threshold_severity", "P3/P4 two-level guardrail severity", q06, Some(q06Sql)),
+    Q("q07_top1_per_group", "A10/W2 top-1 per group", q07, Some(q07Sql)),
+    Q("q08_dedup_keep_max", "A11 dedup-after-sort = max-per-key", q08, Some(q08Sql)),
+    Q("q09_distinct_sorted", "A11/O3 distinct + sort", q09, Some(q09Sql)),
+    Q("q10_warnings_collect", "A12 conditional collect_set", q10, Some(q10Sql)),
+    Q("q11_union_anti_blocklist", "U1–U3 union + anti-join blocklist", q11, Some(q11Sql)),
+    Q("q12_scalar_text", "§2.8 string/regex scalars", q12, Some(q12Sql)),
+    Q("q13_json_extract", "§2.8 JSON field extraction", q13, Some(q13Sql)),
+    Q("q14_date_arithmetic", "§2.8 date bucketing + TPMo arithmetic", q14, Some(q14Sql)),
+    Q("q15_ratio_window_partitioned", "A5/W1 partitioned ratio window", q15, Some(q15Sql)),
+    Q("q16_avg_exact", "A13 avg as exact-sum ÷ count", q16, Some(q16Sql)),
+    Q("q17_shape_counts", "A14 count-distinct shape counts", q17, Some(q17Sql)),
+    Q("q18_semi_anti_join", "U3 semi/anti join duals", q18, Some(q18Sql)),
+    Q("q19_window_hourly", "§2.9 tumbling event-time window (batch twin)", q19, Some(q19Sql)),
+  )
+}
