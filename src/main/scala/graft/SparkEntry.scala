@@ -11,7 +11,11 @@ object SparkEntry {
 
   /** All registered engine queries, one per implemented operator family. */
   def registry: Seq[Q] =
-    graft.operators.Relational.qs
+    graft.operators.Relational.qs ++
+      graft.operators.Dedup.qs ++
+      graft.operators.Similarity.qs ++
+      graft.operators.TextAnalysis.qs ++
+      graft.operators.Multimodal.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,400 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+
+/** Large-scale training-data deduplication operators (north-star extension;
+  * no reference counterpart — SURVEY.md §0, §7.3 step 5): exact dedup,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Portability contract with the DuckDB oracle: every hash bottoms out in
+  * `md5` (identical bytes-in/hex-out in both engines); the first 15 hex chars
+  * are read as a 60-bit integer (Spark `conv(…,16,10)` ≡ DuckDB
+  * `CAST('0x…' AS BIGINT)`), then mixed with integer arithmetic mod a 31-bit
+  * prime — every intermediate stays well inside Long range. Float-order
+  * nondeterminism is kept out of results: dot products / norms are summed as
+  * DECIMAL (order-independent), ratios are single IEEE divisions.
+  *
+  * Scale posture (100 TB): everything is shuffle-on-key relational — shingle
+  * explode is map-side; signatures aggregate on doc_id; LSH candidate
+  * generation joins on (band, bucket) so cost is bounded by bucket sizes
+  * (documented stop-shingle / bucket-cap mitigations inline); nothing
+  * collects to the driver.
+  */
+object Dedup {
+
+  /** 31-bit Mersenne prime used for all modular hashing. */
+  private val P = 2147483647L
+
+  /** Portable 60-bit hash of a string column (see class doc). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Fixed-grid integer quantization of a double term, used to make
+    * floating-point *sums* order-independent AND engine-identical: the
+    * per-term double product is deterministic IEEE, the round-to-1e-9-grid
+    * is identical in both engines, and the subsequent SUM is exact integer
+    * arithmetic. (A DECIMAL sum is order-independent too, but Spark's
+    * double→decimal cast rounds the *shortest string* repr while DuckDB
+    * rounds the exact binary value — off-by-1-ulp divergence.)
+    */
+  def gridL(c: Column): Column = round(c * 1e9).cast("long")
+
+  private def gridSql(expr: String): String = s"CAST(ROUND(($expr) * 1e9) AS BIGINT)"
+
+  private val h60Sql = (s: String) =>
+    s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
+
+  /** Distinct word n-shingles per document: (doc_id, s).
+    * Tokens = lowercase whitespace split; shingle = n consecutive tokens.
+    * Explode happens map-side off the parquet scan; `distinct` shuffles on
+    * (doc_id, s) — at 100 TB this is the standard shingling pass.
+    */
+  def wordShingles(docs: DataFrame, n: Int): DataFrame = {
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    docs
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("ws")) - (n - 1))).as("i"), col("ws"))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(j => element_at(col("ws"), col("i") + lit(j))): _*).as("s"))
+      .distinct()
+  }
+
+  /** Oracle CTE mirroring [[wordShingles]] (expects a `documents` view). */
+  private def shinglesSqlCte(n: Int): String = {
+    val parts = (0 until n).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    s"""w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |       FROM documents),
+       |wi AS (SELECT doc_id, ws, unnest(range(1, len(ws) - ${n - 2})) AS i
+       |       FROM w WHERE len(ws) >= $n),
+       |sh AS (SELECT DISTINCT doc_id, $parts AS s FROM wi)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- dd01
+  /** Exact dedup: hash-groupBy on normalized text. Every doc gets its
+    * content signature, the group's keeper (min doc_id) and group size —
+    * the standard "keep one per content hash" pass, expressed so the
+    * keeper assignment is one shuffle on the signature.
+    */
+  def dd01(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val w = Window.partitionBy(col("sig"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(norm.cast("binary")).as("sig"))
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
+      .withColumn("group_n", count(lit(1)).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("keeper_id")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val dd01Sql: String =
+    """SELECT doc_id,
+      |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS sig,
+      |       MIN(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS keeper_id,
+      |       COUNT(*) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS group_n,
+      |       CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS INT) AS is_dup
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- minhash
+  /** 16 minhash values per doc, long format (doc_id, i, mh).
+    * h_i(s) = ((1 + 604271·i)·(H(s) mod P) + (7 + 202409·i)) mod P —
+    * the universal-hash family over the md5-derived base hash.
+    */
+  private def minhashLong(docs: DataFrame): DataFrame =
+    wordShingles(docs, 3)
+      .withColumn("hh", h60(col("s")) % P)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("i"), col("hh"))
+      .withColumn("mh",
+        ((lit(1L) + col("i") * 604271L) * col("hh") + (lit(7L) + col("i") * 202409L)) % P)
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(col("mh")).as("mh"))
+
+  private val minhashSqlCte: String =
+    s"""${shinglesSqlCte(3)},
+       |hh AS (SELECT doc_id, ${h60Sql("s")} % 2147483647 AS hh FROM sh),
+       |hi AS (SELECT doc_id, hh, unnest(range(0, 16)) AS i FROM hh),
+       |mh AS (SELECT doc_id, i,
+       |              MIN(((1 + 604271 * i) * hh + (7 + 202409 * i)) % 2147483647) AS mh
+       |       FROM hi GROUP BY doc_id, i)""".stripMargin
+
+  /** Pivot the long minhash relation to one row per doc: mh00..mh15 plus
+    * 4 LSH band hashes (4 rows per band, hashed with the same h60).
+    */
+  private def minhashSig(docs: DataFrame): DataFrame = {
+    val aggs = (0 to 15).map(k => max(when(col("i") === k, col("mh"))).as(f"mh$k%02d"))
+    val sig = minhashLong(docs).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bands = (0 to 3).map { b =>
+      h60(concat_ws(",", (0 until 4).map(j => col(f"mh${b * 4 + j}%02d")): _*)).as(s"bh$b")
+    }
+    sig.select(col("doc_id") +: (0 to 15).map(k => col(f"mh$k%02d")) ++: bands: _*)
+  }
+
+  private val minhashSigSqlCte: String = {
+    val pivots = (0 to 15)
+      .map(k => f"MAX(CASE WHEN i = $k THEN mh END) AS mh$k%02d").mkString(",\n              ")
+    val bands = (0 to 3).map { b =>
+      val cols = (0 until 4).map(j => f"mh${b * 4 + j}%02d")
+      val cc = cols.map(c => s"CAST($c AS VARCHAR)").mkString(" || ',' || ")
+      s"${h60Sql(s"($cc)")} AS bh$b"
+    }.mkString(",\n              ")
+    s"""$minhashSqlCte,
+       |sig0 AS (SELECT doc_id,
+       |              $pivots
+       |       FROM mh GROUP BY doc_id),
+       |sig AS (SELECT sig0.*,
+       |              $bands
+       |       FROM sig0)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- dd02
+  /** MinHash signature table: 16 minhashes + 4 band hashes per doc. */
+  def dd02(s: SparkSession, dir: String): DataFrame =
+    minhashSig(Tables.documents(s, dir)).orderBy("doc_id")
+
+  val dd02Sql: String =
+    s"""WITH $minhashSigSqlCte
+       |SELECT * FROM sig ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- dd03
+  /** MinHash LSH near-dup pairs: candidates share an LSH band bucket
+    * (equi-join on (band, bucket) — bounded by bucket size; at 100 TB add
+    * a bucket-size cap / salt on hot buckets), then verified with exact
+    * shingle Jaccard ≥ 0.2. */
+  def dd03(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sig = minhashSig(docs)
+    val bandsLong = sig.select(col("doc_id"),
+      explode(map_from_arrays(
+        array((0 to 3).map(lit): _*),
+        array((0 to 3).map(b => col(s"bh$b")): _*))).as(Seq("b", "bh")))
+    val cand = bandsLong.as("x").join(bandsLong.as("y"),
+        col("x.b") === col("y.b") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val sh = wordShingles(docs, 3)
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.s") === col("s2.s"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+    inter
+      .join(n.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(n.as("n2"), col("d2") === col("n2.doc_id"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("n1.n") + col("n2.n") - col("c")).cast("double"))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("d1"), col("d2"), col("c").as("n_common"), col("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  val dd03Sql: String =
+    s"""WITH $minhashSigSqlCte,
+       |bl AS (SELECT doc_id, b, CASE b WHEN 0 THEN bh0 WHEN 1 THEN bh1
+       |                                 WHEN 2 THEN bh2 ELSE bh3 END AS bh
+       |       FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |         FROM bl x JOIN bl y ON x.b = y.b AND x.bh = y.bh
+       |                            AND x.doc_id < y.doc_id),
+       |n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT d1, d2, COUNT(*) AS c
+       |          FROM cand JOIN sh s1 ON d1 = s1.doc_id
+       |                    JOIN sh s2 ON d2 = s2.doc_id AND s1.s = s2.s
+       |          GROUP BY d1, d2)
+       |SELECT d1, d2, c AS n_common,
+       |       CAST(c AS DOUBLE) / CAST(n1.n + n2.n - c AS DOUBLE) AS jaccard
+       |FROM inter JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+       |WHERE CAST(c AS DOUBLE) / CAST(n1.n + n2.n - c AS DOUBLE) >= 0.2
+       |ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------- dd04
+  /** N-gram Jaccard top-k: the 20 most similar doc pairs by word-3-gram
+    * Jaccard, found via an inverted shingle index. Stop-shingles (document
+    * frequency > 100) are dropped before pairing — the standard guard that
+    * keeps the pair blow-up bounded at scale; Jaccard is then defined over
+    * the pruned shingle universe (both engines agree on the definition).
+    */
+  def dd04(s: SparkSession, dir: String): DataFrame = {
+    val sh = wordShingles(Tables.documents(s, dir), 3)
+    val kept = sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= 100).drop("df")
+    val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = kept.as("a").join(kept.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(n.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(n.as("n2"), col("d2") === col("n2.doc_id"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("n1.n") + col("n2.n") - col("c")).cast("double"))
+      .select(col("d1"), col("d2"), col("c").as("n_common"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+      .limit(20)
+  }
+
+  val dd04Sql: String =
+    s"""WITH ${shinglesSqlCte(3)},
+       |kept AS (SELECT doc_id, s FROM (
+       |           SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh)
+       |         WHERE df <= 100),
+       |n AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+       |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT d1, d2, c AS n_common,
+       |       CAST(c AS DOUBLE) / CAST(n1.n + n2.n - c AS DOUBLE) AS jaccard
+       |FROM inter JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+       |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------- simhash
+  /** 60-bit SimHash per doc over distinct lowercase tokens (weight 1):
+    * bit j is set iff Σ_tokens (±1 by bit j of H(token)) > 0.
+    * Also emits 4 × 15-bit chunks (the banding key for Hamming search).
+    */
+  private def simhashSig(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .distinct()
+      .withColumn("th", h60(col("w")))
+    val bits = toks
+      .select(col("doc_id"), col("th"), explode(sequence(lit(0), lit(59))).as("bit"))
+      .withColumn("contrib",
+        when(expr("(th >> bit) & 1") === 1, lit(1)).otherwise(lit(-1)))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("contrib")).as("sm"))
+      .withColumn("bitval",
+        when(col("sm") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+          .otherwise(lit(0L)))
+    val sig = bits.groupBy(col("doc_id")).agg(sum(col("bitval")).as("simhash"))
+    (0 to 3).foldLeft(sig) { (df, j) =>
+      df.withColumn(s"c$j", expr(s"(simhash >> ${15 * j}) & 32767"))
+    }
+  }
+
+  private val simhashSqlCte: String = {
+    val chunks = (0 to 3).map(j => s"(simhash >> ${15 * j}) & 32767 AS c$j")
+      .mkString(",\n              ")
+    s"""w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |       FROM documents),
+       |tok AS (SELECT DISTINCT doc_id, unnest(ws) AS w FROM w),
+       |th AS (SELECT doc_id, ${h60Sql("w")} AS th FROM tok),
+       |tb AS (SELECT doc_id, th, unnest(range(0, 60)) AS bit FROM th),
+       |bits AS (SELECT doc_id, bit,
+       |                SUM(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sm
+       |         FROM tb GROUP BY doc_id, bit),
+       |sh AS (SELECT doc_id,
+       |              SUM(CASE WHEN sm > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+       |       FROM bits GROUP BY doc_id),
+       |sig AS (SELECT doc_id, simhash,
+       |              $chunks
+       |       FROM sh)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- dd05
+  /** SimHash signature table: simhash + 4 banding chunks per doc. */
+  def dd05(s: SparkSession, dir: String): DataFrame =
+    simhashSig(Tables.documents(s, dir)).orderBy("doc_id")
+
+  val dd05Sql: String =
+    s"""WITH $simhashSqlCte
+       |SELECT * FROM sig ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- dd06
+  /** SimHash Hamming near-dup: candidate pairs share one of the 4 15-bit
+    * chunks (exact-match banding ⇒ finds all pairs with Hamming ≤ 3 by
+    * pigeonhole, plus lucky others); emit the 20 closest by
+    * bit_count(xor) with unique-key tie-break.
+    */
+  def dd06(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSig(Tables.documents(s, dir))
+    val chunksLong = sig.select(col("doc_id"), col("simhash"),
+      explode(map_from_arrays(
+        array((0 to 3).map(lit): _*),
+        array((0 to 3).map(j => col(s"c$j")): _*))).as(Seq("j", "c")))
+    chunksLong.as("x").join(chunksLong.as("y"),
+        col("x.j") === col("y.j") && col("x.c") === col("y.c") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy(col("hamming"), col("d1"), col("d2"))
+      .limit(20)
+  }
+
+  val dd06Sql: String =
+    s"""WITH $simhashSqlCte,
+       |cl AS (SELECT doc_id, simhash, j,
+       |              CASE j WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS c
+       |       FROM sig, (SELECT unnest(range(0, 4)) AS j)),
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+       |                x.simhash AS s1, y.simhash AS s2
+       |         FROM cl x JOIN cl y ON x.j = y.j AND x.c = y.c
+       |                           AND x.doc_id < y.doc_id)
+       |SELECT d1, d2, bit_count(xor(s1, s2)) AS hamming
+       |FROM cand ORDER BY hamming, d1, d2 LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- dd07
+  /** Embedding-cosine near-dup, blocked by the coarse `label` cluster
+    * (IVF-style blocking — the scale path: pairs only form inside a cell).
+    * Cosine = decimal-exact dot / (sqrt(norm1)·sqrt(norm2)); top 20 pairs.
+    */
+  def dd07(s: SparkSession, dir: String): DataFrame = {
+    val el = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val nrm = el.groupBy(col("vec_id"))
+      .agg(sum(gridL(col("x") * col("x"))).as("n2"))
+    val dot = el.as("a").join(el.as("b"),
+        col("a.label") === col("b.label") && col("a.pos") === col("b.pos") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .agg(sum(gridL(col("a.x") * col("b.x"))).as("dot"))
+    dot
+      .join(nrm.as("q1"), col("v1") === col("q1.vec_id"))
+      .join(nrm.as("q2"), col("v2") === col("q2.vec_id"))
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("q1.n2").cast("double")) * sqrt(col("q2.n2").cast("double"))))
+      .select(col("v1"), col("v2"), col("cosine"))
+      .orderBy(col("cosine").desc, col("v1"), col("v2"))
+      .limit(20)
+  }
+
+  val dd07Sql: String =
+    s"""WITH el AS (
+      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |         generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings),
+      |nrm AS (SELECT vec_id, SUM(${gridSql("x * x")}) AS n2
+      |        FROM el GROUP BY vec_id),
+      |dot AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |               SUM(${gridSql("a.x * b.x")}) AS dot
+      |        FROM el a JOIN el b ON a.label = b.label AND a.pos = b.pos
+      |                          AND a.vec_id < b.vec_id
+      |        GROUP BY 1, 2)
+      |SELECT v1, v2,
+      |       CAST(dot AS DOUBLE) / (sqrt(CAST(q1.n2 AS DOUBLE)) * sqrt(CAST(q2.n2 AS DOUBLE))) AS cosine
+      |FROM dot JOIN nrm q1 ON v1 = q1.vec_id JOIN nrm q2 ON v2 = q2.vec_id
+      |ORDER BY cosine DESC, v1, v2 LIMIT 20""".stripMargin
+
+  /** Registry of this family. */
+  val qs: Seq[Q] = Seq(
+    Q("dd01_exact_dedup", "exact dedup: content-hash groups + keeper", dd01, Some(dd01Sql)),
+    Q("dd02_minhash_sig", "16-fn MinHash signatures + 4 LSH band hashes", dd02, Some(dd02Sql)),
+    Q("dd03_minhash_lsh_pairs", "LSH band candidates verified by exact Jaccard", dd03, Some(dd03Sql)),
+    Q("dd04_ngram_jaccard_topk", "top-20 word-3-gram Jaccard pairs (inverted index)", dd04, Some(dd04Sql)),
+    Q("dd05_simhash_sig", "60-bit SimHash + 15-bit banding chunks", dd05, Some(dd05Sql)),
+    Q("dd06_simhash_hamming", "SimHash banded Hamming near-dup top-20", dd06, Some(dd06Sql)),
+    Q("dd07_embedding_neardup", "label-blocked exact-cosine near-dup top-20", dd07, Some(dd07Sql)),
+  )
+}

@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (north-star extension, no reference counterpart): brute-force cosine
+  * top-k as the baseline, an IVF (coarse-cell) variant and a
+  * random-hyperplane LSH variant as the scale paths.
+  *
+  * Numeric portability: dot products and norms are summed on a 1e-9
+  * integer grid (see [[Dedup.gridL]]) so the result is order-independent
+  * and engine-identical; the final cosine is a fixed chain of IEEE ops.
+  *
+  * Scale posture: the query set is tiny and broadcast; the fact side
+  * (embeddings) is never exploded in the Spark plan for brute force — the
+  * dot product is a sequential integer fold over `zip_with` (one
+  * codegen'd projection per candidate row, zero shuffle before the
+  * per-query top-k). IVF restricts candidates to the best coarse cell;
+  * LSH restricts to a shared sign-bucket; both turn O(N) scans into
+  * O(N/cells) probes at 100 TB.
+  */
+object Similarity {
+
+  /** Integer-grid dot product of two float-array columns (order-safe). */
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast("double") * y.cast("double") * 1e9).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Integer-grid squared norm of a float-array column. */
+  private def normL(a: Column): Column =
+    aggregate(a, lit(0L),
+      (acc, x) => acc + round(x.cast("double") * x.cast("double") * 1e9).cast("long"))
+
+  private def cosine(dot: Column, n1: Column, n2: Column): Column =
+    dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
+
+  /** DuckDB mirror of the grid dot/norm, via unnest + ordinal join. The
+    * Spark side folds sequentially; grid integers make the order moot. */
+  private val elCte: String =
+    """el AS (
+      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |         generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings),
+      |nrm AS (SELECT vec_id, SUM(CAST(ROUND((x * x) * 1e9) AS BIGINT)) AS n2
+      |        FROM el GROUP BY vec_id)""".stripMargin
+
+  // ---------------------------------------------------------------- ss01
+  /** Brute-force cosine top-k: queries = vec_id < 10, k = 5.
+    * Spark plan: broadcast the 10 query vectors against the candidate
+    * scan; dot product is a map-side integer fold; the only shuffle is
+    * the per-query row_number window (10 partitions' worth of rows).
+    */
+  def ss01(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .filter(col("query_id") < 10)
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val scored = cand.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosine(dotL(col("qe"), col("ne")), normL(col("qe")), normL(col("ne"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val ss01Sql: String =
+    s"""WITH $elCte,
+       |dot AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |               SUM(CAST(ROUND((q.x * c.x) * 1e9) AS BIGINT)) AS dot
+       |        FROM el q JOIN el c ON q.pos = c.pos AND q.vec_id < 10
+       |                          AND c.vec_id <> q.vec_id
+       |        GROUP BY 1, 2),
+       |scored AS (SELECT query_id, neighbor_id,
+       |                  CAST(dot AS DOUBLE) / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE))) AS cosine
+       |           FROM dot JOIN nrm n1 ON query_id = n1.vec_id
+       |                    JOIN nrm n2 ON neighbor_id = n2.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- ss02
+  /** IVF top-k: coarse cells = `label`; centroid = per-dimension mean
+    * (grid-exact sum ÷ count); each query probes only its best cell by
+    * query↔centroid cosine (tie-break label asc), then exact top-5 inside
+    * the cell. At 100 TB the cell assignment is a broadcast join and only
+    * 1/cells of the data is scored per query.
+    */
+  def ss02(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val el = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+    // centroid component: exact grid mean, then back to double
+    val cent = el.groupBy(col("label"), col("pos"))
+      .agg((sum(Dedup.gridL(col("x"))).cast("double") / 1e9 / count(lit(1))).as("c"))
+    val centNorm = cent.groupBy(col("label"))
+      .agg(sum(Dedup.gridL(col("c") * col("c"))).as("cn2"))
+    val qel = el.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("pos"), col("x").as("qx"))
+    val qNorm = qel.groupBy(col("query_id")).agg(sum(Dedup.gridL(col("qx") * col("qx"))).as("qn2"))
+    val qc = qel.join(cent.withColumnRenamed("label", "clabel"), Seq("pos"))
+      .groupBy(col("query_id"), col("clabel"))
+      .agg(sum(Dedup.gridL(col("qx") * col("c"))).as("dotqc"))
+      .join(qNorm, Seq("query_id"))
+      .join(centNorm.withColumnRenamed("label", "clabel"), Seq("clabel"))
+      .withColumn("ccos", cosine(col("dotqc"), col("qn2"), col("cn2")))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("clabel"))
+    val best = qc.withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+      .select(col("query_id"), col("clabel"))
+    // exact search inside the chosen cell
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .filter(col("query_id") < 10).join(broadcast(best), Seq("query_id"))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("label"), col("embedding").as("ne"))
+      .join(broadcast(q),
+        col("label") === col("clabel") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosine(dotL(col("qe"), col("ne")), normL(col("qe")), normL(col("ne"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("clabel").as("cell"), col("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val ss02Sql: String =
+    s"""WITH $elCte,
+       |cent AS (SELECT label, pos,
+       |                CAST(SUM(CAST(ROUND((x) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS c
+       |         FROM el GROUP BY 1, 2),
+       |centnorm AS (SELECT label, SUM(CAST(ROUND((c * c) * 1e9) AS BIGINT)) AS cn2
+       |             FROM cent GROUP BY 1),
+       |qel AS (SELECT vec_id AS query_id, pos, x AS qx FROM el WHERE vec_id < 10),
+       |qnorm AS (SELECT query_id, SUM(CAST(ROUND((qx * qx) * 1e9) AS BIGINT)) AS qn2
+       |          FROM qel GROUP BY 1),
+       |qc AS (SELECT query_id, cent.label AS clabel,
+       |              SUM(CAST(ROUND((qx * c) * 1e9) AS BIGINT)) AS dotqc
+       |       FROM qel JOIN cent USING (pos) GROUP BY 1, 2),
+       |qcs AS (SELECT query_id, clabel,
+       |               CAST(dotqc AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS ccos
+       |        FROM qc JOIN qnorm USING (query_id)
+       |                JOIN centnorm ON clabel = centnorm.label),
+       |best AS (SELECT query_id, clabel FROM (
+       |           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY ccos DESC, clabel) AS rn FROM qcs)
+       |         WHERE rn = 1),
+       |dot AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, b.clabel,
+       |               SUM(CAST(ROUND((q.x * c.x) * 1e9) AS BIGINT)) AS dot
+       |        FROM el q JOIN best b ON q.vec_id = b.query_id AND q.vec_id < 10
+       |                  JOIN el c ON q.pos = c.pos AND c.label = b.clabel
+       |                           AND c.vec_id <> q.vec_id
+       |        GROUP BY 1, 2, 3),
+       |scored AS (SELECT query_id, neighbor_id, clabel,
+       |                  CAST(dot AS DOUBLE) / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE))) AS cosine
+       |           FROM dot JOIN nrm n1 ON query_id = n1.vec_id
+       |                    JOIN nrm n2 ON neighbor_id = n2.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, clabel AS cell, rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- ss03
+  /** Random-hyperplane LSH ANN: 8 deterministic pseudo-random hyperplanes
+    * (coefficients hashed from (plane, dim) — no RNG, portable), each
+    * vector gets an 8-bit sign bucket; queries only score candidates in
+    * their own bucket (may return < k — that's the ANN trade-off),
+    * exact cosine inside the bucket. At scale the bucket is the shuffle
+    * key: candidate generation is an equi-join, never a cross product.
+    */
+  def ss03(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val el = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val planes = el.sparkSession.range(0, 8).select(col("id").cast("int").as("p"))
+      .crossJoin(el.sparkSession.range(0, 64).select(col("id").cast("int").as("pos")))
+      .withColumn("coef",
+        ((Dedup.h60(concat(lit("pl"), col("p"), lit("_"), col("pos"))) % 2001L) - 1000L)
+          .cast("double") / 1000.0)
+    val sig = el.join(broadcast(planes), Seq("pos"))
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(Dedup.gridL(col("x") * col("coef"))).as("d"))
+      .withColumn("bit",
+        when(col("d") > 0, expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(lit(0L)))
+      .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .filter(col("query_id") < 10)
+      .join(sig.withColumnRenamed("vec_id", "query_id"), Seq("query_id"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .join(sig.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+    val scored = cand
+      .join(broadcast(q.withColumnRenamed("bucket", "qbucket")),
+        col("bucket") === col("qbucket") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosine(dotL(col("qe"), col("ne")), normL(col("qe")), normL(col("ne"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("bucket"), col("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val ss03Sql: String =
+    s"""WITH $elCte,
+       |planes AS (SELECT p, pos,
+       |                  CAST((CAST(concat('0x', substr(md5('pl' || p || '_' || (pos - 1)), 1, 15)) AS BIGINT) % 2001) - 1000 AS DOUBLE) / 1000.0 AS coef
+       |           FROM (SELECT unnest(range(0, 8)) AS p),
+       |                (SELECT unnest(range(1, 65)) AS pos)),
+       |sig AS (SELECT vec_id, SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+       |        FROM (SELECT vec_id, p, SUM(CAST(ROUND((x * coef) * 1e9) AS BIGINT)) AS d
+       |              FROM el JOIN planes USING (pos) GROUP BY 1, 2)
+       |        GROUP BY 1),
+       |dot AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sq.bucket,
+       |               SUM(CAST(ROUND((q.x * c.x) * 1e9) AS BIGINT)) AS dot
+       |        FROM el q JOIN sig sq ON q.vec_id = sq.vec_id AND q.vec_id < 10
+       |                  JOIN sig sc ON sc.bucket = sq.bucket
+       |                  JOIN el c ON c.vec_id = sc.vec_id AND q.pos = c.pos
+       |                           AND c.vec_id <> q.vec_id
+       |        GROUP BY 1, 2, 3),
+       |scored AS (SELECT query_id, neighbor_id, bucket,
+       |                  CAST(dot AS DOUBLE) / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE))) AS cosine
+       |           FROM dot JOIN nrm n1 ON query_id = n1.vec_id
+       |                    JOIN nrm n2 ON neighbor_id = n2.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, bucket, rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Registry of this family. */
+  val qs: Seq[Q] = Seq(
+    Q("ss01_knn_bruteforce", "broadcast brute-force cosine top-5", ss01, Some(ss01Sql)),
+    Q("ss02_knn_ivf", "IVF: label-cell centroids, probe best cell", ss02, Some(ss02Sql)),
+    Q("ss03_knn_lsh", "random-hyperplane LSH sign-bucket ANN", ss03, Some(ss03Sql)),
+  )
+}

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Text-analysis operators for a training-data pipeline (north-star
+  * extension): language ID (stopword n-gram heuristic), quality scoring,
+  * token counting (whitespace + BPE-ish regex), document fingerprinting.
+  *
+  * Scale posture: ta01–ta03 are pure map-side column programs over the
+  * parquet scan (no explode, no shuffle — higher-order array functions
+  * instead of exploding tokens); ta04 shuffles once on doc_id for the
+  * shingle aggregate. All arithmetic is either integer, a single IEEE
+  * division, or a fixed-shape expression tree — engine-identical.
+  */
+object TextAnalysis {
+
+  private val P = 2147483647L
+
+  private def ws: Column = split(lower(trim(col("text"))), "\\s+")
+
+  private val stop = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "los", "las", "es", "y", "por"))
+
+  /** Count of tokens that appear in `list` — array filter, no explode. */
+  private def hits(list: Seq[String]): Column = {
+    val arr = array(list.map(lit): _*)
+    size(filter(ws, w => array_contains(arr, w)))
+  }
+
+  private def hitsSql(list: Seq[String]): String = {
+    val lits = list.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(ws, w -> list_contains([$lits], w)))"
+  }
+
+  private val wsSqlCte =
+    """w AS (SELECT *, string_split_regex(lower(trim(text)), '\s+') AS ws
+      |       FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------- ta01
+  /** Language ID: stopword-hit score per language, argmax with fixed
+    * tie-break order (en > de > fr > es). Emits the per-language scores,
+    * the prediction, and whether it matches the labeled `lang`.
+    */
+  def ta01(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .withColumn("s_en", hits(stop("en")))
+      .withColumn("s_de", hits(stop("de")))
+      .withColumn("s_fr", hits(stop("fr")))
+      .withColumn("s_es", hits(stop("es")))
+    scored
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+          col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .withColumn("is_match", (col("predicted") === col("lang")).cast("int"))
+      .select("doc_id", "s_en", "s_de", "s_fr", "s_es", "predicted", "lang", "is_match")
+      .orderBy("doc_id")
+  }
+
+  val ta01Sql: String =
+    s"""WITH $wsSqlCte,
+       |sc AS (SELECT doc_id, lang,
+       |              ${hitsSql(stop("en"))} AS s_en,
+       |              ${hitsSql(stop("de"))} AS s_de,
+       |              ${hitsSql(stop("fr"))} AS s_fr,
+       |              ${hitsSql(stop("es"))} AS s_es
+       |       FROM w)
+       |SELECT doc_id, s_en, s_de, s_fr, s_es,
+       |       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |            WHEN s_fr >= s_es THEN 'fr'
+       |            ELSE 'es' END AS predicted,
+       |       lang,
+       |       CAST((CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |            WHEN s_fr >= s_es THEN 'fr'
+       |            ELSE 'es' END) = lang AS INT) AS is_match
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- ta02
+  /** Quality scoring: length / punctuation / stopword signals combined
+    * into one score with a fixed expression tree; flags low quality.
+    */
+  def ta02(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(ws).cast("double")
+    val punct = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double")
+    val punctRatio = punct / col("n_chars").cast("double")
+    val stopRatio = hits(stop("en")).cast("double") / nTok
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    val score = lenScore * 0.4 +
+      (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.3 +
+      least(stopRatio * 5.0, lit(1.0)) * 0.3
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(ws))
+      .withColumn("punct_ratio", punctRatio)
+      .withColumn("stop_ratio", stopRatio)
+      .withColumn("score", score)
+      .withColumn("low_quality", (score < 0.5).cast("int"))
+      .select("doc_id", "n_tokens", "punct_ratio", "stop_ratio", "score", "low_quality")
+      .orderBy("doc_id")
+  }
+
+  val ta02Sql: String =
+    s"""WITH $wsSqlCte,
+       |m AS (SELECT doc_id,
+       |             len(ws) AS n_tokens,
+       |             CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |               / CAST(n_chars AS DOUBLE) AS punct_ratio,
+       |             CAST(${hitsSql(stop("en"))} AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS stop_ratio,
+       |             CAST(len(ws) AS DOUBLE) AS ntd
+       |      FROM w)
+       |SELECT doc_id, n_tokens, punct_ratio, stop_ratio,
+       |       (least(ntd / 100.0, 1.0) * 0.4
+       |        + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.3
+       |        + least(stop_ratio * 5.0, 1.0) * 0.3) AS score,
+       |       CAST((least(ntd / 100.0, 1.0) * 0.4
+       |        + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.3
+       |        + least(stop_ratio * 5.0, 1.0) * 0.3) < 0.5 AS INT) AS low_quality
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- ta03
+  /** Token counting: whitespace tokens, BPE-ish regex tokens (letter runs
+    * / digit runs / single punctuation), distinct-token ratio.
+    */
+  def ta03(s: SparkSession, dir: String): DataFrame = {
+    val bpe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    Tables.documents(s, dir)
+      .withColumn("n_ws_tokens", size(ws))
+      .withColumn("n_bpe_tokens", size(regexp_extract_all(col("text"), lit(bpe), lit(0))))
+      .withColumn("n_distinct_tokens", size(array_distinct(ws)))
+      .withColumn("type_token_ratio",
+        size(array_distinct(ws)).cast("double") / size(ws).cast("double"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / size(ws).cast("double"))
+      .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_distinct_tokens",
+        "type_token_ratio", "chars_per_token")
+      .orderBy("doc_id")
+  }
+
+  val ta03Sql: String =
+    s"""WITH $wsSqlCte
+       |SELECT doc_id,
+       |       len(ws) AS n_ws_tokens,
+       |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       |       len(list_distinct(ws)) AS n_distinct_tokens,
+       |       CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS type_token_ratio,
+       |       CAST(n_chars AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS chars_per_token
+       |FROM w ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- ta04
+  /** Document fingerprint over the word-3-gram set: order-independent
+    * modular sum + min-hash of shingle hashes (a rolling-hash-style
+    * content fingerprint that survives shingle reordering; docs shorter
+    * than 3 tokens have no fingerprint and are excluded).
+    */
+  def ta04(s: SparkSession, dir: String): DataFrame =
+    Dedup.wordShingles(Tables.documents(s, dir), 3)
+      .withColumn("h", Dedup.h60(col("s")) % P)
+      .groupBy(col("doc_id"))
+      .agg(
+        (sum(col("h")) % P).as("fp_sum"),
+        min(col("h")).as("fp_min"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy("doc_id")
+
+  val ta04Sql: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      |       FROM documents),
+      |wi AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+      |       FROM w WHERE len(ws) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s FROM wi),
+      |hh AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h
+      |       FROM sh)
+      |SELECT doc_id, SUM(h) % 2147483647 AS fp_sum, MIN(h) AS fp_min,
+      |       COUNT(*) AS n_shingles
+      |FROM hh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Registry of this family. */
+  val qs: Seq[Q] = Seq(
+    Q("ta01_langid", "stopword-heuristic language ID + accuracy flag", ta01, Some(ta01Sql)),
+    Q("ta02_quality_score", "length/punct/stopword quality score", ta02, Some(ta02Sql)),
+    Q("ta03_token_counts", "whitespace + BPE-ish regex token counts", ta03, Some(ta03Sql)),
+    Q("ta04_fingerprint", "order-independent shingle-hash fingerprint", ta04, Some(ta04Sql)),
+  )
+}
