@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.operators.DiagAnalysis
+import graft.sources.DiagSource
+
+import java.nio.file.{Files, Paths}
+
+/** End-to-end diag pipeline (the reference's E1, SURVEY.md §3): parse a
+  * diagnostic tree, run the analysis layer, emit per-tab parquet and the
+  * nested `summary.json` (ref explore.py:578-586, 1718-1790, 1851-1854).
+  *
+  * The per-tab relations are written distributed; only the final
+  * summary assembly collects — it is the sink, and by then every
+  * relation has been reduced to report-sized aggregates (≤ thousands of
+  * rows). usage: DiagReport <diagRoot> <outDir>
+  */
+object DiagReport {
+
+  /** All computed tabs for a diag root. */
+  final case class Tabs(
+      nodeTable: DataFrame, workload: DataFrame, gc: DataFrame,
+      tombstones: DataFrame, thresholds: DataFrame, warnings: DataFrame,
+      proxyHist: DataFrame, clusterName: String)
+
+  def analyze(spark: SparkSession, root: String,
+      tp: Thresholds = Thresholds()): Tabs = {
+    import spark.implicits._
+    val status = DiagSource.status(spark, root)
+    val gossip = DiagSource.gossip(spark, root)
+    val info = DiagSource.nodeInfo(spark, root)
+    val cluster = DiagSource.clusterName(spark, root)
+    val ossVer = DiagSource.ossVersion(spark, root)
+    val dcs = status.toDF().select("dc").distinct().as[String].collect().toSeq.sorted
+    val catalog = DiagSource.schema(spark, root, dcs)
+    val rf = spark.createDataset(catalog.rf)
+    val metrics = DiagSource.cfstats(spark, root)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (gcEv, tsEv) = DiagSource.logEvents(spark, root, tp.tpTs)
+    val nodeDc = info.select(col("node_dir").as("node"), col("dc"))
+
+    val gcPct = DiagAnalysis.gcPercentiles(gcEv, nodeDc, cluster)
+    Tabs(
+      nodeTable = DiagAnalysis.nodeTable(status, gossip, info, ossVer),
+      workload = DiagAnalysis.workload(metrics, rf, info),
+      gc = gcPct,
+      tombstones = DiagAnalysis.tombstoneTab(tsEv, nodeDc),
+      thresholds = DiagAnalysis.thresholdTabs(metrics, nodeDc, DiagAnalysis.tabSpecs(tp)),
+      warnings = DiagAnalysis.guardrailWarnings(spark, catalog.objects, metrics,
+        gcPct, tsEv, nodeDc, cluster, tp),
+      proxyHist = DiagAnalysis.proxyHistTab(DiagSource.proxyHist(spark, root), nodeDc),
+      clusterName = cluster)
+  }
+
+  /** Nested summary mirroring the reference's summary_json keys:
+    * workload.{ks}.{tbl}.read/write{...}, workload.total_*,
+    * dataset_size.{ks}.{tbl}.size + total, warnings.{cat}.{check}[…].
+    */
+  def summaryJson(tabs: Tabs): String = {
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def jnum(d: Double) =
+      if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+
+    val wl = tabs.workload.collect()
+    val byKs = wl.groupBy(_.getAs[String]("keyspace"))
+    val workload = byKs.toSeq.sortBy(_._1).map { case (ks, rows) =>
+      val tbls = rows.sortBy(_.getAs[String]("table")).map { r =>
+        def d(n: String) = Option(r.getAs[Any](n)).map(_.toString.toDouble).getOrElse(0.0)
+        val read =
+          s"""{"read_req":${jnum(d("reads"))},"avg_tps":${d("read_tps")},"perc_read":${d("perc_read")},"perc_rw":${d("read_perc_rw")}}"""
+        val write =
+          s"""{"write_req":${jnum(d("writes"))},"avg_tps":${d("write_tps")},"perc_write":${d("perc_write")},"perc_rw":${d("write_perc_rw")}}"""
+        s"${jstr(r.getAs[String]("table"))}:{" + s""""read":$read,"write":$write}"""
+      }.mkString(",")
+      s"${jstr(ks)}:{$tbls}"
+    }
+    def sumOf(col: String) =
+      wl.map(r => Option(r.getAs[Any](col)).map(_.toString.toDouble).getOrElse(0.0)).sum
+    val totalReadTps = sumOf("read_tps")
+    val totalWriteTps = sumOf("write_tps")
+    val totalReadPer = sumOf("read_perc_rw")
+    val totalWritePer = sumOf("write_perc_rw")
+
+    val ds = byKs.toSeq.sortBy(_._1).map { case (ks, rows) =>
+      val tbls = rows.sortBy(_.getAs[String]("table")).map { r =>
+        val sz = Option(r.getAs[Any]("size_bytes")).map(_.toString.toDouble).getOrElse(0.0)
+        s"${jstr(r.getAs[String]("table"))}:{" + s""""size":${jnum(sz)}}"""
+      }.mkString(",")
+      s"${jstr(ks)}:{$tbls}"
+    }
+    val totalSize = sumOf("size_bytes")
+
+    val warns = tabs.warnings.collect()
+      .groupBy(_.getAs[String]("category"))
+    val warnJson = warns.toSeq.sortBy(_._1).map { case (cat, rows) =>
+      val checks = rows.groupBy(_.getAs[String]("check")).toSeq.sortBy(_._1)
+        .map { case (check, msgs) =>
+          s"${jstr(check)}:[" +
+            msgs.map(m => jstr(m.getAs[String]("message"))).sorted.mkString(",") + "]"
+        }.mkString(",")
+      s"${jstr(cat)}:{$checks}"
+    }.mkString(",")
+
+    val wlEntries = (workload ++ Seq(
+      s""""total_read_tps":$totalReadTps""", s""""total_read_per":$totalReadPer""",
+      s""""total_write_tps":$totalWriteTps""", s""""total_write_per":$totalWritePer"""))
+      .mkString(",")
+    val dsEntries = (ds ++ Seq(s""""total":${jnum(totalSize)}""")).mkString(",")
+    s"""{"cluster":${jstr(tabs.clusterName)},"workload":{$wlEntries},""" +
+      s""""dataset_size":{$dsEntries},""" +
+      s""""missing_data":0,"warnings":{$warnJson}}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(root, outDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tabs = analyze(spark, root)
+    new java.io.File(outDir).mkdirs()
+    Seq(
+      "node_table" -> tabs.nodeTable, "workload" -> tabs.workload,
+      "gc_pauses" -> tabs.gc, "tombstones" -> tabs.tombstones,
+      "threshold_tabs" -> tabs.thresholds, "warnings" -> tabs.warnings,
+      "proxy_histograms" -> tabs.proxyHist
+    ).foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+    Files.writeString(Paths.get(s"$outDir/summary.json"), summaryJson(tabs))
+    spark.stop()
+  }
+}

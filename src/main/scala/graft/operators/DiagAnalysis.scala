@@ -1,0 +1,310 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model._
+
+/** Relational analysis layer over the parsed diag relations (SURVEY.md
+  * §2.2–§2.8 mapped onto the real reference pipelines): workload
+  * aggregation with RF normalization, multi-level GC percentiles,
+  * threshold/guardrail tabs, tombstone dedup, proxy-histogram pivot.
+  *
+  * Scale posture: the only large relation is `TableMetric` (and the log
+  * events); every dimension (RF, node→DC, uptime, schema shape) is tiny
+  * and explicitly `broadcast()`. Aggregations shuffle once on their group
+  * key; ratio-of-total windows run on already-aggregated relations.
+  */
+object DiagAnalysis {
+
+  import Model.SystemKeyspaces
+
+  private def notSystem(ksCol: Column, inclSys: Boolean): Column =
+    if (inclSys) !ksCol.isin("OpsCenter") else !ksCol.isin(SystemKeyspaces: _*)
+
+  private def num(c: Column): Column = c.cast("double")
+
+  /** Node tab (ref explore.py:1521-1563): status ⋈ gossip ⋈ info uptime;
+    * OSS nodes get "OSS Cassandra" + release version (674-712). */
+  def nodeTable(status: Dataset[StatusRow], gossip: Dataset[GossipNode],
+      nodeInfo: DataFrame, ossVer: String): DataFrame = {
+    val st = status.toDF()
+    val go = gossip.toDF().select(col("ip"),
+      when(col("workload") === "", "OSS Cassandra").otherwise(col("workload")).as("workload"),
+      when(col("dseVersion") === "" || col("workload") === "", ossVer)
+        .otherwise(col("dseVersion")).as("version"))
+    val info = nodeInfo.select(col("node_dir"), col("uptime_sec"))
+    // node_dir ↔ ip: dir name with '_'/'-' normalized to '.' (606-608)
+    val dirIp = nodeInfo.select(col("node_dir"),
+      translate(col("node_dir"), "_-", "..").as("ip"))
+    st.join(broadcast(go), Seq("ip"), "left")
+      .join(broadcast(dirIp), Seq("ip"), "left")
+      .join(broadcast(info), Seq("node_dir"), "left")
+      .select(col("dc"), col("ip").as("node"), col("load"), col("tokens"),
+        col("rack"), coalesce(col("uptime_sec"), lit(0L)).as("uptime_sec"),
+        coalesce(col("workload"), lit("OSS Cassandra")).as("workload"),
+        coalesce(col("version"), lit(ossVer)).as("version"))
+      .orderBy("dc", "node")
+  }
+
+  /** Workload + dataset-size aggregation (ref explore.py:907-998,
+    * 1730-1790): per (keyspace, table) —
+    *   reads  = Σ_nodes read_count ÷ rf(dc of node, ks)   [per-DC RF]
+    *   writes = Σ_nodes write_count ÷ total_rf(ks)
+    *   size   = Σ_nodes space_live ÷ total_rf(ks)
+    *   *_tps  = Σ_nodes (normalized count ÷ node uptime)
+    * plus ratio-of-total columns (A5/W1) computed on the aggregate.
+    * Zero/negative counts are dropped before summing (944/967/984);
+    * a missing RF falls back to 1.0 (the `except:` paths).
+    */
+  def workload(metrics: Dataset[TableMetric], rf: Dataset[KeyspaceRf],
+      nodeInfo: DataFrame, inclSys: Boolean = false): DataFrame = {
+    val m = metrics.toDF()
+      .filter(col("keyspace") =!= "" && notSystem(col("keyspace"), inclSys))
+      .filter(!col("isIndex"))
+    val totalRf = rf.toDF().groupBy(col("keyspace"))
+      .agg(sum(col("rf")).as("rf_total"))
+    val dcRf = rf.toDF().select(col("keyspace"), col("dc"), col("rf").as("rf_dc"))
+    val nd = nodeInfo.select(col("node_dir").as("node"), col("dc"),
+      col("uptime_sec"))
+
+    val base = m.filter(col("metric").isin(
+        "Space used (live)", "Local read count", "Local write count"))
+      .withColumn("v", num(col("value")))
+      .filter(col("v") > 0)
+      .join(broadcast(nd), Seq("node"), "left")
+      .join(broadcast(totalRf), Seq("keyspace"), "left")
+      .join(broadcast(dcRf), Seq("keyspace", "dc"), "left")
+      .withColumn("norm", when(col("metric") === "Local read count",
+          col("v") / coalesce(col("rf_dc"), lit(1.0)))
+        .otherwise(col("v") / coalesce(col("rf_total"), lit(1.0))))
+      .withColumn("tps", col("norm") / col("uptime_sec"))
+
+    val agg = base.groupBy(col("keyspace"), col("table")).agg(
+      sum(when(col("metric") === "Local read count", col("norm"))).as("reads"),
+      sum(when(col("metric") === "Local write count", col("norm"))).as("writes"),
+      sum(when(col("metric") === "Space used (live)", col("norm"))).as("size_bytes"),
+      sum(when(col("metric") === "Local read count", col("tps"))).as("read_tps"),
+      sum(when(col("metric") === "Local write count", col("tps"))).as("write_tps"))
+    val w = Window.partitionBy()
+    agg
+      .withColumn("total_reads", sum(col("reads")).over(w))
+      .withColumn("total_writes", sum(col("writes")).over(w))
+      .withColumn("total_rw", col("total_reads") + col("total_writes"))
+      .withColumn("perc_read", col("reads") / col("total_reads"))
+      .withColumn("perc_write", col("writes") / col("total_writes"))
+      .withColumn("read_perc_rw", col("reads") / col("total_rw"))
+      .withColumn("write_perc_rw", col("writes") / col("total_rw"))
+      .orderBy(coalesce(col("reads"), lit(0.0)).desc, col("keyspace"), col("table"))
+  }
+
+  /** Multi-level GC percentile rollup (ref explore.py:332-341, 365-398,
+    * 1072-1077): the same events bucketed at Database → DC → Node via
+    * `rollup`, positional (exact, non-interpolated) percentiles picked
+    * at index round(n·q) clamped to [1,n] — the reference's
+    * `round(n*q)-1` in 1-based form — plus Pauses count, oldest/newest
+    * timestamp, and the timestamp of the max pause (argmax).
+    */
+  def gcPercentiles(gc: Dataset[GcEvent], nodeDc: DataFrame,
+      clusterName: String): DataFrame = {
+    val ev = gc.toDF().join(broadcast(nodeDc), Seq("node"), "left")
+    // explode each event into its three rollup levels (a rollup can't
+    // feed the positional-percentile rank window, so the level column is
+    // materialized explicitly — same 3× row multiplier a rollup pays)
+    val ranked = ev
+      .select(col("dc"), col("node"), col("ts"), col("pauseMs"))
+      .withColumn("lvl", explode(array(
+        struct(lit("Node").as("level"), col("node").as("name")),
+        struct(lit("DC").as("level"), col("dc").as("name")),
+        struct(lit("Database").as("level"), lit(clusterName).as("name")))))
+      .select(col("lvl.level").as("level"), col("lvl.name").as("name"),
+        col("ts"), col("pauseMs"))
+    val byLvl = Window.partitionBy(col("level"), col("name"))
+    val withRank = ranked
+      .withColumn("rn", row_number().over(byLvl.orderBy(col("pauseMs"), col("ts"))))
+      .withColumn("n", count(lit(1)).over(byLvl))
+    def pick(q: Double, nm: String): Column = {
+      val idx = least(greatest(round(col("n") * q), lit(1L)), col("n"))
+      max(when(col("rn") === idx, col("pauseMs"))).as(nm)
+    }
+    withRank.groupBy(col("level"), col("name"), col("n")).agg(
+      min(col("pauseMs")).as("min_ms"),
+      pick(0.50, "p50"), pick(0.75, "p75"), pick(0.90, "p90"),
+      pick(0.95, "p95"), pick(0.98, "p98"), pick(0.99, "p99"),
+      max(col("pauseMs")).as("max_ms"),
+      min(col("ts")).as("oldest"),
+      max(col("ts")).as("newest"),
+      max_by(col("ts"), struct(col("pauseMs"), col("ts"))).as("ts_of_max"))
+      .withColumnRenamed("n", "pauses")
+      .withColumn("level_rank",
+        when(col("level") === "Database", 0).when(col("level") === "DC", 1).otherwise(2))
+      .orderBy("level_rank", "name")
+      .drop("level_rank")
+  }
+
+  /** Tombstone tab (ref explore.py:1069, 1594-1602): sort desc by
+    * tombstone count, dedup on (keyspace, table) keeping the max-count
+    * row (first-wins after sort ≡ max — A11). */
+  def tombstoneTab(ts: Dataset[TombstoneEvent], nodeDc: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("keyspace"), col("table"))
+      .orderBy(col("tombstones").desc, col("node"))
+    ts.toDF().join(broadcast(nodeDc), Seq("node"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .select(col("dc"), col("node"), col("reads"), col("tombstones"),
+        col("keyspace"), col("table"))
+      .orderBy(col("tombstones").desc, col("keyspace"), col("table"))
+  }
+
+  /** One threshold tab spec (ref sheets_data, explore.py:443-450). */
+  final case class TabSpec(name: String, metric: String, threshold: Double,
+      stripMs: Boolean = false, maxPerTable: Boolean = false)
+
+  /** The reference's cfstats-driven tabs, thresholds from [[Thresholds]]. */
+  def tabSpecs(tp: Thresholds): Seq[TabSpec] = Seq(
+    TabSpec("dropped_mutation", "Dropped Mutations", tp.tpDrm.toDouble),
+    TabSpec("num_tables", "Total number of tables", tp.tpTblCnt.toDouble, maxPerTable = true),
+    TabSpec("large_partition", "Compacted partition maximum bytes", tp.tpLparMb * 1e6),
+    TabSpec("sstable_count", "SSTable count", tp.tpSstbl.toDouble, maxPerTable = true),
+    TabSpec("read_latency", "Local read latency", tp.tpRlMs, stripMs = true),
+    TabSpec("write_latency", "Local write latency", tp.tpWlMs, stripMs = true))
+
+  /** Threshold tabs (P3/P4, ref explore.py:1424-1492): filter the metric
+    * relation per spec; `maxPerTable` keeps one representative row per
+    * (ks,tbl) with the max value (the reference's *intended* semantics
+    * of the `extra` flag — its `hasattr` bug makes it last-wins;
+    * SURVEY.md §4 documents implementing the intent). Returns
+    * (tab, node, dc, keyspace, table, value).
+    */
+  def thresholdTabs(metrics: Dataset[TableMetric], nodeDc: DataFrame,
+      specs: Seq[TabSpec], inclSys: Boolean = false): DataFrame = {
+    val m = metrics.toDF()
+      .filter(notSystem(col("keyspace"), inclSys))
+      .join(broadcast(nodeDc), Seq("node"), "left")
+    val perSpec = specs.map { sp =>
+      val vRaw = if (sp.stripMs)
+        num(regexp_replace(col("value"), "\\s*ms\\s*$", ""))
+      else num(col("value"))
+      val base = m.filter(col("metric") === sp.metric)
+        .withColumn("v", vRaw)
+        .filter(col("v") >= sp.threshold)
+        .select(lit(sp.name).as("tab"), col("node"), col("dc"),
+          col("keyspace"), col("table"), col("v").as("value"))
+      if (sp.maxPerTable) {
+        val w = Window.partitionBy(col("keyspace"), col("table"))
+          .orderBy(col("value").desc, col("node"))
+        base.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+      } else base
+    }
+    perSpec.reduce(_.unionByName(_))
+      .orderBy("tab", "keyspace", "table", "node")
+  }
+
+  /** Guardrail warnings (ref explore.py:1085-1119, 1442-1464, 809-838,
+    * 388-389): returns (category, check, message) rows. `***` marks the
+    * hard-guardrail tier (P4). Implements collect-all intent for the
+    * UDF/UDA and column-count warnings (the reference's `.append =` bug
+    * records only the first — SURVEY.md §4).
+    */
+  def guardrailWarnings(spark: SparkSession, schema: Seq[SchemaObject],
+      metrics: Dataset[TableMetric], gcPct: DataFrame, tombstones: Dataset[TombstoneEvent],
+      nodeDc: DataFrame, clusterName: String, tp: Thresholds,
+      inclSys: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val gr = "Astra Guardrails"
+    val dh = "Database Health"
+    val so = spark.createDataset(schema).toDF()
+      .filter(notSystem(col("keyspace"), inclSys))
+
+    // MV / SI / SAI counts per source table (1085-1099)
+    val kindCfg = Seq(
+      ("Materialized Views", tp.grMv, tp.tpMv),
+      ("Index", tp.grSi, tp.tpSi),
+      ("Storage-Attached Index", tp.grSai, tp.tpSai))
+    val perKind = kindCfg.map { case (kind, grLmt, tpLmt) =>
+      val checkName = kind match {
+        case "Index" => "Secondary Indexes"
+        case "Storage-Attached Index" => "Storage-Attached Indexes"
+        case k => k
+      }
+      so.filter(col("kind") === kind && col("srcTable") =!= "")
+        .groupBy(col("srcKeyspace"), col("srcTable"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > tpLmt)
+        .select(lit(gr).as("category"), lit(checkName).as("check"),
+          concat(col("n"), lit(s" $checkName of "), col("srcKeyspace"),
+            lit("."), col("srcTable"),
+            when(col("n") > grLmt, "***").otherwise("")).as("message"))
+    }
+
+    // column count per table (1101-1119)
+    val colCnt = so.filter(col("kind") === "Table")
+      .select(col("keyspace"), col("name"), size(col("fields")).as("n"))
+      .filter(col("n") > tp.tpColCnt)
+      .select(lit(gr).as("category"), lit("Number of Columns").as("check"),
+        concat(col("n"), lit(" columns in "), col("keyspace"), lit("."),
+          col("name"),
+          when(col("n") > tp.grColCnt, "***").otherwise("")).as("message"))
+
+    // UDF / UDA presence (809-838)
+    val udfuda = Seq(("UDA", "User-Defined Aggregate"), ("UDF", "User-Defined Function"))
+      .map { case (kind, checkName) =>
+        so.filter(col("kind") === kind)
+          .select(lit(gr).as("category"), lit(checkName).as("check"),
+            concat(lit(s"$kind "), col("name"), lit(" in "), col("keyspace")).as("message"))
+      }
+
+    // table count (1448-1452): one warning off the max observed value
+    val tblCnt = metrics.toDF().filter(col("metric") === "Total number of tables")
+      .agg(max(num(col("value"))).as("v"))
+      .filter(col("v") >= tp.tpTblCnt)
+      .select(lit(gr).as("category"), lit("Number of Tables").as("check"),
+        concat(col("v").cast("long"), lit(" tables in database"),
+          when(col("v") >= tp.grTblCnt, "***").otherwise("")).as("message"))
+
+    // large partitions per distinct (dc,ks,tbl) (1453-1461)
+    val lpar = metrics.toDF()
+      .filter(col("metric") === "Compacted partition maximum bytes" &&
+        notSystem(col("keyspace"), inclSys))
+      .join(broadcast(nodeDc), Seq("node"), "left")
+      .withColumn("v", num(col("value")))
+      .filter(col("v") >= tp.tpLparMb * 1e6)
+      .groupBy(col("dc"), col("keyspace"), col("table"))
+      .agg(max(col("v")).as("v"))
+      .select(lit(gr).as("category"), lit("Large Partitions").as("check"),
+        concat(lit("Table "), col("dc"), lit("."), col("keyspace"), lit("."),
+          col("table"), lit(" partition size "),
+          (col("v") / 1e6).cast("long"), lit("MB"),
+          when(col("v") >= tp.grLparMb * 1e6, "***").otherwise("")).as("message"))
+
+    // GC P99 at database level (388-389)
+    val gcWarn = gcPct.filter(col("level") === "Database" && col("p99") > tp.tpGcpMs)
+      .select(lit(dh).as("category"), lit("GC Pauses").as("check"),
+        lit(s"P99 GC pause greater than ${tp.tpGcpMs}").as("message"))
+
+    // tombstone presence (358-361)
+    val tsWarn = tombstones.toDF().limit(1)
+      .select(lit(dh).as("category"), lit("Tombstones").as("check"),
+        lit(s"Tombstones greater than ${tp.tpTs} in a single read request").as("message"))
+
+    (perKind ++ udfuda ++ Seq(colCnt, tblCnt, lpar, gcWarn, tsWarn))
+      .reduce(_.unionByName(_))
+      .orderBy("category", "check", "message")
+  }
+
+  /** Proxy-histogram tab (ref explore.py:1500-1509, 1516-1560): one row
+    * per (dc, node) with read/write ms per percentile label. */
+  def proxyHistTab(ph: Dataset[ProxyHistRow], nodeDc: DataFrame): DataFrame = {
+    val labels = Seq("Max", "99%", "98%", "95%", "75%", "50%", "Min")
+    val base = ph.toDF().join(broadcast(nodeDc), Seq("node"), "left")
+    val aggs = labels.flatMap { l =>
+      val safe = l.replace("%", "")
+      Seq(
+        max(when(col("pct") === l, col("readMs"))).as(s"r_$safe"),
+        max(when(col("pct") === l, col("writeMs"))).as(s"w_$safe"))
+    }
+    base.groupBy(col("dc"), col("node")).agg(aggs.head, aggs.tail: _*)
+      .orderBy("dc", "node")
+  }
+}

@@ -1,0 +1,228 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.parse.Parsers
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util.zip.ZipInputStream
+
+/** Spark readers over a diagnostic snapshot tree
+  * `<root>/nodes/<node-dir>/…` (SURVEY.md §2.1; layout per reference
+  * README.md:119-146).
+  *
+  * Reading strategy: each file is read *whole* (`wholetext`) so a file's
+  * lines stay in one task in order — the stateful parsers in graft.parse
+  * then run per file inside `flatMap`/`mapPartitions`, and per-file state
+  * never crosses partitions (SURVEY.md §7.5). Diag files are small (MBs);
+  * skew is bounded. Node identity is recovered from the file path, the
+  * `input_file_name` pattern.
+  *
+  * Discovery (listing node dirs) uses the Hadoop FileSystem API, so the
+  * same code serves file:// and s3a:// roots; listing is driver-side
+  * metadata only — contents flow through executors.
+  */
+object DiagSource {
+
+  /** Node directory names under `<root>/nodes/`. */
+  def nodeDirs(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(root, "nodes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** (nodeDir, content) for every node's `<rel>` file that exists. */
+  def wholeFiles(spark: SparkSession, root: String, rel: String): DataFrame = {
+    import spark.implicits._
+    val paths = nodeDirs(spark, root)
+      .map(n => (n, s"$root/nodes/$n/$rel"))
+      .filter { case (_, p) => exists(spark, p) }
+    if (paths.isEmpty)
+      return spark.emptyDataset[(String, String)].toDF("node_dir", "content")
+    val byPath = paths.map { case (n, p) => (p, n) }.toMap
+    val df = spark.read.option("wholetext", "true")
+      .text(paths.map(_._2): _*)
+      .select(input_file_name().as("path"), col("value").as("content"))
+    val toNode = udf((p: String) => byPath.find { case (k, _) =>
+      p.endsWith(k) || k.endsWith(p.replaceFirst("^file:/+", "/"))
+    }.map(_._2).getOrElse(new Path(p).getParent.getParent.getName))
+    df.select(toNode(col("path")).as("node_dir"), col("content"))
+  }
+
+  /** First node dir (sorted) that has `<rel>`, with content — the
+    * reference's `initial_run` latch (explore.py:631-633, 722-724):
+    * cluster-wide files (status, gossip, schema) are read from one node.
+    */
+  def firstFile(spark: SparkSession, root: String, rel: String): Option[String] =
+    nodeDirs(spark, root).iterator
+      .map(n => s"$root/nodes/$n/$rel")
+      .find(exists(spark, _))
+      .map { p =>
+        spark.read.option("wholetext", "true").text(p)
+          .head().getString(0)
+      }
+
+  // ------------------------------------------------------------ datasets
+
+  /** status rows from the first node that has `nodetool/status`. */
+  def status(spark: SparkSession, root: String): Dataset[StatusRow] = {
+    import spark.implicits._
+    firstFile(spark, root, "nodetool/status") match {
+      case Some(content) =>
+        spark.createDataset(Parsers.parseStatus(content.linesIterator).toSeq)
+      case None => spark.emptyDataset[StatusRow]
+    }
+  }
+
+  /** gossip blocks from the first node that has `nodetool/gossipinfo`. */
+  def gossip(spark: SparkSession, root: String): Dataset[GossipNode] = {
+    import spark.implicits._
+    firstFile(spark, root, "nodetool/gossipinfo") match {
+      case Some(content) => spark.createDataset(Parsers.parseGossip(content.linesIterator))
+      case None => spark.emptyDataset[GossipNode]
+    }
+  }
+
+  /** Cluster name from any node's `describecluster` (explore.py:644-649). */
+  def clusterName(spark: SparkSession, root: String): String =
+    firstFile(spark, root, "nodetool/describecluster")
+      .flatMap(c => Parsers.getParam(c.linesIterator, "Name:", 1))
+      .getOrElse("cluster")
+
+  /** OSS release version from any node's `nodetool/version` (266-271). */
+  def ossVersion(spark: SparkSession, root: String): String =
+    firstFile(spark, root, "nodetool/version")
+      .flatMap(_.linesIterator.toSeq.headOption.map(_.split(":")(1).trim))
+      .getOrElse("OSS")
+
+  /** Per-node uptime seconds + DC from `nodetool/info` (904, 1411-1419).
+    * Small (one row per node) — callers broadcast it. */
+  def nodeInfo(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    wholeFiles(spark, root, "nodetool/info").as[(String, String)]
+      .map { case (node, content) =>
+        val up = Parsers.getParam(content.linesIterator, "Uptime", 3)
+          .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
+        val dc = content.linesIterator.find(_.contains("Data Center"))
+          .map(l => l.split(":")(1).trim).getOrElse("")
+        (node, up, dc)
+      }.toDF("node_dir", "uptime_sec", "dc")
+  }
+
+  /** All nodes' cfstats (falling back to tablestats per node) as the
+    * long-format TableMetric relation — the fact table (S5). */
+  def cfstats(spark: SparkSession, root: String): Dataset[TableMetric] = {
+    import spark.implicits._
+    val cf = wholeFiles(spark, root, "nodetool/cfstats")
+    val haveCf = cf.select("node_dir").as[String].collect().toSet
+    val ts = wholeFiles(spark, root, "nodetool/tablestats")
+      .filter(!col("node_dir").isInCollection(haveCf.toSeq :+ ""))
+    cf.unionByName(ts).as[(String, String)]
+      .flatMap { case (node, content) =>
+        Parsers.parseCfstats(node, content.linesIterator)
+      }
+  }
+
+  /** All nodes' proxyhistograms (S6). */
+  def proxyHist(spark: SparkSession, root: String): Dataset[ProxyHistRow] = {
+    import spark.implicits._
+    wholeFiles(spark, root, "nodetool/proxyhistograms").as[(String, String)]
+      .flatMap { case (node, content) =>
+        Parsers.parseProxyHist(node, content.linesIterator)
+      }
+  }
+
+  /** Schema catalog from the first node's `driver/schema` (S7). Parsed
+    * driver-side (one small file) — the resulting dimensions are tiny
+    * and broadcast by the analysis layer. */
+  def schema(spark: SparkSession, root: String, knownDcs: Seq[String]): Parsers.SchemaCatalog =
+    firstFile(spark, root, "driver/schema")
+      .map(c => Parsers.parseSchema(c.linesIterator, knownDcs))
+      .getOrElse(Parsers.SchemaCatalog(Nil, Nil))
+
+  /** GC + tombstone events from every node's `logs/cassandra/system*`
+    * files (S8–S10), transparently decoding `.zip` members
+    * (explore.py:311-316), plus the `AdditionalLogs/<node>/var/log/
+    * cassandra/system*` side channel (1048-1066).
+    */
+  def logEvents(spark: SparkSession, root: String, tpTs: Long)
+      : (Dataset[GcEvent], Dataset[TombstoneEvent]) = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    // enumerate (node, path, isZip) for all system* log files
+    val files: Seq[(String, String, Boolean)] = nodeDirs(spark, root).flatMap { n =>
+      val dirs = Seq(
+        s"$root/nodes/$n/logs/cassandra",
+        s"$root/AdditionalLogs/$n/var/log/cassandra")
+      dirs.flatMap { d =>
+        val p = new Path(d)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) Nil
+        else fs.listStatus(p).filter(_.isFile).map(_.getPath)
+          .filter(_.getName.split("\\.")(0) == "system")
+          .map(pp => (n, pp.toString, pp.getName.endsWith(".zip"))).toSeq
+      }
+    }
+    if (files.isEmpty)
+      return (spark.emptyDataset[GcEvent], spark.emptyDataset[TombstoneEvent])
+
+    val plain = files.filter(!_._3).map(f => (f._1, f._2))
+    val zipped = files.filter(_._3).map(f => (f._1, f._2))
+
+    val plainEvents: Dataset[(Seq[GcEvent], Seq[TombstoneEvent])] =
+      if (plain.isEmpty) spark.emptyDataset[(Seq[GcEvent], Seq[TombstoneEvent])]
+      else {
+        val byPath = plain.map { case (n, p) => (p, n) }.toMap
+        val toNode = udf((p: String) =>
+          byPath.find { case (k, _) => p.endsWith(k.replaceFirst("^file:", "")) || k.endsWith(p.replaceFirst("^file:/+", "/")) }
+            .map(_._2).getOrElse(""))
+        spark.read.option("wholetext", "true").text(plain.map(_._2): _*)
+          .select(toNode(input_file_name()).as("node"), col("value"))
+          .as[(String, String)]
+          .map { case (node, content) =>
+            val ev = Parsers.parseLog(node, content.linesIterator, tpTs)
+            (ev.gc, ev.tombstones)
+          }
+      }
+
+    val zipEvents: Dataset[(Seq[GcEvent], Seq[TombstoneEvent])] =
+      if (zipped.isEmpty) spark.emptyDataset[(Seq[GcEvent], Seq[TombstoneEvent])]
+      else {
+        val byPath = zipped.map { case (n, p) => (p, n) }.toMap
+        spark.read.format("binaryFile").load(zipped.map(_._2): _*)
+          .select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .map { case (path, bytes) =>
+            val node = byPath.find { case (k, _) =>
+              path.endsWith(k.replaceFirst("^file:", "")) || k.endsWith(path.replaceFirst("^file:/+", "/"))
+            }.map(_._2).getOrElse("")
+            // first zip member only, like the reference (explore.py:313)
+            val zis = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+            val entry = zis.getNextEntry
+            if (entry == null) (Seq.empty[GcEvent], Seq.empty[TombstoneEvent])
+            else {
+              val br = new BufferedReader(
+                new InputStreamReader(zis, StandardCharsets.UTF_8))
+              val lines = Iterator.continually(br.readLine()).takeWhile(_ != null)
+              val ev = Parsers.parseLog(node, lines, tpTs)
+              (ev.gc, ev.tombstones)
+            }
+          }
+      }
+
+    // persisted: both event streams fan out of one parse pass
+    // (the reference re-reads the file instead — SURVEY.md §4)
+    val all = plainEvents.union(zipEvents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (all.flatMap(_._1), all.flatMap(_._2))
+  }
+}

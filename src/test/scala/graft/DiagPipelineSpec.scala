@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+
+/** End-to-end pipeline test over the diag_mini fixture (SURVEY.md §5.3):
+  * parse → analyze → summary, asserting hand-computed golden values.
+  *
+  * Golden arithmetic (fixture constants): ks1 rf = dc1:3 + dc2:2 (Σ5);
+  * ks2 SimpleStrategy rf 3 per DC (Σ6); per-node counts identical across
+  * the 4 nodes (uptime 86400 in dc1, 43200 in dc2).
+  */
+class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val tabs = DiagReport.analyze(spark, "src/test/resources/diag_mini")
+
+  test("cluster name discovered") {
+    assert(tabs.clusterName == "TestCluster")
+  }
+
+  test("workload: RF-normalized sums + ratio-of-total") {
+    val wl = tabs.workload.collect().map(r =>
+      (r.getAs[String]("keyspace"), r.getAs[String]("table")) -> r).toMap
+    val users = wl(("ks1", "users"))
+    // reads: 12000/3 ×2 nodes + 12000/2 ×2 nodes
+    assert(math.abs(users.getAs[Double]("reads") - 20000.0) < 1e-6)
+    // writes: 6000/5 ×4 ; size: 2e9/5 ×4
+    assert(math.abs(users.getAs[Double]("writes") - 4800.0) < 1e-6)
+    assert(math.abs(users.getAs[Double]("size_bytes") - 1.6e9) < 1e-3)
+    val orders = wl(("ks1", "orders"))
+    assert(math.abs(orders.getAs[Double]("reads") - 4000.0) < 1e-6)
+    assert(math.abs(orders.getAs[Double]("writes") - 7200.0) < 1e-6)
+    val legacy = wl(("ks2", "legacy_cf"))
+    assert(math.abs(legacy.getAs[Double]("reads") - 80.0) < 1e-6)
+    assert(math.abs(legacy.getAs[Double]("writes") - 48.0) < 1e-6)
+    // system keyspace + index tables excluded
+    assert(!wl.keySet.exists(_._1 == "system"))
+    assert(!wl.keySet.exists(_._2 == "users_by_email_idx"))
+    // ratio-of-total: users reads / 24080
+    assert(math.abs(users.getAs[Double]("perc_read") - 20000.0 / 24080.0) < 1e-9)
+    // tps: (12000/3)/86400 ×2 + (12000/2)/43200 ×2
+    val expTps = 4000.0 / 86400 * 2 + 6000.0 / 43200 * 2
+    assert(math.abs(users.getAs[Double]("read_tps") - expTps) < 1e-9)
+    // global sort: users (most reads) first
+    assert(tabs.workload.head().getAs[String]("table") == "users")
+  }
+
+  test("gc percentiles: 3-level rollup, positional picks, zip + AdditionalLogs") {
+    val gc = tabs.gc.collect().map(r =>
+      (r.getAs[String]("level"), r.getAs[String]("name")) -> r).toMap
+    // node 10_0_0_1 sees plain(210,450) + zip(300,600) + AdditionalLogs(1000)
+    val n1 = gc(("Node", "10_0_0_1"))
+    assert(n1.getAs[Long]("pauses") == 5)
+    assert(n1.getAs[Int]("min_ms") == 210 && n1.getAs[Int]("max_ms") == 1000)
+    assert(n1.getAs[Int]("p50") == 450) // idx=round_half_up(5·0.5)=3 of [210,300,450,600,1000]
+    assert(n1.getAs[Int]("p99") == 1000)
+    val n2 = gc(("Node", "10.0.0.2"))
+    assert(n2.getAs[Long]("pauses") == 1 && n2.getAs[Int]("p50") == 100)
+    val dc1 = gc(("DC", "dc1"))
+    assert(dc1.getAs[Long]("pauses") == 6)
+    assert(dc1.getAs[Int]("p50") == 300) // idx=3 of [100,210,300,450,600,1000]
+    val db = gc(("Database", "TestCluster"))
+    assert(db.getAs[Long]("pauses") == 6 && db.getAs[Int]("p99") == 1000)
+    assert(db.getAs[java.sql.Timestamp]("ts_of_max").toString.startsWith("2023-03-02 08:00:00"))
+    assert(db.getAs[java.sql.Timestamp]("oldest").toString.startsWith("2023-02-28 09:00:00"))
+    assert(!gc.contains(("DC", "dc2"))) // no events in dc2
+  }
+
+  test("tombstones: sorted desc, dedup keeps max per (ks,tbl), gate applied") {
+    val ts = tabs.tombstones.collect()
+    assert(ts.map(r => (r.getAs[String]("keyspace"), r.getAs[String]("table"),
+      r.getAs[Long]("tombstones"))).toSeq ==
+      Seq(("ks2", "legacy_cf", 5000L), ("ks1", "users", 2000L)))
+  }
+
+  test("threshold tabs: per-spec filters, ms strip, max-per-table collapse") {
+    val th = tabs.thresholds.collect()
+      .groupBy(_.getAs[String]("tab")).view.mapValues(_.length).toMap
+    assert(th == Map(
+      "dropped_mutation" -> 4,   // users 200000 on each node
+      "num_tables" -> 1,         // max-per-table collapse
+      "large_partition" -> 8,    // users+orders × 4 nodes
+      "sstable_count" -> 1,      // users 25, collapsed
+      "read_latency" -> 4))      // users 150.5ms (strip "ms")
+    val rl = tabs.thresholds.filter("tab = 'read_latency'").head()
+    assert(math.abs(rl.getAs[Double]("value") - 150.5) < 1e-9)
+  }
+
+  test("guardrail warnings: all categories, *** tier") {
+    val msgs = tabs.warnings.collect()
+      .map(r => (r.getAs[String]("check"), r.getAs[String]("message"))).toSet
+    assert(msgs.contains(("Materialized Views", "3 Materialized Views of ks1.users***")))
+    assert(msgs.contains(("Secondary Indexes", "2 Secondary Indexes of ks1.users***")))
+    assert(msgs.contains(("Number of Columns", "51 columns in ks2.legacy_cf")))
+    assert(msgs.contains(("Number of Tables", "160 tables in database")))
+    assert(msgs.contains(("GC Pauses", "P99 GC pause greater than 800")))
+    assert(msgs.contains(("Tombstones",
+      "Tombstones greater than 1000 in a single read request")))
+    assert(msgs.exists { case (c, m) =>
+      c == "Large Partitions" && m.contains("ks1.users") && m.endsWith("***") })
+    assert(msgs.exists { case (c, m) =>
+      c == "Large Partitions" && m.contains("ks1.orders") && !m.endsWith("***") })
+    assert(msgs.count { case (c, _) => c == "User-Defined Function" } == 2)
+    assert(msgs.count { case (c, _) => c == "User-Defined Aggregate" } == 1)
+    // no SAI warning: 1 SAI ≤ tp 8
+    assert(!msgs.exists(_._1 == "Storage-Attached Indexes"))
+  }
+
+  test("node table: status ⋈ gossip ⋈ uptime; OSS/DSE versions") {
+    val nt = tabs.nodeTable.collect().map(r => r.getAs[String]("node") -> r).toMap
+    assert(nt.size == 5)
+    val n1 = nt("10.0.0.1")
+    assert(n1.getAs[String]("workload") == "OSS Cassandra")
+    assert(n1.getAs[String]("version") == "4.0.11")
+    assert(n1.getAs[Long]("uptime_sec") == 86400L)
+    assert(nt("10.0.0.3").getAs[String]("workload") == "DSE Core")
+    assert(nt("10.0.0.3").getAs[String]("version") == "DSE pre 5.0")
+    assert(nt("10.0.0.4").getAs[String]("workload") == "Search + Graph")
+    assert(nt("10.0.0.4").getAs[String]("version") == "6.8.25")
+    // down node 10.0.0.9 has no diag dir: defaults
+    assert(nt("10.0.0.9").getAs[Long]("uptime_sec") == 0L)
+  }
+
+  test("proxy histograms: pivoted per (dc, node), µs→ms") {
+    val ph = tabs.proxyHist.collect()
+    assert(ph.length == 4)
+    val r = ph.find(_.getAs[String]("node") == "10_0_0_1").get
+    assert(r.getAs[String]("dc") == "dc1")
+    assert(math.abs(r.getAs[Double]("r_50") - 1.31072) < 1e-9)
+    assert(math.abs(r.getAs[Double]("w_Max") - 17.43692) < 1e-9)
+  }
+
+  test("summary.json: valid JSON, reference keys, totals") {
+    val json = DiagReport.summaryJson(tabs)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(json)
+    assert(tree.get("cluster").asText() == "TestCluster")
+    assert(tree.get("dataset_size").get("total").asDouble() == 1.6e9 + 8e8 + 2e8)
+    assert(tree.get("workload").get("ks1").get("users").get("read")
+      .get("read_req").asDouble() == 20000.0)
+    assert(tree.get("warnings").get("Astra Guardrails").get("Materialized Views")
+      .get(0).asText().endsWith("***"))
+    assert(tree.get("missing_data").asInt() == 0)
+  }
+}
