@@ -258,21 +258,20 @@ object Dedup {
     * Also emits 4 × 15-bit chunks (the banding key for Hamming search).
     */
   private def simhashSig(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-      .distinct()
-      .withColumn("th", h60(col("w")))
-    val bits = toks
-      .select(col("doc_id"), col("th"), explode(sequence(lit(0), lit(59))).as("bit"))
-      .withColumn("contrib",
-        when(expr("(th >> bit) & 1") === 1, lit(1)).otherwise(lit(-1)))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("contrib")).as("sm"))
-      .withColumn("bitval",
-        when(col("sm") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-          .otherwise(lit(0L)))
-    val sig = bits.groupBy(col("doc_id")).agg(sum(col("bitval")).as("simhash"))
+    // Entirely map-side, no explode/shuffle: distinct-token hashes as an
+    // array column (md5-based, portable), then the native codegen'd
+    // simhash60 kernel (graft.functions.SimHash60) folds the token×60-bit
+    // majority vote in one compiled loop per row — the naive
+    // (doc × token × bit) explode is a 60× row multiplier that shuffles
+    // the whole corpus, and the higher-order-function form evaluates
+    // interpreted lambdas per (token × bit).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sig = docs.select(col("doc_id"),
+        expr("""transform(
+                  array_distinct(split(lower(trim(text)), '\\s+')),
+                  w -> CAST(conv(substring(md5(CAST(w AS BINARY)), 1, 15), 16, 10) AS BIGINT))
+             """).as("hs"))
+      .select(col("doc_id"), expr("simhash60(hs)").as("simhash"))
     (0 to 3).foldLeft(sig) { (df, j) =>
       df.withColumn(s"c$j", expr(s"(simhash >> ${15 * j}) & 32767"))
     }
@@ -348,24 +347,21 @@ object Dedup {
     * Cosine = decimal-exact dot / (sqrt(norm1)·sqrt(norm2)); top 20 pairs.
     */
   def dd07(s: SparkSession, dir: String): DataFrame = {
-    val el = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("pos", "x")))
-      .withColumn("x", col("x").cast("double"))
-    val nrm = el.groupBy(col("vec_id"))
-      .agg(sum(gridL(col("x") * col("x"))).as("n2"))
-    val dot = el.as("a").join(el.as("b"),
-        col("a.label") === col("b.label") && col("a.pos") === col("b.pos") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
-      .agg(sum(gridL(col("a.x") * col("b.x"))).as("dot"))
-    dot
-      .join(nrm.as("q1"), col("v1") === col("q1.vec_id"))
-      .join(nrm.as("q2"), col("v2") === col("q2.vec_id"))
+    // array-carrying self-join on the blocking key + the native codegen'd
+    // grid_dot expression: no 64× posexplode fan-out, the pair join moves
+    // whole vectors once and scores inside one whole-stage-codegen loop
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .withColumn("n2", call_function("grid_dot", col("embedding"), col("embedding")))
+      .select(col("vec_id"), col("label"), col("embedding"), col("n2"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot",
+        call_function("grid_dot", col("a.embedding"), col("b.embedding")))
       .withColumn("cosine",
         col("dot").cast("double") /
-          (sqrt(col("q1.n2").cast("double")) * sqrt(col("q2.n2").cast("double"))))
-      .select(col("v1"), col("v2"), col("cosine"))
+          (sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double"))))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("cosine"))
       .orderBy(col("cosine").desc, col("v1"), col("v2"))
       .limit(20)
   }

@@ -24,17 +24,24 @@ import graft.{Q, Tables}
   */
 object Similarity {
 
-  /** Integer-grid dot product of two float-array columns (order-safe). */
+  /** Integer-grid dot product via the native codegen'd expression
+    * (graft.functions.GridDot) — the fused fast path. */
   private def dotL(a: Column, b: Column): Column =
+    call_function("grid_dot", a, b)
+
+  /** Integer-grid squared norm: grid_dot of the array with itself. */
+  private def normL(a: Column): Column = call_function("grid_dot", a, a)
+
+  /** Reference fold implementation of the same grid dot product, kept for
+    * the equivalence spec: higher-order functions only, no custom
+    * expression. (zip_with + aggregate — allocates the product array and
+    * interprets the lambda per element; measurably slower than GridDot.)
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         round(x.cast("double") * y.cast("double") * 1e9).cast("long")),
       lit(0L), (acc, v) => acc + v)
-
-  /** Integer-grid squared norm of a float-array column. */
-  private def normL(a: Column): Column =
-    aggregate(a, lit(0L),
-      (acc, x) => acc + round(x.cast("double") * x.cast("double") * 1e9).cast("long"))
 
   private def cosine(dot: Column, n1: Column, n2: Column): Column =
     dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
@@ -56,6 +63,7 @@ object Similarity {
     * the per-query row_number window (10 partitions' worth of rows).
     */
   def ss01(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .filter(col("query_id") < 10)
@@ -96,6 +104,7 @@ object Similarity {
     * 1/cells of the data is scored per query.
     */
   def ss02(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val el = e.select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -181,6 +190,7 @@ object Similarity {
     * key: candidate generation is an equi-join, never a cross product.
     */
   def ss03(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val el = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .withColumn("x", col("x").cast("double"))

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twin of the batch event pipelines (SURVEY.md
+  * §2.9, §7.3 step 5): the reference's log-derived GC/tombstone relations
+  * are event streams in disguise — event-timestamped, per-node arrival,
+  * out of order across nodes. This module gives them true incremental
+  * semantics: watermarked tumbling windows for the rollup aggregates and
+  * a custom keyed state operator for running positional percentiles
+  * (the one place reference semantics need custom streaming state —
+  * built-in aggs can't do exact positional picks incrementally).
+  *
+  * Scale posture: state is keyed by (entity, window) so per-key state is
+  * bounded by the window's event count; the watermark evicts closed
+  * windows. At 100 TB/day the key space (dc/node/hour) stays small even
+  * when the event volume doesn't.
+  */
+object EventStreams {
+
+  /** Watermarked hourly rollup — the streaming form of the batch q19 /
+    * GC A6-A8 aggregates: count, sum, min/max per (event_type, hour).
+    * 10-minute watermark tolerates cross-node arrival skew; late rows
+    * beyond it are dropped (no reference semantics to preserve —
+    * SURVEY.md §2.9).
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"), col("min_value"), col("max_value"))
+
+  /** Snapshot of one key's running percentiles. */
+  final case class PctState(values: Vector[Double])
+
+  final case class PctUpdate(
+      key: String, n: Long, min: Double, p50: Double, p95: Double,
+      p99: Double, max: Double)
+
+  /** Exact positional percentile of a sorted vector — the reference's
+    * round(n·q) pick, 1-based clamped (explore.py:365-398). */
+  def pick(sorted: Vector[Double], q: Double): Double = {
+    val n = sorted.length
+    val idx = math.min(math.max(math.round(n * q), 1L), n.toLong).toInt
+    sorted(idx - 1)
+  }
+
+  /** Per-key running exact percentiles via flatMapGroupsWithState:
+    * each micro-batch folds new values into the key's sorted state and
+    * emits an updated percentile row.
+    *
+    * Exactness costs O(values) state per key — the same trade the batch
+    * positional percentile makes; keys MUST be bounded entities
+    * (dc/node/type), not high-cardinality ids. NoTimeout is deliberate:
+    * a ProcessingTimeTimeout makes the engine fire continuous no-data
+    * "cleaning up state" batches (observed livelock under
+    * processAllAvailable); with bounded keys, state is bounded by the
+    * event count per entity and eviction belongs to the deployment
+    * (query restart / state TTL config), not the operator.
+    */
+  def runningPercentiles(events: Dataset[(String, Double)])
+      : Dataset[PctUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[PctState, PctUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[PctState]) =>
+          val prev = state.getOption.map(_.values).getOrElse(Vector.empty)
+          val merged = (prev ++ rows.map(_._2)).sorted
+          state.update(PctState(merged))
+          if (merged.isEmpty) Iterator.empty
+          else Iterator.single(PctUpdate(
+            key, merged.length.toLong, merged.head,
+            pick(merged, 0.50), pick(merged, 0.95), pick(merged, 0.99),
+            merged.last))
+      }
+  }
+
+  /** File-source entry: stream a parquet events directory with the batch
+    * schema (TESTDATA events) into [[hourlyRollup]]. */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    hourlyRollup(spark.readStream.schema(schema).parquet(dir))
+  }
+}

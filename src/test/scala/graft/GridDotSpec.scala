@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.operators.Similarity
+
+/** GridDot native expression: equals the higher-order-function fold on
+  * arbitrary float vectors, in both codegen and interpreted paths. */
+class GridDotSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val _ = GraftFunctions.register(spark)
+
+  private def viaSpark(a: Seq[Float], b: Seq[Float], codegen: Boolean): (Long, Long) = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+    try {
+      val df = Seq((a, b)).toDF("a", "b")
+        .select(
+          call_function("grid_dot", col("a"), col("b")).as("native"),
+          Similarity.dotFold(col("a"), col("b")).as("fold"))
+      val r = df.head()
+      (r.getLong(0), r.getLong(1))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("matches the fold implementation on hand cases (codegen on/off)") {
+    val cases = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),       // 32·1e9
+      (Seq(-1.5f, 0.25f), Seq(2.0f, -8.0f)),                  // negatives
+      (Seq.empty[Float], Seq.empty[Float]),                   // empty
+      (Seq(0.1f, 0.2f), Seq(0.3f, 0.7f)))                     // inexact floats
+    for ((a, b) <- cases; cg <- Seq(true, false)) {
+      val (native, fold) = viaSpark(a, b, cg)
+      assert(native == fold, s"a=$a b=$b codegen=$cg")
+    }
+  }
+
+  test("property: native == fold for random vectors") {
+    val genVec = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
+    (0 until 30).foreach { i =>
+      val a = genVec.apply(Gen.Parameters.default, Seed(i * 2L)).get
+      val b = genVec.apply(Gen.Parameters.default, Seed(i * 2L + 1)).get
+      val (native, fold) = viaSpark(a, b, codegen = true)
+      assert(native == fold, s"seed=$i")
+    }
+  }
+
+  test("self dot = grid squared norm, non-negative") {
+    val (native, _) = viaSpark(Seq(0.5f, -0.5f, 2.0f), Seq(0.5f, -0.5f, 2.0f), codegen = true)
+    assert(native == 250000000L + 250000000L + 4000000000L)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+import java.sql.Timestamp
+
+/** Streaming semantics tests with MemoryStream: windowed rollup equals
+  * its batch twin; watermark drops late data; stateful percentiles match
+  * the positional batch definition across micro-batches. */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourly rollup matches the batch computation on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts("2023-03-01 10:05:00"), "click", 1.0),
+      (ts("2023-03-01 10:55:00"), "click", 3.0),
+      (ts("2023-03-01 10:30:00"), "view", 5.0),
+      (ts("2023-03-01 11:10:00"), "click", 7.0))
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.hourlyRollup(mem.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("roll").outputMode("update").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val got = spark.table("roll")
+      .select("hour_start", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    q.stop()
+    val exp = spark.createDataset(rows).toDF("ts", "event_type", "value")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == exp)
+    assert(got.contains((ts("2023-03-01 10:00:00"), "click", 2L, 4.0)))
+  }
+
+  test("watermark drops events later than 10 minutes behind the max") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.hourlyRollup(mem.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("wm").outputMode("append").start()
+    // batch 1 advances the watermark to 11:50
+    mem.addData((ts("2023-03-01 10:10:00"), "click", 1.0))
+    q.processAllAvailable()
+    mem.addData((ts("2023-03-01 12:00:00"), "click", 2.0))
+    q.processAllAvailable()
+    // 10:xx window is now closed (watermark 11:50) → this late row is dropped
+    mem.addData((ts("2023-03-01 10:20:00"), "click", 100.0))
+    q.processAllAvailable()
+    mem.addData((ts("2023-03-01 13:30:00"), "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val hour10 = spark.table("wm")
+      .filter(col("hour_start") === ts("2023-03-01 10:00:00")).collect()
+    assert(hour10.length == 1)
+    assert(hour10.head.getAs[Long]("n") == 1L) // late 100.0 row not counted
+  }
+
+  test("running percentiles: positional picks evolve across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val q = EventStreams.runningPercentiles(mem.toDS())
+      .writeStream.format("memory").queryName("pct").outputMode("update").start()
+    mem.addData(("gc", 100.0), ("gc", 300.0), ("gc", 200.0))
+    q.processAllAvailable()
+    mem.addData(("gc", 400.0), ("gc", 500.0), ("other", 42.0))
+    q.processAllAvailable()
+    q.stop()
+    val updates = spark.table("pct").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(6)))
+    // first batch: n=3 over [100,200,300] → p50 idx round(1.5)=2 → 200
+    assert(updates.contains(("gc", 3L, 200.0, 300.0)))
+    // second batch folds to [100..500]: p50 idx round(2.5)=3 → 300, max 500
+    assert(updates.contains(("gc", 5L, 300.0, 500.0)))
+    assert(updates.contains(("other", 1L, 42.0, 42.0)))
+  }
+
+  test("pick: positional percentile definition (round, clamp, 1-based)") {
+    val v = Vector(1.0, 2.0, 3.0, 4.0, 5.0)
+    assert(EventStreams.pick(v, 0.5) == 3.0)   // round(2.5)=3 (half-up)
+    assert(EventStreams.pick(v, 0.99) == 5.0)  // round(4.95)=5
+    assert(EventStreams.pick(Vector(9.0), 0.01) == 9.0) // clamp to 1
+  }
+}
