@@ -114,17 +114,8 @@ object DiagReport {
       s""""missing_data":0,"warnings":{$warnJson}}"""
   }
 
-  def main(args: Array[String]): Unit = {
-    val Array(root, outDir) = args.take(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val tabs = analyze(spark, root)
+  /** Write one cluster's tabs + summary under `outDir`. */
+  def write(tabs: Tabs, outDir: String): Unit = {
     new java.io.File(outDir).mkdirs()
     Seq(
       "node_table" -> tabs.nodeTable, "workload" -> tabs.workload,
@@ -135,6 +126,29 @@ object DiagReport {
       df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     }
     Files.writeString(Paths.get(s"$outDir/summary.json"), summaryJson(tabs))
+  }
+
+  /** usage: DiagReport <diagRoot> [<diagRoot2> …] <outDir> — multiple
+    * roots mirror the reference's repeated `-p` (E2, explore.py:526):
+    * each cluster is analyzed with fresh state; output lands under
+    * `<outDir>/<clusterName>` when more than one root is given. */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: DiagReport <diagRoot>... <outDir>")
+    val roots = args.dropRight(1)
+    val outDir = args.last
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    roots.foreach { root =>
+      val tabs = analyze(spark, root)
+      val dest = if (roots.length == 1) outDir else s"$outDir/${tabs.clusterName}"
+      write(tabs, dest)
+    }
     spark.stop()
   }
 }

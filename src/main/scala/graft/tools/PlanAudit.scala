@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted plans for a few representative queries to
+  * audit pushdown / pruning / join strategy (run via tools symlink). */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    for (name <- args) {
+      println(s"========== $name ==========")
+      SparkEntry.queries(name)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
