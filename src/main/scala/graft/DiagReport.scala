@@ -109,8 +109,25 @@ object DiagReport {
       s""""total_write_tps":$totalWriteTps""", s""""total_write_per":$totalWritePer"""))
       .mkString(",")
     val dsEntries = (ds ++ Seq(s""""total":${jnum(totalSize)}""")).mkString(",")
+
+    // Astra Metrics tab (ref explore.py:1801-1826): the reference computes
+    // these client-side as Excel formulas in the sink — TPS→TPMo via
+    // ×60·60·24·365.25/12, bytes→GB via /1e9, AVERAGE(uptime). Moved into
+    // the engine (SURVEY.md §7.5) so summary.json carries them.
+    val secPerMonth = 60.0 * 60 * 24 * 365.25 / 12
+    val uptimes = tabs.nodeTable.collect().map(_.getAs[Long]("uptime_sec"))
+    val avgUptime = if (uptimes.isEmpty) 0.0 else uptimes.sum.toDouble / uptimes.length
+    val metrics = Seq(
+      s""""read_tps":$totalReadTps""",
+      s""""read_tpmo":${totalReadTps * secPerMonth}""",
+      s""""write_tps":$totalWriteTps""",
+      s""""write_tpmo":${totalWriteTps * secPerMonth}""",
+      s""""data_size_gb":${totalSize / 1e9}""",
+      s""""avg_uptime_sec":$avgUptime""").mkString(",")
+
     s"""{"cluster":${jstr(tabs.clusterName)},"workload":{$wlEntries},""" +
       s""""dataset_size":{$dsEntries},""" +
+      s""""astra_metrics":{$metrics},""" +
       s""""missing_data":0,"warnings":{$warnJson}}"""
   }
 

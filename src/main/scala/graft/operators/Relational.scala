@@ -504,6 +504,63 @@ object Relational {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q20
+  /** 3-level rollup of positional percentiles + argmax timestamps — the
+    * oracle twin of DiagAnalysis.gcPercentiles (A6–A9 at Database → DC →
+    * Node, ref explore.py:332-341, 365-398, 1072-1077). Levels are
+    * materialized by exploding each event into its level rows (a rollup
+    * can't feed the rank window), then one rank window per (level, name).
+    */
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("grp", col("event_type"))
+      .withColumn("sub", concat(col("event_type"), lit("#"), (col("user_id") % 4).cast("string")))
+    val lvls = ev.select(col("ts"), col("value"), col("event_id"),
+      explode(array(
+        struct(lit("all").as("level"), lit("__ALL__").as("name")),
+        struct(lit("grp").as("level"), col("grp").as("name")),
+        struct(lit("sub").as("level"), col("sub").as("name")))).as("l"))
+      .select(col("l.level").as("level"), col("l.name").as("name"),
+        col("ts"), col("value"), col("event_id"))
+    val w = Window.partitionBy(col("level"), col("name"))
+    val ranked = lvls
+      .withColumn("rn", row_number().over(w.orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+    def pick(q: Double, nm: String): Column = {
+      val idx = least(greatest(floor(col("n") * q + 0.5), lit(1L)), col("n"))
+      max(when(col("rn") === idx, col("value"))).as(nm)
+    }
+    ranked.groupBy(col("level"), col("name"), col("n")).agg(
+      min(col("value")).as("min_v"),
+      pick(0.50, "p50"), pick(0.95, "p95"), pick(0.99, "p99"),
+      max(col("value")).as("max_v"),
+      min(col("ts")).as("oldest"), max(col("ts")).as("newest"),
+      max_by(col("ts"), col("value") * 1e8 + col("event_id")).as("ts_of_max"))
+      .withColumnRenamed("n", "pauses")
+      .orderBy("level", "name")
+  }
+
+  val q20Sql: String = {
+    def pick(q: String, name: String) =
+      s"MAX(CASE WHEN rn = LEAST(GREATEST(CAST(FLOOR(n * $q + 0.5) AS BIGINT), 1), n) THEN value END) AS $name"
+    s"""WITH lvls AS (
+       |  SELECT 'all' AS level, '__ALL__' AS name, ts, value, event_id FROM events
+       |  UNION ALL
+       |  SELECT 'grp', event_type, ts, value, event_id FROM events
+       |  UNION ALL
+       |  SELECT 'sub', event_type || '#' || CAST(user_id % 4 AS VARCHAR), ts, value, event_id FROM events),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY level, name ORDER BY value, event_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY level, name) AS n
+       |  FROM lvls)
+       |SELECT level, name, n AS pauses, MIN(value) AS min_v,
+       |       ${pick("0.50", "p50")}, ${pick("0.95", "p95")}, ${pick("0.99", "p99")},
+       |       MAX(value) AS max_v,
+       |       MIN(ts) AS oldest, MAX(ts) AS newest,
+       |       MAX_BY(ts, value * 1e8 + event_id) AS ts_of_max
+       |FROM ranked GROUP BY level, name, n ORDER BY level, name""".stripMargin
+  }
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("q01_workload_share", "A1–A5/W1/O1 grouped sums + ratio-of-total", q01, Some(q01Sql)),
@@ -525,5 +582,6 @@ object Relational {
     Q("q17_shape_counts", "A14 count-distinct shape counts", q17, Some(q17Sql)),
     Q("q18_semi_anti_join", "U3 semi/anti join duals", q18, Some(q18Sql)),
     Q("q19_window_hourly", "§2.9 tumbling event-time window (batch twin)", q19, Some(q19Sql)),
+    Q("q20_rollup_percentiles_3level", "A6–A9 3-level percentile rollup + argmax", q20, Some(q20Sql)),
   )
 }

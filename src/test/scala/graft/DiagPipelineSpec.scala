@@ -141,5 +141,12 @@ class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(tree.get("warnings").get("Astra Guardrails").get("Materialized Views")
       .get(0).asText().endsWith("***"))
     assert(tree.get("missing_data").asInt() == 0)
+    // Astra Metrics (engine-computed, reference had them as Excel formulas)
+    val am = tree.get("astra_metrics")
+    assert(am.get("data_size_gb").asDouble() == 2.6)
+    val tps = am.get("read_tps").asDouble()
+    assert(math.abs(am.get("read_tpmo").asDouble() - tps * 60 * 60 * 24 * 365.25 / 12) < 1e-6)
+    // 5 status nodes: 86400×2 + 43200×2 + 0 (down node) over 5
+    assert(am.get("avg_uptime_sec").asDouble() == (86400.0 * 2 + 43200 * 2) / 5)
   }
 }
