@@ -145,14 +145,46 @@ object DiagReport {
     Files.writeString(Paths.get(s"$outDir/summary.json"), summaryJson(tabs))
   }
 
-  /** usage: DiagReport <diagRoot> [<diagRoot2> …] <outDir> — multiple
-    * roots mirror the reference's repeated `-p` (E2, explore.py:526):
-    * each cluster is analyzed with fresh state; output lands under
-    * `<outDir>/<clusterName>` when more than one root is given. */
+  /** Parse the reference's `-tp_*` threshold flags (explore.py:140-171),
+    * same names and guardrail-clamping behavior; unknown args are roots. */
+  def parseArgs(args: Seq[String]): (Seq[String], Thresholds) = {
+    var tp = Thresholds()
+    val roots = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      def v: Int = { i += 1; args(i).toInt }
+      a match {
+        case "-tp_rl" => tp = tp.copy(tpRlMs = v.toDouble)
+        case "-tp_wl" => tp = tp.copy(tpWlMs = v.toDouble)
+        case "-tp_sstbl" => tp = tp.copy(tpSstbl = v)
+        case "-tp_drm" => tp = tp.copy(tpDrm = v.toLong)
+        case "-tp_ts" => tp = tp.copy(tpTs = v.toLong)
+        case "-tp_gcp" => tp = tp.copy(tpGcpMs = v)
+        // clamped by their guardrail ceilings, like the reference
+        case "-tp_lpar" => { val x = v; if (x <= tp.grLparMb) tp = tp.copy(tpLparMb = x) }
+        case "-tp_tblcnt" => { val x = v; if (x <= tp.grTblCnt) tp = tp.copy(tpTblCnt = x) }
+        case "-tp_colcnt" => { val x = v; if (x <= tp.grColCnt) tp = tp.copy(tpColCnt = x) }
+        case "-tp_mv" => { val x = v; if (x <= tp.grMv) tp = tp.copy(tpMv = x) }
+        case "-tp_si" => { val x = v; if (x <= tp.grSi) tp = tp.copy(tpSi = x) }
+        case "-tp_sai" => { val x = v; if (x <= tp.grSai) tp = tp.copy(tpSai = x) }
+        case other => roots += other
+      }
+      i += 1
+    }
+    (roots.toSeq, tp)
+  }
+
+  /** usage: DiagReport [-tp_* <n> …] <diagRoot> [<diagRoot2> …] <outDir> —
+    * multiple roots mirror the reference's repeated `-p` (E2,
+    * explore.py:526): each cluster is analyzed with fresh state; output
+    * lands under `<outDir>/<clusterName>` when more than one root is
+    * given. */
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: DiagReport <diagRoot>... <outDir>")
-    val roots = args.dropRight(1)
-    val outDir = args.last
+    val (pos, tp) = parseArgs(args.toSeq)
+    require(pos.length >= 2, "usage: DiagReport [-tp_* n ...] <diagRoot>... <outDir>")
+    val roots = pos.dropRight(1)
+    val outDir = pos.last
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -162,7 +194,7 @@ object DiagReport {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     roots.foreach { root =>
-      val tabs = analyze(spark, root)
+      val tabs = analyze(spark, root, tp)
       val dest = if (roots.length == 1) outDir else s"$outDir/${tabs.clusterName}"
       write(tabs, dest)
     }
