@@ -273,25 +273,32 @@ object Parsers {
     * 'lives rows and' (a typo that never matches real logs); the intent
     * 'live rows and' is implemented.
     */
+  /** One GC pause from a single log line, if it is a GCInspector line —
+    * GC lines are self-contained, so this also serves line-at-a-time
+    * streaming ingest (graft.streaming.EventStreams.gcLogStream). */
+  def parseGcLine(node: String, line: String): Option[GcEvent] = {
+    if (!line.contains("GCInspector.java:")) return None
+    val toks = line.split("\\s+").filter(_.nonEmpty)
+    val datePos = if (toks.length > 2 && toks(2).count(_ == '-') == 2) 2 else 3
+    if (toks.length <= datePos + 1) return None
+    val dt = toks(datePos)
+    val tm = toks(datePos + 1).split(",")(0)
+    val pauseStr = {
+      val i = line.indexOf("GC in"); val j = line.indexOf("ms.")
+      if (i >= 0 && j > i) line.substring(i + 6, j).trim else ""
+    }
+    try {
+      val ldt = LocalDateTime.parse(dt + " " + tm, LogTsFmt)
+      Some(GcEvent(node, Timestamp.valueOf(ldt), pauseStr.toInt))
+    } catch { case _: Exception => None }
+  }
+
   def parseLog(node: String, lines: Iterator[String], tpTs: Long = 1000L): LogEvents = {
     val gc = scala.collection.mutable.ArrayBuffer.empty[GcEvent]
     val ts = scala.collection.mutable.ArrayBuffer.empty[TombstoneEvent]
     lines.foreach { line =>
       if (line.contains("GCInspector.java:")) {
-        val toks = line.split("\\s+").filter(_.nonEmpty)
-        val datePos = if (toks.length > 2 && toks(2).count(_ == '-') == 2) 2 else 3
-        if (toks.length > datePos + 1) {
-          val dt = toks(datePos)
-          val tm = toks(datePos + 1).split(",")(0)
-          val pauseStr = {
-            val i = line.indexOf("GC in"); val j = line.indexOf("ms.")
-            if (i >= 0 && j > i) line.substring(i + 6, j).trim else ""
-          }
-          try {
-            val ldt = LocalDateTime.parse(dt + " " + tm, LogTsFmt)
-            gc += GcEvent(node, Timestamp.valueOf(ldt), pauseStr.toInt)
-          } catch { case _: Exception => () }
-        }
+        parseGcLine(node, line).foreach(gc += _)
       } else if (line.contains("tombstone cells")) {
         val tombstones: Long =
           if (line.contains("live rows and"))

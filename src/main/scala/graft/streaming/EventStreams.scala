@@ -90,4 +90,22 @@ object EventStreams {
     val schema = spark.read.parquet(dir).schema
     hourlyRollup(spark.readStream.schema(schema).parquet(dir))
   }
+
+  /** Incremental GC ingest over raw system.log lines — the streaming form
+    * of the reference's batch log scan (S9): GCInspector lines are
+    * self-contained, so a line-level text stream parses statelessly
+    * (graft.parse.Parsers.parseGcLine) and feeds the watermarked hourly
+    * rollup keyed by node. Works over `readStream.text(logGlob)` (new
+    * log files appear per micro-batch) or any line DataFrame with
+    * (node, value) columns.
+    */
+  def gcLogStream(lines: Dataset[(String, String)]): DataFrame = {
+    import lines.sparkSession.implicits._
+    val events = lines.flatMap { case (node, line) =>
+      graft.parse.Parsers.parseGcLine(node, line)
+    }
+    hourlyRollup(events.toDF()
+      .select(col("ts"), col("node").as("event_type"),
+        col("pauseMs").cast("double").as("value")))
+  }
 }

@@ -84,6 +84,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(updates.contains(("other", 1L, 42.0, 42.0)))
   }
 
+  test("gc log stream: raw GCInspector lines → watermarked hourly rollup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = EventStreams.gcLogStream(mem.toDS())
+      .writeStream.format("memory").queryName("gcs").outputMode("update").start()
+    mem.addData(
+      ("n1", "INFO  [Service Thread] 2023-03-01 10:00:00,123 GCInspector.java:284 - ParNew GC in 210ms.  x"),
+      ("n1", "INFO  [Service Thread] 2023-03-01 10:30:00,456 GCInspector.java:284 - ParNew GC in 450ms.  x"),
+      ("n1", "INFO  [main] 2023-03-01 10:31:00,000 StorageService.java:100 - not a gc line"),
+      ("n2", "INFO  [ScheduledTasks:1] 2023-03-01 10:45:00,789 GCInspector.java:284 - ParNew GC in 100ms.  x"),
+      ("n3", "INFO  [Service Thread] NOT-A-DATE 10:45:00,789 GCInspector.java:284 - ParNew GC in 100ms.  x"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gcs")
+      .select("hour_start", "event_type", "n", "sum_value").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      (ts("2023-03-01 10:00:00"), "n1", 2L, 660.0),
+      (ts("2023-03-01 10:00:00"), "n2", 1L, 100.0)))
+  }
+
   test("pick: positional percentile definition (round, clamp, 1-based)") {
     val v = Vector(1.0, 2.0, 3.0, 4.0, 5.0)
     assert(EventStreams.pick(v, 0.5) == 3.0)   // round(2.5)=3 (half-up)
