@@ -26,7 +26,7 @@ object DiagReport {
       proxyHist: DataFrame, clusterName: String)
 
   def analyze(spark: SparkSession, root: String,
-      tp: Thresholds = Thresholds()): Tabs = {
+      tp: Thresholds = Thresholds(), inclSys: Boolean = false): Tabs = {
     import spark.implicits._
     val status = DiagSource.status(spark, root)
     val gossip = DiagSource.gossip(spark, root)
@@ -44,12 +44,12 @@ object DiagReport {
     val gcPct = DiagAnalysis.gcPercentiles(gcEv, nodeDc, cluster)
     Tabs(
       nodeTable = DiagAnalysis.nodeTable(status, gossip, info, ossVer),
-      workload = DiagAnalysis.workload(metrics, rf, info),
+      workload = DiagAnalysis.workload(metrics, rf, info, inclSys),
       gc = gcPct,
       tombstones = DiagAnalysis.tombstoneTab(tsEv, nodeDc),
-      thresholds = DiagAnalysis.thresholdTabs(metrics, nodeDc, DiagAnalysis.tabSpecs(tp)),
+      thresholds = DiagAnalysis.thresholdTabs(metrics, nodeDc, DiagAnalysis.tabSpecs(tp), inclSys),
       warnings = DiagAnalysis.guardrailWarnings(spark, catalog.objects, metrics,
-        gcPct, tsEv, nodeDc, cluster, tp),
+        gcPct, tsEv, nodeDc, cluster, tp, inclSys),
       proxyHist = DiagAnalysis.proxyHistTab(DiagSource.proxyHist(spark, root), nodeDc),
       clusterName = cluster)
   }
@@ -147,8 +147,9 @@ object DiagReport {
 
   /** Parse the reference's `-tp_*` threshold flags (explore.py:140-171),
     * same names and guardrail-clamping behavior; unknown args are roots. */
-  def parseArgs(args: Seq[String]): (Seq[String], Thresholds) = {
+  def parseArgs(args: Seq[String]): (Seq[String], Thresholds, Boolean) = {
     var tp = Thresholds()
+    var inclSys = false
     val roots = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < args.length) {
@@ -168,11 +169,12 @@ object DiagReport {
         case "-tp_mv" => { val x = v; if (x <= tp.grMv) tp = tp.copy(tpMv = x) }
         case "-tp_si" => { val x = v; if (x <= tp.grSi) tp = tp.copy(tpSi = x) }
         case "-tp_sai" => { val x = v; if (x <= tp.grSai) tp = tp.copy(tpSai = x) }
+        case "-incl_sys" => inclSys = true  // narrow blocklist (explore.py:170-171, 470-476)
         case other => roots += other
       }
       i += 1
     }
-    (roots.toSeq, tp)
+    (roots.toSeq, tp, inclSys)
   }
 
   /** usage: DiagReport [-tp_* <n> …] <diagRoot> [<diagRoot2> …] <outDir> —
@@ -181,7 +183,7 @@ object DiagReport {
     * lands under `<outDir>/<clusterName>` when more than one root is
     * given. */
   def main(args: Array[String]): Unit = {
-    val (pos, tp) = parseArgs(args.toSeq)
+    val (pos, tp, inclSys) = parseArgs(args.toSeq)
     require(pos.length >= 2, "usage: DiagReport [-tp_* n ...] <diagRoot>... <outDir>")
     val roots = pos.dropRight(1)
     val outDir = pos.last
@@ -194,7 +196,7 @@ object DiagReport {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     roots.foreach { root =>
-      val tabs = analyze(spark, root, tp)
+      val tabs = analyze(spark, root, tp, inclSys)
       val dest = if (roots.length == 1) outDir else s"$outDir/${tabs.clusterName}"
       write(tabs, dest)
     }

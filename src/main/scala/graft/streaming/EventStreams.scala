@@ -85,10 +85,19 @@ object EventStreams {
   }
 
   /** File-source entry: stream a parquet events directory with the batch
-    * schema (TESTDATA events) into [[hourlyRollup]]. */
+    * schema (TESTDATA events) into [[hourlyRollup]]. Handles the
+    * TIMESTAMP(NANOS) encoding of the testdata events table the same way
+    * graft.Tables.events does (nanos → long → microsecond timestamps;
+    * lossless for this data). */
   def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
-    hourlyRollup(spark.readStream.schema(schema).parquet(dir))
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    val events =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    hourlyRollup(events)
   }
 
   /** Incremental GC ingest over raw system.log lines — the streaming form

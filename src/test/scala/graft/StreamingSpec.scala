@@ -106,6 +106,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       (ts("2023-03-01 10:00:00"), "n2", 1L, 100.0)))
   }
 
+  test("fromParquetDir streams the nanos-timestamp events table") {
+    // the streaming file source wants a directory; stage the single file
+    val dir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = graft.streaming.EventStreams
+      .fromParquetDir(spark, dir.toString)
+      .writeStream.format("memory").queryName("pq").outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("pq")
+    val total = rows.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    val batch = Tables.events(spark, "/root/testdata/sf0.001").count()
+    assert(total == batch) // every event lands in exactly one hourly window
+  }
+
   test("pick: positional percentile definition (round, clamp, 1-based)") {
     val v = Vector(1.0, 2.0, 3.0, 4.0, 5.0)
     assert(EventStreams.pick(v, 0.5) == 3.0)   // round(2.5)=3 (half-up)

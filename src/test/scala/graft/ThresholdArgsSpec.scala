@@ -7,14 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class ThresholdArgsSpec extends AnyFunSuite {
 
   test("flags parsed, positional args pass through in order") {
-    val (roots, tp) = DiagReport.parseArgs(Seq(
-      "-tp_rl", "50", "diagA", "-tp_ts", "500", "diagB", "out"))
+    val (roots, tp, inclSys) = DiagReport.parseArgs(Seq(
+      "-tp_rl", "50", "diagA", "-tp_ts", "500", "-incl_sys", "diagB", "out"))
     assert(roots == Seq("diagA", "diagB", "out"))
     assert(tp.tpRlMs == 50.0 && tp.tpTs == 500L)
+    assert(inclSys)
   }
 
   test("guardrail-clamped flags reject values above the guardrail") {
-    val (_, tp) = DiagReport.parseArgs(Seq(
+    val (_, tp, _) = DiagReport.parseArgs(Seq(
       "-tp_lpar", "500", "-tp_mv", "1", "x", "y")) // 500 > gr 200 → ignored
     assert(tp.tpLparMb == 100) // default kept
     assert(tp.tpMv == 1)       // 1 ≤ gr 2 → applied
