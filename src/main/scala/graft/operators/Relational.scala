@@ -561,6 +561,50 @@ object Relational {
        |FROM ranked GROUP BY level, name, n ORDER BY level, name""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q21
+  /** Gap-based sessionization — the standard large-scale event-pipeline
+    * operator (no reference counterpart; north-star §2.9 adjacency):
+    * per user, a new session starts when the gap to the previous event
+    * exceeds 30 minutes (lag window), session id = running sum of
+    * session-start flags, then per-session aggregates. One shuffle on
+    * user_id serves both windows and the final group-by.
+    */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sec = unix_timestamp(col("ts"))
+    val flagged = ev
+      .withColumn("prev_sec", lag(sec, 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || sec - col("prev_sec") > 1800L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(w))
+    flagged.groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+          .as("duration_sec"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val q21Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN LAG(ts) OVER w IS NULL
+      |                OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, session_idx, COUNT(*) AS n_events,
+      |       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+      |       CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec
+      |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("q01_workload_share", "A1–A5/W1/O1 grouped sums + ratio-of-total", q01, Some(q01Sql)),
@@ -583,5 +627,6 @@ object Relational {
     Q("q18_semi_anti_join", "U3 semi/anti join duals", q18, Some(q18Sql)),
     Q("q19_window_hourly", "§2.9 tumbling event-time window (batch twin)", q19, Some(q19Sql)),
     Q("q20_rollup_percentiles_3level", "A6–A9 3-level percentile rollup + argmax", q20, Some(q20Sql)),
+    Q("q21_sessionize", "gap-based sessionization (lag + running-sum windows)", q21, Some(q21Sql)),
   )
 }
