@@ -16,6 +16,36 @@ class FunctionRegistrationSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(1) == 3L) // single hash: its bits are the majority
   }
 
+  test("GraftExtensions injects functions into a fresh session (cluster path)") {
+    // simulate --conf spark.sql.extensions=graft.functions.GraftExtensions:
+    // clear the active/default session so getOrCreate builds a genuinely
+    // NEW SparkSession (fresh functionRegistry) on the shared context with
+    // the extension applied at construction — imperative register() from
+    // other tests cannot leak into it
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // keep a handle
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // NB: the `spark.sql.extensions` CONFIG string is only read from a
+      // fresh SparkContext's conf — unreachable in a shared-context test —
+      // so exercise the same injection hook programmatically
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions()(_))
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      assert(s2 ne prev) // genuinely a different session
+      val r = s2.sql(
+        "SELECT grid_dot(array(CAST(0.5 AS FLOAT)), array(CAST(2.0 AS FLOAT)))").head()
+      assert(r.getLong(0) == 1000000000L)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("grid_dot rejects wrong input types with the custom message") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
