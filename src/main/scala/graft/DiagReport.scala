@@ -41,15 +41,20 @@ object DiagReport {
     val (gcEv, tsEv) = DiagSource.logEvents(spark, root, tp.tpTs)
     val nodeDc = info.select(col("node_dir").as("node"), col("dc"))
 
+    val statusIps = status.collect().map(_.ip).toSet
+    val dirIp = {
+      import spark.implicits._
+      DiagSource.nodeIpMap(spark, root, statusIps).toSeq.toDF("node_dir", "ip")
+    }
     val gcPct = DiagAnalysis.gcPercentiles(gcEv, nodeDc, cluster)
     Tabs(
-      nodeTable = DiagAnalysis.nodeTable(status, gossip, info, ossVer),
+      nodeTable = DiagAnalysis.nodeTable(status, gossip, info, ossVer, dirIp),
       workload = DiagAnalysis.workload(metrics, rf, info, inclSys),
       gc = gcPct,
       tombstones = DiagAnalysis.tombstoneTab(tsEv, nodeDc),
-      thresholds = DiagAnalysis.thresholdTabs(metrics, nodeDc, DiagAnalysis.tabSpecs(tp), inclSys),
+      thresholds = DiagAnalysis.thresholdTabs(metrics, nodeDc, DiagAnalysis.tabSpecs(tp)),
       warnings = DiagAnalysis.guardrailWarnings(spark, catalog.objects, metrics,
-        gcPct, tsEv, nodeDc, cluster, tp, inclSys),
+        gcPct, tsEv, nodeDc, cluster, tp),
       proxyHist = DiagAnalysis.proxyHistTab(DiagSource.proxyHist(spark, root), nodeDc),
       clusterName = cluster)
   }

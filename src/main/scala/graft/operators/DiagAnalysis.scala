@@ -27,16 +27,13 @@ object DiagAnalysis {
   /** Node tab (ref explore.py:1521-1563): status ⋈ gossip ⋈ info uptime;
     * OSS nodes get "OSS Cassandra" + release version (674-712). */
   def nodeTable(status: Dataset[StatusRow], gossip: Dataset[GossipNode],
-      nodeInfo: DataFrame, ossVer: String): DataFrame = {
+      nodeInfo: DataFrame, ossVer: String, dirIp: DataFrame): DataFrame = {
     val st = status.toDF()
     val go = gossip.toDF().select(col("ip"),
       when(col("workload") === "", "OSS Cassandra").otherwise(col("workload")).as("workload"),
       when(col("dseVersion") === "" || col("workload") === "", ossVer)
         .otherwise(col("dseVersion")).as("version"))
     val info = nodeInfo.select(col("node_dir"), col("uptime_sec"))
-    // node_dir ↔ ip: dir name with '_'/'-' normalized to '.' (606-608)
-    val dirIp = nodeInfo.select(col("node_dir"),
-      translate(col("node_dir"), "_-", "..").as("ip"))
     st.join(broadcast(go), Seq("ip"), "left")
       .join(broadcast(dirIp), Seq("ip"), "left")
       .join(broadcast(info), Seq("node_dir"), "left")
@@ -101,9 +98,13 @@ object DiagAnalysis {
   /** Multi-level GC percentile rollup (ref explore.py:332-341, 365-398,
     * 1072-1077): the same events bucketed at Database → DC → Node via
     * `rollup`, positional (exact, non-interpolated) percentiles picked
-    * at index round(n·q) clamped to [1,n] — the reference's
-    * `round(n*q)-1` in 1-based form — plus Pauses count, oldest/newest
-    * timestamp, and the timestamp of the max pause (argmax).
+    * at index round_half_up(n·q) clamped to [1,n], plus Pauses count,
+    * oldest/newest timestamp, and the timestamp of the max pause.
+    * Documented deviation: Python's round() is banker's rounding, so at
+    * exact .5 rank boundaries (n·q ties) the reference picks the lower
+    * sample and this engine the upper; HALF_UP is used consistently here
+    * and in the oracle-checked q04/q20 (SURVEY.md §4 policy: implement
+    * one documented semantic rather than replicate tie quirks).
     */
   def gcPercentiles(gc: Dataset[GcEvent], nodeDc: DataFrame,
       clusterName: String): DataFrame = {
@@ -156,15 +157,19 @@ object DiagAnalysis {
       .orderBy(col("tombstones").desc, col("keyspace"), col("table"))
   }
 
-  /** One threshold tab spec (ref sheets_data, explore.py:443-450). */
+  /** One threshold tab spec (ref sheets_data, explore.py:443-450).
+    * `scaleMb` divides the emitted value by 1e6 (the reference reports
+    * the Large Partitions tab in MB, explore.py:1462). */
   final case class TabSpec(name: String, metric: String, threshold: Double,
-      stripMs: Boolean = false, maxPerTable: Boolean = false)
+      stripMs: Boolean = false, maxPerTable: Boolean = false,
+      scaleMb: Boolean = false)
 
   /** The reference's cfstats-driven tabs, thresholds from [[Thresholds]]. */
   def tabSpecs(tp: Thresholds): Seq[TabSpec] = Seq(
     TabSpec("dropped_mutation", "Dropped Mutations", tp.tpDrm.toDouble),
     TabSpec("num_tables", "Total number of tables", tp.tpTblCnt.toDouble, maxPerTable = true),
-    TabSpec("large_partition", "Compacted partition maximum bytes", tp.tpLparMb * 1e6),
+    TabSpec("large_partition", "Compacted partition maximum bytes", tp.tpLparMb * 1e6,
+      scaleMb = true),
     TabSpec("sstable_count", "SSTable count", tp.tpSstbl.toDouble, maxPerTable = true),
     TabSpec("read_latency", "Local read latency", tp.tpRlMs, stripMs = true),
     TabSpec("write_latency", "Local write latency", tp.tpWlMs, stripMs = true))
@@ -177,9 +182,12 @@ object DiagAnalysis {
     * (tab, node, dc, keyspace, table, value).
     */
   def thresholdTabs(metrics: Dataset[TableMetric], nodeDc: DataFrame,
-      specs: Seq[TabSpec], inclSys: Boolean = false): DataFrame = {
+      specs: Seq[TabSpec]): DataFrame = {
+    // the reference excludes the FULL system list here regardless of
+    // -incl_sys (explore.py:1429-1431 uses system_keyspace, not
+    // dni_keyspace) — only the workload pass narrows
     val m = metrics.toDF()
-      .filter(notSystem(col("keyspace"), inclSys))
+      .filter(notSystem(col("keyspace"), inclSys = false))
       .join(broadcast(nodeDc), Seq("node"), "left")
     val perSpec = specs.map { sp =>
       val vRaw = if (sp.stripMs)
@@ -187,9 +195,13 @@ object DiagAnalysis {
       else num(col("value"))
       val base = m.filter(col("metric") === sp.metric)
         .withColumn("v", vRaw)
-        .filter(col("v") >= sp.threshold)
+        // NaN guard: idle tables print "NaN ms" latencies, and Spark
+        // orders NaN ABOVE every number (unlike Python's NaN>=x == False)
+        // — without this the latency tabs flood with idle tables
+        .filter(col("v") >= sp.threshold && !isnan(col("v")))
         .select(lit(sp.name).as("tab"), col("node"), col("dc"),
-          col("keyspace"), col("table"), col("v").as("value"))
+          col("keyspace"), col("table"),
+          (if (sp.scaleMb) (col("v") / 1e6) else col("v")).as("value"))
       if (sp.maxPerTable) {
         val w = Window.partitionBy(col("keyspace"), col("table"))
           .orderBy(col("value").desc, col("node"))
@@ -209,13 +221,14 @@ object DiagAnalysis {
     */
   def guardrailWarnings(spark: SparkSession, schema: Seq[SchemaObject],
       metrics: Dataset[TableMetric], gcPct: DataFrame, tombstones: Dataset[TombstoneEvent],
-      nodeDc: DataFrame, clusterName: String, tp: Thresholds,
-      inclSys: Boolean = false): DataFrame = {
+      nodeDc: DataFrame, clusterName: String, tp: Thresholds): DataFrame = {
     import spark.implicits._
     val gr = "Astra Guardrails"
     val dh = "Database Health"
+    // like thresholdTabs: guardrails always exclude the full system list
+    // (explore.py:1094, 1105 use system_keyspace)
     val so = spark.createDataset(schema).toDF()
-      .filter(notSystem(col("keyspace"), inclSys))
+      .filter(notSystem(col("keyspace"), inclSys = false))
 
     // MV / SI / SAI counts per source table (1085-1099)
     val kindCfg = Seq(
@@ -266,7 +279,7 @@ object DiagAnalysis {
     // large partitions per distinct (dc,ks,tbl) (1453-1461)
     val lpar = metrics.toDF()
       .filter(col("metric") === "Compacted partition maximum bytes" &&
-        notSystem(col("keyspace"), inclSys))
+        notSystem(col("keyspace"), inclSys = false))
       .join(broadcast(nodeDc), Seq("node"), "left")
       .withColumn("v", num(col("value")))
       .filter(col("v") >= tp.tpLparMb * 1e6)

@@ -58,12 +58,14 @@ object Parsers {
         if (line.contains("DC:")) {
           val parts = line.split(":")
           b.dc = (if (parts.length > 2) parts(2) else parts(1)).trim
-        } else if (line.contains("X_11_PADDING") || line.contains("DSE_GOSSIP_STATE")) {
+        } else if ((line.contains("X_11_PADDING") || line.contains("DSE_GOSSIP_STATE"))
+            && line.indexOf('{') >= 0) {
           val json = line.substring(line.indexOf('{'))
-          // minimal JSON field grabs (payload is flat {"k":"v",...})
+          // minimal JSON field grabs (payload is flat); values may be
+          // quoted strings OR bare JSON literals (graph:false on DSE 6)
           def field(k: String): Option[String] = {
-            val re = ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r
-            re.findFirstMatchIn(json).map(_.group(1))
+            val re = ("\"" + k + "\"\\s*:\\s*(?:\"([^\"]*)\"|([A-Za-z0-9.+-]+))").r
+            re.findFirstMatchIn(json).map(m => Option(m.group(1)).getOrElse(m.group(2)))
           }
           field("workload").foreach { w =>
             b.workload = if (w == "Cassandra") "DSE Core" else w
@@ -228,7 +230,13 @@ object Parsers {
               srcTable = stbl.takeWhile(c => c != ';'), cql = cur.cql + " " + line)
           } else if (line.contains("PRIMARY KEY")) {
             val nOpen = line.count(_ == '(')
-            if (nOpen == 1) {
+            if (nOpen == 0) {
+              // inline form: "id uuid PRIMARY KEY," — pk column is also a field
+              if (toks.length >= 2)
+                cur = cur.copy(pk = Seq(toks(0)),
+                  fields = cur.fields + (toks(0) -> toks(1).stripSuffix(",")),
+                  cql = cur.cql + " " + line)
+            } else if (nOpen == 1) {
               val ids = line.split("\\(")(1).split("\\)")(0).split(",\\s*").map(_.trim)
               cur = cur.copy(pk = Seq(ids.head), cc = ids.tail.toSeq,
                 cql = cur.cql + " " + line)
@@ -300,14 +308,16 @@ object Parsers {
       if (line.contains("GCInspector.java:")) {
         parseGcLine(node, line).foreach(gc += _)
       } else if (line.contains("tombstone cells")) {
-        val tombstones: Long =
-          if (line.contains("live rows and"))
-            line.split("live rows and")(1).trim.split("\\s+")(0).toLong
-          else if (line.contains("live and"))
-            line.split("live and")(1).trim.split("\\s+")(0).toLong
-          else 0L
-        if (tombstones >= tpTs) {
-          try {
+        // whole branch guarded: a line truncated right after "live rows and"
+        // (rotation/copy boundary) must skip, not kill the task
+        try {
+          val tombstones: Long =
+            if (line.contains("live rows and"))
+              line.split("live rows and")(1).trim.split("\\s+")(0).toLong
+            else if (line.contains("live and"))
+              line.split("live and")(1).trim.split("\\s+")(0).toLong
+            else 0L
+          if (tombstones >= tpTs) {
             val reads = line.split("- Read")(1).trim.split("\\s+")(0).toLong
             val query =
               if (line.contains("cells for query")) line.split("cells for query")(1).trim
@@ -319,8 +329,8 @@ object Parsers {
               val tblName = query.split("\\.")(1).split("\\s+")(0)
               ts += TombstoneEvent(node, ksName, tblName, reads, tombstones)
             }
-          } catch { case _: Exception => () }
-        }
+          }
+        } catch { case _: Exception => () }
       }
     }
     LogEvents(gc.toSeq, ts.toSeq)

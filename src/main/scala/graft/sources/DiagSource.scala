@@ -71,6 +71,35 @@ object DiagSource {
           .head().getString(0)
       }
 
+  /** Content of one specific file, if present. */
+  private def fileContent(spark: SparkSession, path: String): Option[String] =
+    if (!exists(spark, path)) None
+    else Some(spark.read.option("wholetext", "true").text(path).head().getString(0))
+
+  /** node_dir → ip: the dot-normalized dir name when it matches a status
+    * ip ('_'/'-' → '.', explore.py:606-608); otherwise the reference's
+    * gossip fallback (find_ip_addr, explore.py:251-263) — first line of
+    * the node's own gossipinfo mentioning the dir name yields the ip.
+    * Hostname-named node dirs resolve through the fallback instead of
+    * silently losing their uptime join. */
+  def nodeIpMap(spark: SparkSession, root: String,
+      statusIps: Set[String]): Map[String, String] =
+    nodeDirs(spark, root).flatMap { n =>
+      val norm = n.replace('_', '.').replace('-', '.')
+      val direct =
+        if (statusIps.contains(n)) Some(n)
+        else if (statusIps.contains(norm)) Some(norm)
+        else None
+      val ip = direct.orElse {
+        fileContent(spark, s"$root/nodes/$n/nodetool/gossipinfo").flatMap { c =>
+          c.linesIterator.find(l => l.contains(n) && l.contains("/"))
+            .map(l => Parsers.extractIp(l.split("/").last))
+            .filter(_.nonEmpty)
+        }
+      }
+      ip.map(n -> _)
+    }.toMap
+
   // ------------------------------------------------------------ datasets
 
   /** status rows from the first node that has `nodetool/status`. */
@@ -122,8 +151,12 @@ object DiagSource {
     * long-format TableMetric relation — the fact table (S5). */
   def cfstats(spark: SparkSession, root: String): Dataset[TableMetric] = {
     import spark.implicits._
+    // which nodes have cfstats is driver-side metadata (existence checks),
+    // NOT a collect over file contents — the fact files are read exactly
+    // once, in the union below
+    val haveCf = nodeDirs(spark, root)
+      .filter(n => exists(spark, s"$root/nodes/$n/nodetool/cfstats")).toSet
     val cf = wholeFiles(spark, root, "nodetool/cfstats")
-    val haveCf = cf.select("node_dir").as[String].collect().toSet
     val ts = wholeFiles(spark, root, "nodetool/tablestats")
       .filter(!col("node_dir").isInCollection(haveCf.toSeq :+ ""))
     cf.unionByName(ts).as[(String, String)]

@@ -84,6 +84,11 @@ class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
       "read_latency" -> 4))      // users 150.5ms (strip "ms")
     val rl = tabs.thresholds.filter("tab = 'read_latency'").head()
     assert(math.abs(rl.getAs[Double]("value") - 150.5) < 1e-9)
+    // NaN latencies (idle table) are excluded — Spark orders NaN above all
+    assert(!tabs.thresholds.collect().exists(_.getAs[Double]("value").isNaN))
+    // large-partition tab reports MB like the reference (explore.py:1462)
+    val lp = tabs.thresholds.filter("tab = 'large_partition' AND table = 'users'").head()
+    assert(math.abs(lp.getAs[Double]("value") - 260.0) < 1e-9)
   }
 
   test("guardrail warnings: all categories, *** tier") {
@@ -91,7 +96,7 @@ class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getAs[String]("check"), r.getAs[String]("message"))).toSet
     assert(msgs.contains(("Materialized Views", "3 Materialized Views of ks1.users***")))
     assert(msgs.contains(("Secondary Indexes", "2 Secondary Indexes of ks1.users***")))
-    assert(msgs.contains(("Number of Columns", "51 columns in ks2.legacy_cf")))
+    assert(msgs.contains(("Number of Columns", "52 columns in ks2.legacy_cf")))
     assert(msgs.contains(("Number of Tables", "160 tables in database")))
     assert(msgs.contains(("GC Pauses", "P99 GC pause greater than 800")))
     assert(msgs.contains(("Tombstones",
@@ -114,7 +119,7 @@ class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(n1.getAs[String]("version") == "4.0.11")
     assert(n1.getAs[Long]("uptime_sec") == 86400L)
     assert(nt("10.0.0.3").getAs[String]("workload") == "DSE Core")
-    assert(nt("10.0.0.3").getAs[String]("version") == "DSE pre 5.0")
+    assert(nt("10.0.0.3").getAs[String]("version") == "6.0.0")
     assert(nt("10.0.0.4").getAs[String]("workload") == "Search + Graph")
     assert(nt("10.0.0.4").getAs[String]("version") == "6.8.25")
     // down node 10.0.0.9 has no diag dir: defaults

@@ -31,7 +31,8 @@ class ParsersSpec extends AnyFunSuite {
     assert(g.map(_.ip) == Seq("10.0.0.1", "10.0.0.2", "10.0.0.3", "10.0.0.4"))
     assert(g(0).dc == "dc1" && g(0).workload == "")          // DC:8:dc1 (3 fields)
     assert(g(1).dc == "dc1")                                  // DC:dc1 (2 fields)
-    assert(g(2).workload == "DSE Core" && g(2).dseVersion == "DSE pre 5.0")
+    // unquoted JSON bool graph:false — field must still parse; version read
+    assert(g(2).workload == "DSE Core" && !g(2).graph && g(2).dseVersion == "6.0.0")
     assert(g(3).workload == "Search + Graph" && g(3).graph && g(3).dseVersion == "6.8.25")
   }
 
@@ -80,12 +81,22 @@ class ParsersSpec extends AnyFunSuite {
     val orders = cat.objects.find(o => o.kind == "Table" && o.name == "orders").get
     assert(orders.pk == Seq("order_id", "user_id") && orders.cc == Seq("amount"))
     val legacy = cat.objects.find(_.name == "legacy_cf").get  // quoted identifier
-    assert(legacy.keyspace == "ks2" && legacy.fields.size == 51)
+    // inline "id uuid PRIMARY KEY," sets pk AND counts as a field
+    assert(legacy.keyspace == "ks2" && legacy.fields.size == 52)
+    assert(legacy.pk == Seq("id"))
     // index/MV source attribution
     assert(cat.objects.filter(_.kind == "Index").forall(o =>
       o.srcKeyspace == "ks1" && o.srcTable == "users"))
     assert(cat.objects.filter(_.kind == "Materialized Views").forall(o =>
       o.srcKeyspace == "ks1" && o.srcTable == "users"))
+  }
+
+  test("malformed inputs: truncated tombstone line and chopped gossip JSON don't throw") {
+    val ev = Parsers.parseLog("n", Iterator(
+      "WARN  [R] 2023-03-01 11:30:00,789 ReadCommand.java:576 - Read 10 live rows and"))
+    assert(ev.gc.isEmpty && ev.tombstones.isEmpty)
+    val g = Parsers.parseGossip(Iterator("/10.0.0.1", "  X_11_PADDING:36:"))
+    assert(g.head.workload == "")
   }
 
   test("system.log: GC both date positions, tombstones both phrasings + gate") {

@@ -43,7 +43,7 @@ GOSSIP = """/10.0.0.1
   heartbeat:12347
   DC:8:dc2
   RACK:10:rack2
-  X_11_PADDING:36:{"workload":"Cassandra","active":"true"}
+  X_11_PADDING:36:{"workload":"Cassandra","graph":false,"dse_version":"6.0.0"}
 /10.0.0.4
   generation:1677000003
   heartbeat:12348
@@ -92,6 +92,10 @@ Keyspace : ks1
 \t\tLocal write latency: 1.1 ms
 \t\tCompacted partition maximum bytes: 150000000
 \t\tDropped Mutations: 0
+
+	Table: idle
+		Local read latency: NaN ms
+		Local write latency: NaN ms
 
 ----------------
 Keyspace : system
