@@ -159,7 +159,16 @@ object DiagReport {
     var i = 0
     while (i < args.length) {
       val a = args(i)
-      def v: Int = { i += 1; args(i).toInt }
+      def v: Int = {
+        i += 1
+        require(i < args.length, s"usage: flag $a needs a numeric value")
+        args(i).toInt
+      }
+      def vd: Double = {
+        i += 1
+        require(i < args.length, s"usage: flag $a needs a numeric value")
+        args(i).toDouble
+      }
       a match {
         case "-tp_rl" => tp = tp.copy(tpRlMs = v.toDouble)
         case "-tp_wl" => tp = tp.copy(tpWlMs = v.toDouble)
@@ -173,7 +182,8 @@ object DiagReport {
         case "-tp_colcnt" => { val x = v; if (x <= tp.grColCnt) tp = tp.copy(tpColCnt = x) }
         case "-tp_mv" => { val x = v; if (x <= tp.grMv) tp = tp.copy(tpMv = x) }
         case "-tp_si" => { val x = v; if (x <= tp.grSi) tp = tp.copy(tpSi = x) }
-        case "-tp_sai" => { val x = v; if (x <= tp.grSai) tp = tp.copy(tpSai = x) }
+        // the reference parses -tp_sai as float (explore.py:168)
+        case "-tp_sai" => { val x = vd; if (x <= tp.grSai) tp = tp.copy(tpSai = x) }
         case "-incl_sys" => inclSys = true  // narrow blocklist (explore.py:170-171, 470-476)
         case other => roots += other
       }
@@ -200,10 +210,23 @@ object DiagReport {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val used = scala.collection.mutable.Set.empty[String]
     roots.foreach { root =>
       val tabs = analyze(spark, root, tp, inclSys)
-      val dest = if (roots.length == 1) outDir else s"$outDir/${tabs.clusterName}"
+      // two roots can share a clusterName (or both fall back to
+      // "cluster") — suffix duplicates instead of silently overwriting
+      val dest =
+        if (roots.length == 1) outDir
+        else {
+          val base = s"$outDir/${tabs.clusterName}"
+          val d = if (!used.contains(base)) base
+            else Iterator.from(2).map(k => s"$base-$k").find(!used.contains(_)).get
+          used += d
+          d
+        }
       write(tabs, dest)
+      // release the per-root persisted metrics before the next cluster
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -40,13 +40,17 @@ case class GridDot(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  // mismatched-length inputs yield NULL (not a silent prefix dot product)
+  override def nullable: Boolean = true
+
   override def prettyName: String = "grid_dot"
 
   /** Shared scalar kernel (interpreted + codegen agree by construction). */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -64,14 +68,18 @@ case class GridDot(left: Expression, right: Expression)
       val p = ctx.freshName("p")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $p = ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)) * 1.0E9D;
-         |  $acc += (long) ($p >= 0 ? java.lang.Math.floor($p + 0.5D)
-         |                          : java.lang.Math.ceil($p - 0.5D));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $p = ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)) * 1.0E9D;
+         |    $acc += (long) ($p >= 0 ? java.lang.Math.floor($p + 0.5D)
+         |                            : java.lang.Math.ceil($p - 0.5D));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

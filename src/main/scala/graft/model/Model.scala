@@ -61,7 +61,7 @@ final case class ProxyHistRow(
 /** Engine thresholds (reference CLI `-tp_*` flags, explore.py:23-44);
   * `gr*` are the hard guardrail limits. */
 final case class Thresholds(
-    tpMv: Int = 2, tpSi: Int = 1, tpSai: Int = 8, tpTblCnt: Int = 155,
+    tpMv: Int = 2, tpSi: Int = 1, tpSai: Double = 8, tpTblCnt: Int = 155,
     tpColCnt: Int = 45, tpLparMb: Int = 100, tpRlMs: Double = 100,
     tpWlMs: Double = 100, tpSstbl: Int = 20, tpGcpMs: Int = 800,
     tpDrm: Long = 100000L, tpTs: Long = 1000L,

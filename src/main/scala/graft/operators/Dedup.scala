@@ -37,11 +37,16 @@ object Dedup {
     * floating-point *sums* order-independent AND engine-identical: the
     * per-term double product is deterministic IEEE, the round-to-1e-9-grid
     * is identical in both engines, and the subsequent SUM is exact integer
-    * arithmetic. (A DECIMAL sum is order-independent too, but Spark's
-    * double→decimal cast rounds the *shortest string* repr while DuckDB
-    * rounds the exact binary value — off-by-1-ulp divergence.)
+    * arithmetic. Ties round half away from zero on the EXACT BINARY value
+    * (floor(p+0.5)/ceil(p-0.5)) — precisely DuckDB's ROUND — rather than
+    * Spark's round(), which rounds the shortest-string decimal repr and
+    * can differ by one grid unit on tie-adjacent doubles (same analysis
+    * as graft.functions.GridDot).
     */
-  def gridL(c: Column): Column = round(c * 1e9).cast("long")
+  def gridL(c: Column): Column = {
+    val p = c * 1e9
+    when(p >= 0, floor(p + 0.5)).otherwise(ceil(p - 0.5)).cast("long")
+  }
 
   private def gridSql(expr: String): String = s"CAST(ROUND(($expr) * 1e9) AS BIGINT)"
 

@@ -111,7 +111,9 @@ object Relational {
       .filter(col("n_nationkey") < 20)
       .select(col("n_nationkey").as("rf_nationkey"),
         ((col("n_nationkey") % 3) + 1).cast("double").as("rf"))
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    // customer is fact-scale, NOT a broadcastable dimension — shuffle join
+    // (AQE picks the strategy); only the tiny rf dim is broadcast
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(rf), col("c_nationkey") === col("rf_nationkey"), "left")
       .withColumn("norm",
         (col("o_totalprice") / coalesce(col("rf"), lit(1.0))).cast(DecimalType(18, 4)))

@@ -39,8 +39,10 @@ object Similarity {
     */
   def dotFold(a: Column, b: Column): Column =
     aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * y.cast("double") * 1e9).cast("long")),
+      zip_with(a, b, (x, y) => {
+        val p = x.cast("double") * y.cast("double") * 1e9
+        when(p >= 0, floor(p + 0.5)).otherwise(ceil(p - 0.5)).cast("long")
+      }),
       lit(0L), (acc, v) => acc + v)
 
   private def cosine(dot: Column, n1: Column, n2: Column): Column =
@@ -65,12 +67,15 @@ object Similarity {
   def ss01(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
+    // norms are pair-invariant: compute once per vector, not per pair
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .filter(col("query_id") < 10)
+      .withColumn("qn2", normL(col("qe")))
     val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .withColumn("nn2", normL(col("ne")))
     val scored = cand.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
-        cosine(dotL(col("qe"), col("ne")), normL(col("qe")), normL(col("ne"))))
+        cosine(dotL(col("qe"), col("ne")), col("qn2"), col("nn2")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -130,11 +135,13 @@ object Similarity {
     // exact search inside the chosen cell
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .filter(col("query_id") < 10).join(broadcast(best), Seq("query_id"))
+      .withColumn("qn2", normL(col("qe")))
     val scored = e.select(col("vec_id").as("neighbor_id"), col("label"), col("embedding").as("ne"))
+      .withColumn("nn2", normL(col("ne")))
       .join(broadcast(q),
         col("label") === col("clabel") && col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
-        cosine(dotL(col("qe"), col("ne")), normL(col("qe")), normL(col("ne"))))
+        cosine(dotL(col("qe"), col("ne")), col("qn2"), col("nn2")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -208,13 +215,15 @@ object Similarity {
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .filter(col("query_id") < 10)
       .join(sig.withColumnRenamed("vec_id", "query_id"), Seq("query_id"))
+      .withColumn("qn2", normL(col("qe")))
     val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .withColumn("nn2", normL(col("ne")))
       .join(sig.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
     val scored = cand
       .join(broadcast(q.withColumnRenamed("bucket", "qbucket")),
         col("bucket") === col("qbucket") && col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
-        cosine(dotL(col("qe"), col("ne")), normL(col("qe")), normL(col("ne"))))
+        cosine(dotL(col("qe"), col("ne")), col("qn2"), col("nn2")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -91,7 +91,9 @@ object TextAnalysis {
   def ta02(s: SparkSession, dir: String): DataFrame = {
     val nTok = size(ws).cast("double")
     val punct = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double")
-    val punctRatio = punct / col("n_chars").cast("double")
+    // zero-length docs: Spark x/0.0 is NULL, DuckDB IEEE gives inf — guard
+    val punctRatio =
+      when(col("n_chars") > 0, punct / col("n_chars").cast("double")).otherwise(0.0)
     val stopRatio = hits(stop("en")).cast("double") / nTok
     val lenScore = least(nTok / 100.0, lit(1.0))
     val score = lenScore * 0.4 +
@@ -111,8 +113,9 @@ object TextAnalysis {
     s"""WITH $wsSqlCte,
        |m AS (SELECT doc_id,
        |             len(ws) AS n_tokens,
-       |             CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-       |               / CAST(n_chars AS DOUBLE) AS punct_ratio,
+       |             CASE WHEN n_chars > 0 THEN
+       |               CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |                 / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
        |             CAST(${hitsSql(stop("en"))} AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS stop_ratio,
        |             CAST(len(ws) AS DOUBLE) AS ntd
        |      FROM w)

@@ -297,7 +297,11 @@ object Parsers {
     }
     try {
       val ldt = LocalDateTime.parse(dt + " " + tm, LogTsFmt)
-      Some(GcEvent(node, Timestamp.valueOf(ldt), pauseStr.toInt))
+      // log wall-clock is interpreted as UTC (the reference hardcodes
+      // tz='UTC', explore.py:1042) — NOT the JVM default timezone, so
+      // results are identical across hosts
+      Some(GcEvent(node,
+        Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC)), pauseStr.toInt))
     } catch { case _: Exception => None }
   }
 

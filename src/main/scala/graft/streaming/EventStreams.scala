@@ -32,7 +32,10 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value")).as("sum_value"),
+        // decimal-exact sum (the repo determinism rule): double-order
+        // nondeterminism must not leak into streaming output either
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),

@@ -50,6 +50,14 @@ class GridDotSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mismatched-length vectors yield NULL, not a prefix dot") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val r = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+      .select(call_function("grid_dot", col("a"), col("b"))).head()
+    assert(r.isNullAt(0))
+  }
+
   test("self dot = grid squared norm, non-negative") {
     val (native, _) = viaSpark(Seq(0.5f, -0.5f, 2.0f), Seq(0.5f, -0.5f, 2.0f), codegen = true)
     assert(native == 250000000L + 250000000L + 4000000000L)
