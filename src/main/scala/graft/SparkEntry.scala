@@ -22,8 +22,13 @@ object SparkEntry {
     graft.operators.Relational.q01(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // a name collision across family registries would silently shadow a
+    // query (and drop its oracle check) — fail loudly instead
+    val dupes = registry.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(", ")}")
     registry.map(q => q.name -> q.run).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -27,9 +27,16 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    nanosTsToMicros(load(s, d, "events"))
   }
+
+  /** Shared ns→µs conversion for the nanos-encoded `ts` column (also used
+    * by the streaming reader, graft.streaming.EventStreams.fromParquetDir).
+    * No-op when `ts` is already a timestamp. */
+  def nanosTsToMicros(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -172,7 +172,10 @@ object Dedup {
     * shingle Jaccard ≥ 0.2. */
   def dd03(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // the band self-join and the 3-way shingle verify would otherwise
+    // recompute the signature/shingling pipeline once per join branch
     val sig = minhashSig(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandsLong = sig.select(col("doc_id"),
       explode(map_from_arrays(
         array((0 to 3).map(lit): _*),
@@ -183,6 +186,7 @@ object Dedup {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
     val sh = wordShingles(docs, 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
@@ -226,8 +230,10 @@ object Dedup {
     */
   def dd04(s: SparkSession, dir: String): DataFrame = {
     val sh = wordShingles(Tables.documents(s, dir), 3)
+    // used by the self-join AND the per-doc counts — compute once
     val kept = sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= 100).drop("df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = kept.as("a").join(kept.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -317,7 +323,10 @@ object Dedup {
     * bit_count(xor) with unique-key tie-break.
     */
   def dd06(s: SparkSession, dir: String): DataFrame = {
+    // self-joined below — without persist the whole simhash kernel runs
+    // once per join branch
     val sig = simhashSig(Tables.documents(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunksLong = sig.select(col("doc_id"), col("simhash"),
       explode(map_from_arrays(
         array((0 to 3).map(lit): _*),

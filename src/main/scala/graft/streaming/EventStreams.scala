@@ -96,11 +96,7 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
     val raw = spark.readStream.schema(schema).parquet(dir)
-    val events =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    hourlyRollup(events)
+    hourlyRollup(graft.Tables.nanosTsToMicros(raw))
   }
 
   /** Incremental GC ingest over raw system.log lines — the streaming form

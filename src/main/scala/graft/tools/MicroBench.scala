@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: run named queries twice (cold + warm) to separate planning/
+/** Dev tool: run named queries 3× (cold + 2 warm) to separate planning/
   * codegen overhead from execution. usage: MicroBench <sfDir> <q>... */
 object MicroBench {
   def main(args: Array[String]): Unit = {
