@@ -300,7 +300,7 @@ object Dedup {
        |                SUM(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS sm
        |         FROM tb GROUP BY doc_id, bit),
        |sh AS (SELECT doc_id,
-       |              SUM(CASE WHEN sm > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+       |              CAST(SUM(CASE WHEN sm > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
        |       FROM bits GROUP BY doc_id),
        |sig AS (SELECT doc_id, simhash,
        |              $chunks
@@ -352,7 +352,7 @@ object Dedup {
        |                x.simhash AS s1, y.simhash AS s2
        |         FROM cl x JOIN cl y ON x.j = y.j AND x.c = y.c
        |                           AND x.doc_id < y.doc_id)
-       |SELECT d1, d2, bit_count(xor(s1, s2)) AS hamming
+       |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
        |FROM cand ORDER BY hamming, d1, d2 LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------- dd07

@@ -344,7 +344,7 @@ object Relational {
   val q12Sql: String =
     """SELECT doc_id,
       |       REGEXP_EXTRACT(text, '^(\w+)', 1) AS first_word,
-      |       LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS n_words,
+      |       CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), ' +')) AS INT) AS n_words,
       |       CAST(CONTAINS(text, 'spark') AS INT) AS has_spark,
       |       n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
@@ -379,7 +379,7 @@ object Relational {
       .orderBy("month")
 
   val q14Sql: String =
-    """SELECT DATE_TRUNC('month', o_orderdate) AS month,
+    """SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month,
       |       COUNT(*) AS n_orders,
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
       |       COUNT(*) * (365.25 / 12) AS orders_per_mo_equiv
@@ -600,7 +600,7 @@ object Relational {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, ts,
-      |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+      |         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_idx
       |  FROM flagged)
       |SELECT user_id, session_idx, COUNT(*) AS n_events,
       |       MIN(ts) AS start_ts, MAX(ts) AS end_ts,

@@ -98,7 +98,7 @@ object Similarity {
        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |                       ORDER BY cosine DESC, neighbor_id) AS rank
        |           FROM scored)
-       |SELECT query_id, rank, neighbor_id, cosine
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- ss02
@@ -185,7 +185,7 @@ object Similarity {
        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |                       ORDER BY cosine DESC, neighbor_id) AS rank
        |           FROM scored)
-       |SELECT query_id, clabel AS cell, rank, neighbor_id, cosine
+       |SELECT query_id, clabel AS cell, CAST(rank AS INT) AS rank, neighbor_id, cosine
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- ss03
@@ -239,7 +239,7 @@ object Similarity {
        |                  CAST((CAST(concat('0x', substr(md5('pl' || p || '_' || (pos - 1)), 1, 15)) AS BIGINT) % 2001) - 1000 AS DOUBLE) / 1000.0 AS coef
        |           FROM (SELECT unnest(range(0, 8)) AS p),
        |                (SELECT unnest(range(1, 65)) AS pos)),
-       |sig AS (SELECT vec_id, SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+       |sig AS (SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
        |        FROM (SELECT vec_id, p, SUM(CAST(ROUND((x * coef) * 1e9) AS BIGINT)) AS d
        |              FROM el JOIN planes USING (pos) GROUP BY 1, 2)
        |        GROUP BY 1),
@@ -257,7 +257,7 @@ object Similarity {
        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |                       ORDER BY cosine DESC, neighbor_id) AS rank
        |           FROM scored)
-       |SELECT query_id, bucket, rank, neighbor_id, cosine
+       |SELECT query_id, bucket, CAST(rank AS INT) AS rank, neighbor_id, cosine
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Registry of this family. */

@@ -34,7 +34,9 @@ object TextAnalysis {
 
   private def hitsSql(list: Seq[String]): String = {
     val lits = list.map(w => s"'$w'").mkString(", ")
-    s"len(list_filter(ws, w -> list_contains([$lits], w)))"
+    // CAST … AS INT: DuckDB len() is BIGINT, Spark size() is INT — the
+    // arrow-level type must match for the driver's type-sensitive compare
+    s"CAST(len(list_filter(ws, w -> list_contains([$lits], w))) AS INT)"
   }
 
   private val wsSqlCte =
@@ -112,7 +114,7 @@ object TextAnalysis {
   val ta02Sql: String =
     s"""WITH $wsSqlCte,
        |m AS (SELECT doc_id,
-       |             len(ws) AS n_tokens,
+       |             CAST(len(ws) AS INT) AS n_tokens,
        |             CASE WHEN n_chars > 0 THEN
        |               CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
        |                 / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
@@ -150,9 +152,9 @@ object TextAnalysis {
   val ta03Sql: String =
     s"""WITH $wsSqlCte
        |SELECT doc_id,
-       |       len(ws) AS n_ws_tokens,
-       |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
-       |       len(list_distinct(ws)) AS n_distinct_tokens,
+       |       CAST(len(ws) AS INT) AS n_ws_tokens,
+       |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens,
+       |       CAST(len(list_distinct(ws)) AS INT) AS n_distinct_tokens,
        |       CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS type_token_ratio,
        |       CAST(n_chars AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS chars_per_token
        |FROM w ORDER BY doc_id""".stripMargin
@@ -181,7 +183,7 @@ object TextAnalysis {
       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s FROM wi),
       |hh AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h
       |       FROM sh)
-      |SELECT doc_id, SUM(h) % 2147483647 AS fp_sum, MIN(h) AS fp_min,
+      |SELECT doc_id, CAST(SUM(h) % 2147483647 AS BIGINT) AS fp_sum, MIN(h) AS fp_min,
       |       COUNT(*) AS n_shingles
       |FROM hh GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
