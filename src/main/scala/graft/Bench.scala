@@ -12,23 +12,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // noop write materializes the FULL plan (count() would let Catalyst
+    // eliminate the final sort and prune every expensive projected
+    // column — timing an optimizer-gutted query). Failures are recorded
+    // as -1.0 so a broken query can never read as a speedup.
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // noop write materializes the FULL plan (count() would let Catalyst
-      // eliminate the final sort and prune every expensive projected
-      // column — timing an optimizer-gutted query). Failures are recorded
-      // as -1.0 so a broken query can never read as a speedup.
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case NonFatal(e) =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9 }
+      catch { case NonFatal(e) =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
     }
-    val qs = results.map { case (k, v) => Json.quote(k) + ":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val nFailed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":${Json.quote(sfDir)}}""")
+    // each query runs twice; the reported time is the WARM run, so
+    // round-over-round deltas measure plans, not JVM/JIT/codegen warmup.
+    // The cold pass is kept in queries_cold for transparency.
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val cold = run(name, fn)
+      val warm = if (cold >= 0) run(name, fn) else -1.0
+      name -> (warm, cold)
+    }
+    def jmap(sel: ((Double, Double)) => Double) = results
+      .map { case (k, v) => Json.quote(k) + ":" + sel(v) }.mkString("{", ",", "}")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    val nFailed = results.values.count(_._1 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_cold":${jmap(_._2)},"failed":$nFailed,"sf":${Json.quote(sfDir)}}""")
     spark.stop()
   }
 }

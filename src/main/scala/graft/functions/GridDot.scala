@@ -160,10 +160,17 @@ case class SimHash60(child: Expression)
   */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "grid_dot", exprs => GridDot(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash60", exprs => SimHash60(exprs(0)), "built-in")
+    // idempotent: re-registering an already-present function makes Spark
+    // log a "replaced a previously registered function" WARN per call —
+    // pure noise when every operator defensively calls register()
+    val reg = spark.sessionState.functionRegistry
+    if (reg.lookupFunctionBuilder(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("grid_dot")).isEmpty) {
+      reg.createOrReplaceTempFunction(
+        "grid_dot", exprs => GridDot(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "simhash60", exprs => SimHash60(exprs(0)), "built-in")
+    }
   }
 }
 

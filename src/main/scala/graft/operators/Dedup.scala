@@ -29,6 +29,27 @@ object Dedup {
   /** 31-bit Mersenne prime used for all modular hashing. */
   private val P = 2147483647L
 
+  /** Hot-bucket membership cap for pair-forming self-joins (dd03 LSH
+    * band buckets, dd06 SimHash chunk buckets, dd07 label cells,
+    * ss02 probe cells). A bucket with B members emits B²/2 pairs; one
+    * degenerate bucket (boilerplate shingle, empty-text cluster, skewed
+    * label) would otherwise go quadratic at 100 TB. Keeping the first
+    * `cap` members by id is deterministic, oracle-expressible
+    * (ROW_NUMBER ≤ cap), and bounds every bucket's cost at cap²/2 pairs
+    * while a genuine near-dup cluster that large still surfaces via its
+    * retained members.
+    */
+  val BucketCap = 1000
+
+  /** Keep at most `cap` members per key, lowest `ord` first. The window
+    * partitions on the same key the caller joins on, so the sort rides
+    * the join's own shuffle partitioning.
+    */
+  def capPerKey(df: DataFrame, keys: Seq[String], ord: String, cap: Int): DataFrame =
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(keys.map(col): _*).orderBy(col(ord))))
+      .filter(col("__rn") <= cap).drop("__rn")
+
   /** Portable 60-bit hash of a string column (see class doc). */
   def h60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
@@ -106,33 +127,23 @@ object Dedup {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------- minhash
-  /** 16 minhash values per doc, long format (doc_id, i, mh).
+  /** One row per doc: 16 minhashes mh00..mh15 plus 4 LSH band hashes
+    * (4 values per band, hashed with the same h60).
     * h_i(s) = ((1 + 604271·i)·(H(s) mod P) + (7 + 202409·i)) mod P —
-    * the universal-hash family over the md5-derived base hash.
+    * the universal-hash family over the md5-derived base hash. All 16
+    * mins are aggregate expressions over the UNEXPLODED shingle relation:
+    * one shuffle on doc_id with map-side partial aggregation, no 16× row
+    * inflation (the explode form multiplied the whole shingle corpus
+    * before its shuffle — the top cost in round-1 bench). Coefficients
+    * stay < 2^24 and hh < 2^31, so every product fits in a Long.
     */
-  private def minhashLong(docs: DataFrame): DataFrame =
-    wordShingles(docs, 3)
-      .withColumn("hh", h60(col("s")) % P)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("i"), col("hh"))
-      .withColumn("mh",
-        ((lit(1L) + col("i") * 604271L) * col("hh") + (lit(7L) + col("i") * 202409L)) % P)
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(col("mh")).as("mh"))
-
-  private val minhashSqlCte: String =
-    s"""${shinglesSqlCte(3)},
-       |hh AS (SELECT doc_id, ${h60Sql("s")} % 2147483647 AS hh FROM sh),
-       |hi AS (SELECT doc_id, hh, unnest(range(0, 16)) AS i FROM hh),
-       |mh AS (SELECT doc_id, i,
-       |              MIN(((1 + 604271 * i) * hh + (7 + 202409 * i)) % 2147483647) AS mh
-       |       FROM hi GROUP BY doc_id, i)""".stripMargin
-
-  /** Pivot the long minhash relation to one row per doc: mh00..mh15 plus
-    * 4 LSH band hashes (4 rows per band, hashed with the same h60).
-    */
-  private def minhashSig(docs: DataFrame): DataFrame = {
-    val aggs = (0 to 15).map(k => max(when(col("i") === k, col("mh"))).as(f"mh$k%02d"))
-    val sig = minhashLong(docs).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  private[graft] def minhashSig(docs: DataFrame): DataFrame = {
+    val hh = wordShingles(docs, 3).withColumn("hh", h60(col("s")) % P)
+    val mins = (0 to 15).map { i =>
+      min((lit(1L + 604271L * i) * col("hh") + lit(7L + 202409L * i)) % P)
+        .as(f"mh$i%02d")
+    }
+    val sig = hh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bands = (0 to 3).map { b =>
       h60(concat_ws(",", (0 until 4).map(j => col(f"mh${b * 4 + j}%02d")): _*)).as(s"bh$b")
     }
@@ -140,17 +151,19 @@ object Dedup {
   }
 
   private val minhashSigSqlCte: String = {
-    val pivots = (0 to 15)
-      .map(k => f"MAX(CASE WHEN i = $k THEN mh END) AS mh$k%02d").mkString(",\n              ")
+    val mins = (0 to 15)
+      .map(i => f"MIN(((${1L + 604271L * i}) * hh + (${7L + 202409L * i})) %% 2147483647) AS mh$i%02d")
+      .mkString(",\n              ")
     val bands = (0 to 3).map { b =>
       val cols = (0 until 4).map(j => f"mh${b * 4 + j}%02d")
       val cc = cols.map(c => s"CAST($c AS VARCHAR)").mkString(" || ',' || ")
       s"${h60Sql(s"($cc)")} AS bh$b"
     }.mkString(",\n              ")
-    s"""$minhashSqlCte,
+    s"""${shinglesSqlCte(3)},
+       |hh AS (SELECT doc_id, ${h60Sql("s")} % 2147483647 AS hh FROM sh),
        |sig0 AS (SELECT doc_id,
-       |              $pivots
-       |       FROM mh GROUP BY doc_id),
+       |              $mins
+       |       FROM hh GROUP BY doc_id),
        |sig AS (SELECT sig0.*,
        |              $bands
        |       FROM sig0)""".stripMargin
@@ -167,19 +180,21 @@ object Dedup {
 
   // ---------------------------------------------------------------- dd03
   /** MinHash LSH near-dup pairs: candidates share an LSH band bucket
-    * (equi-join on (band, bucket) — bounded by bucket size; at 100 TB add
-    * a bucket-size cap / salt on hot buckets), then verified with exact
-    * shingle Jaccard ≥ 0.2. */
+    * (equi-join on (band, bucket), membership capped at [[BucketCap]] so
+    * a hot bucket can't go quadratic), then verified with exact shingle
+    * Jaccard ≥ 0.2. */
   def dd03(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // the band self-join and the 3-way shingle verify would otherwise
     // recompute the signature/shingling pipeline once per join branch
     val sig = minhashSig(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandsLong = sig.select(col("doc_id"),
-      explode(map_from_arrays(
-        array((0 to 3).map(lit): _*),
-        array((0 to 3).map(b => col(s"bh$b")): _*))).as(Seq("b", "bh")))
+    val bandsLong = capPerKey(
+      sig.select(col("doc_id"),
+        explode(map_from_arrays(
+          array((0 to 3).map(lit): _*),
+          array((0 to 3).map(b => col(s"bh$b")): _*))).as(Seq("b", "bh"))),
+      Seq("b", "bh"), "doc_id", BucketCap)
     val cand = bandsLong.as("x").join(bandsLong.as("y"),
         col("x.b") === col("y.b") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -204,9 +219,13 @@ object Dedup {
 
   val dd03Sql: String =
     s"""WITH $minhashSigSqlCte,
-       |bl AS (SELECT doc_id, b, CASE b WHEN 0 THEN bh0 WHEN 1 THEN bh1
+       |bl0 AS (SELECT doc_id, b, CASE b WHEN 0 THEN bh0 WHEN 1 THEN bh1
        |                                 WHEN 2 THEN bh2 ELSE bh3 END AS bh
        |       FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+       |bl AS (SELECT doc_id, b, bh FROM (
+       |         SELECT bl0.*, ROW_NUMBER() OVER (PARTITION BY b, bh ORDER BY doc_id) AS rn
+       |         FROM bl0)
+       |       WHERE rn <= $BucketCap),
        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
        |         FROM bl x JOIN bl y ON x.b = y.b AND x.bh = y.bh
        |                            AND x.doc_id < y.doc_id),
@@ -327,10 +346,12 @@ object Dedup {
     // once per join branch
     val sig = simhashSig(Tables.documents(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunksLong = sig.select(col("doc_id"), col("simhash"),
-      explode(map_from_arrays(
-        array((0 to 3).map(lit): _*),
-        array((0 to 3).map(j => col(s"c$j")): _*))).as(Seq("j", "c")))
+    val chunksLong = capPerKey(
+      sig.select(col("doc_id"), col("simhash"),
+        explode(map_from_arrays(
+          array((0 to 3).map(lit): _*),
+          array((0 to 3).map(j => col(s"c$j")): _*))).as(Seq("j", "c"))),
+      Seq("j", "c"), "doc_id", BucketCap)
     chunksLong.as("x").join(chunksLong.as("y"),
         col("x.j") === col("y.j") && col("x.c") === col("y.c") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -345,9 +366,13 @@ object Dedup {
 
   val dd06Sql: String =
     s"""WITH $simhashSqlCte,
-       |cl AS (SELECT doc_id, simhash, j,
+       |cl0 AS (SELECT doc_id, simhash, j,
        |              CASE j WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS c
        |       FROM sig, (SELECT unnest(range(0, 4)) AS j)),
+       |cl AS (SELECT doc_id, simhash, j, c FROM (
+       |         SELECT cl0.*, ROW_NUMBER() OVER (PARTITION BY j, c ORDER BY doc_id) AS rn
+       |         FROM cl0)
+       |       WHERE rn <= $BucketCap),
        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
        |                x.simhash AS s1, y.simhash AS s2
        |         FROM cl x JOIN cl y ON x.j = y.j AND x.c = y.c
@@ -365,7 +390,7 @@ object Dedup {
     // grid_dot expression: no 64× posexplode fan-out, the pair join moves
     // whole vectors once and scores inside one whole-stage-codegen loop
     graft.functions.GraftFunctions.register(s)
-    val e = Tables.embeddings(s, dir)
+    val e = capPerKey(Tables.embeddings(s, dir), Seq("label"), "vec_id", BucketCap)
       .withColumn("n2", call_function("grid_dot", col("embedding"), col("embedding")))
       .select(col("vec_id"), col("label"), col("embedding"), col("n2"))
     e.as("a").join(e.as("b"),
@@ -381,10 +406,15 @@ object Dedup {
   }
 
   val dd07Sql: String =
-    s"""WITH el AS (
+    s"""WITH capped AS (
+      |  SELECT vec_id, label, embedding FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+      |    FROM embeddings)
+      |  WHERE rn <= $BucketCap),
+      |el AS (
       |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
       |         generate_subscripts(embedding, 1) AS pos
-      |  FROM embeddings),
+      |  FROM capped),
       |nrm AS (SELECT vec_id, SUM(${gridSql("x * x")}) AS n2
       |        FROM el GROUP BY vec_id),
       |dot AS (SELECT a.vec_id AS v1, b.vec_id AS v2,

@@ -136,7 +136,10 @@ object Similarity {
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .filter(col("query_id") < 10).join(broadcast(best), Seq("query_id"))
       .withColumn("qn2", normL(col("qe")))
-    val scored = e.select(col("vec_id").as("neighbor_id"), col("label"), col("embedding").as("ne"))
+    // probe budget: a degenerate cell can't make the per-query scan
+    // unbounded — same capped definition as the oracle
+    val scored = Dedup.capPerKey(e, Seq("label"), "vec_id", Dedup.BucketCap)
+      .select(col("vec_id").as("neighbor_id"), col("label"), col("embedding").as("ne"))
       .withColumn("nn2", normL(col("ne")))
       .join(broadcast(q),
         col("label") === col("clabel") && col("neighbor_id") =!= col("query_id"))
@@ -172,11 +175,16 @@ object Similarity {
        |           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |                       ORDER BY ccos DESC, clabel) AS rn FROM qcs)
        |         WHERE rn = 1),
+       |cappedc AS (SELECT vec_id FROM (
+       |              SELECT vec_id, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+       |              FROM embeddings)
+       |            WHERE rn <= ${Dedup.BucketCap}),
        |dot AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, b.clabel,
        |               SUM(CAST(ROUND((q.x * c.x) * 1e9) AS BIGINT)) AS dot
        |        FROM el q JOIN best b ON q.vec_id = b.query_id AND q.vec_id < 10
        |                  JOIN el c ON q.pos = c.pos AND c.label = b.clabel
        |                           AND c.vec_id <> q.vec_id
+       |                  JOIN cappedc cc ON c.vec_id = cc.vec_id
        |        GROUP BY 1, 2, 3),
        |scored AS (SELECT query_id, neighbor_id, clabel,
        |                  CAST(dot AS DOUBLE) / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE))) AS cosine

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Specs for the dedup/similarity operator plumbing that the driver's
+  * DuckDB oracle can't isolate: the hot-bucket cap and the restructured
+  * (no-explode) MinHash signature.
+  */
+class OperatorsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("capPerKey keeps the cap lowest-ord members per key") {
+    import spark.implicits._
+    // key "hot" has 5 members, "cold" has 2; cap at 3
+    val df = Seq(
+      ("hot", 5L), ("hot", 3L), ("hot", 1L), ("hot", 4L), ("hot", 2L),
+      ("cold", 10L), ("cold", 11L)
+    ).toDF("k", "id")
+    val kept = Dedup.capPerKey(df, Seq("k"), "id", 3)
+      .groupBy("k").agg(sort_array(collect_list("id")).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(kept("hot") == Seq(1L, 2L, 3L))
+    assert(kept("cold") == Seq(10L, 11L))
+  }
+
+  test("capPerKey bounds a skewed bucket's pair join") {
+    import spark.implicits._
+    val skewed = (1 to 50).map(i => ("b0", i.toLong)).toDF("k", "id")
+    val capped = Dedup.capPerKey(skewed, Seq("k"), "id", 10)
+    val pairs = capped.as("x").join(capped.as("y"),
+      $"x.k" === $"y.k" && $"x.id" < $"y.id").count()
+    assert(pairs == 45L) // 10*9/2, not 50*49/2
+  }
+
+  test("no-explode MinHash signature equals the explicit per-i minimum") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs today"),
+      (3L, "the quick brown fox jumps over the lazy cat")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.minhashSig(docs)
+      .select("doc_id", "mh00", "mh07", "mh15")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    // recompute with the naive exploded form (the shape dd02 used to have)
+    val P = 2147483647L
+    val sh = Dedup.wordShingles(docs, 3)
+      .withColumn("hh", Dedup.h60(col("s")) % P)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("i"), col("hh"))
+      .withColumn("mh", ((lit(1L) + col("i") * 604271L) * col("hh")
+        + (lit(7L) + col("i") * 202409L)) % P)
+      .groupBy("doc_id", "i").agg(min("mh").as("mh"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+    for (d <- Seq(1L, 2L, 3L)) {
+      assert(sig(d)._1 == sh((d, 0)), s"mh00 doc $d")
+      assert(sig(d)._2 == sh((d, 7)), s"mh07 doc $d")
+      assert(sig(d)._3 == sh((d, 15)), s"mh15 doc $d")
+    }
+  }
+}
