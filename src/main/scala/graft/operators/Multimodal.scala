@@ -15,11 +15,14 @@ final case class MediaMeta(
 /** Multimodal-column plumbing (north-star extension): media as opaque
   * `binary` columns with typed metadata, decoded executor-side in batches.
   *
-  * The container has no image/audio libraries, so the *decode* step is a
-  * clearly-marked deterministic STUB (dimensions derived from the content
-  * hash). Everything around it — the binary column, the typed case-class
-  * Encoders, the batched `mapPartitions` shape a vectorized decoder needs,
-  * the schema of the result — is real and oracle-checked.
+  * The decoder is REAL header parsing: PNG dimensions/channels come from
+  * the IHDR chunk (big-endian ints at fixed offsets, colortype→channel
+  * map per the PNG spec) and JPEG dimensions from a marker scan to the
+  * SOF0..SOF3 frame header — no codec library needed for metadata. The
+  * testdata carries no media files, so the *payload generator* wraps each
+  * doc's text in a structurally-valid PNG/JPEG header (the synthetic
+  * fixture); the decoder sees only bytes, and the oracle recomputes the
+  * expected metadata in closed form, so a misparse fails the hash.
   *
   * Scale posture: decode runs `mapPartitions` executor-side (one batch
   * buffer per task, no shuffle, no driver involvement); payload bytes
@@ -35,19 +38,80 @@ object Multimodal {
     d.map(x => f"$x%02x").mkString
   }
 
-  /** STUB decoder: a real implementation would parse the image header /
-    * run the codec here. Deterministic fake: dimensions are derived from
-    * the content md5 (hex chars 1–15 → width, 16–30 → height) so the
-    * pipeline stays testable without codec libraries.
+  /** PNG: 8-byte signature + IHDR chunk = 33-byte header. */
+  private val PngHeaderLen = 33
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+      ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+  private def beShort(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+
+  /** PNG colortype → samples per pixel (PNG spec §11.2.2). */
+  private def pngChannels(colorType: Int): Int = colorType match {
+    case 0 => 1 // greyscale
+    case 2 => 3 // truecolour
+    case 3 => 1 // indexed
+    case 4 => 2 // greyscale+alpha
+    case 6 => 4 // truecolour+alpha
+    case _ => 0
+  }
+
+  /** Parse a PNG header: signature, then IHDR (the spec mandates it is
+    * the first chunk: length at 8, type at 12, width/height big-endian at
+    * 16/20, bit depth 24, colour type 25). Returns (w, h, channels,
+    * bodyOffset) or None if the bytes aren't a PNG.
+    */
+  private[graft] def parsePng(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (p.length < PngHeaderLen || !p.startsWith(PngSig)) return None
+    if (!(p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')) return None
+    val ch = pngChannels(p(25) & 0xFF)
+    if (ch == 0) None else Some((beInt(p, 16), beInt(p, 20), ch, PngHeaderLen))
+  }
+
+  /** Parse a JPEG header: SOI, then scan marker segments (skipping APPn /
+    * COM / anything with a length field) until a SOF0..SOF3 frame header:
+    * precision 1B, height 2B, width 2B, component count 1B. Returns
+    * (w, h, channels, bodyOffset = end of the SOF segment) or None.
+    */
+  private[graft] def parseJpeg(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (p.length < 4 || (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8) return None
+    var i = 2
+    while (i + 4 <= p.length) {
+      if ((p(i) & 0xFF) != 0xFF) return None
+      var m = p(i + 1) & 0xFF
+      while (m == 0xFF && i + 2 < p.length) { i += 1; m = p(i + 1) & 0xFF } // fill bytes
+      if (m >= 0xD0 && m <= 0xD9 || m == 0x01) { i += 2 } // standalone, no length
+      else {
+        val len = beShort(p, i + 2)
+        if (m >= 0xC0 && m <= 0xC3) { // SOF0..SOF3 (baseline/progressive)
+          if (i + 9 > p.length) return None
+          val h = beShort(p, i + 5)
+          val w = beShort(p, i + 7)
+          val ncomp = p(i + 9) & 0xFF
+          return Some((w, h, ncomp, i + 2 + len))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Decode one payload from its BYTES only: sniff the container from the
+    * signature, parse the header for dimensions/channels, hash the body
+    * (the stream past the parsed header) as the content fingerprint.
+    * Unknown formats degrade to octet-stream with zero dimensions.
     */
   private def decodeOne(m: MediaIn): MediaMeta = {
-    val hex = md5Hex(m.payload)
-    val w = (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1920L).toInt + 1
-    val h = (java.lang.Long.parseLong(hex.substring(15, 30), 16) % 1080L).toInt + 1
-    val ch = (m.doc_id % 3L).toInt + 1
-    val mime = if (m.doc_id % 2L == 0L) "image/png" else "image/jpeg"
-    MediaMeta(m.doc_id, mime, m.payload.length.toLong, hex, w, h, ch,
-      w.toLong * h.toLong * ch.toLong)
+    val p = m.payload
+    val (mime, w, h, ch, bodyOff) =
+      parsePng(p).map { case (w, h, c, o) => ("image/png", w, h, c, o) }
+        .orElse(parseJpeg(p).map { case (w, h, c, o) => ("image/jpeg", w, h, c, o) })
+        .getOrElse(("application/octet-stream", 0, 0, 0, 0))
+    MediaMeta(m.doc_id, mime, p.length.toLong, md5Hex(p.drop(bodyOff)),
+      w, h, ch, w.toLong * h.toLong * ch.toLong)
   }
 
   /** Batched decode: drains the partition iterator in `DecodeBatch`-sized
@@ -57,30 +121,61 @@ object Multimodal {
   def decodeBatches(it: Iterator[MediaIn]): Iterator[MediaMeta] =
     it.grouped(DecodeBatch).flatMap(_.map(decodeOne))
 
-  // ---------------------------------------------------------------- mm01
-  /** Binary ingest → typed batched decode → metadata table. The payload
-    * is the UTF-8 encoding of `text` (stand-in for real media bytes).
+  /** Synthetic-fixture payload: the doc's UTF-8 text wrapped in a
+    * structurally-valid media header. Even doc_id → PNG (sig + IHDR),
+    * odd → JPEG (SOI + SOF0). Dimensions are a closed form of n_chars
+    * so the DuckDB oracle can recompute them without parsing bytes;
+    * channels cycle through 1/3/4 via the real colortype / component
+    * fields. The decoder never sees these formulas — only the bytes.
     */
+  private[graft] def synthPayload(docId: Long, text: String, nChars: Long): Array[Byte] = {
+    val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val w = (nChars * 7 % 1920 + 1).toInt
+    val h = (nChars * 13 % 1080 + 1).toInt
+    if (docId % 2 == 0) {
+      val colorType = Array(0, 2, 6)((docId % 3).toInt) // 1 / 3 / 4 channels
+      val bb = java.nio.ByteBuffer.allocate(PngHeaderLen)
+      bb.put(PngSig)
+      bb.putInt(13).put("IHDR".getBytes)
+      bb.putInt(w).putInt(h)
+      bb.put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      bb.putInt(0) // CRC not verified by the metadata parser
+      bb.array() ++ body
+    } else {
+      val ncomp = Array(1, 3, 4)((docId % 3).toInt)
+      val segLen = 8 + 3 * ncomp // counts itself, per the JPEG spec
+      val bb = java.nio.ByteBuffer.allocate(4 + segLen)
+      bb.put(0xFF.toByte).put(0xD8.toByte) // SOI
+      bb.put(0xFF.toByte).put(0xC0.toByte).putShort(segLen.toShort) // SOF0
+      bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(ncomp.toByte)
+      (1 to ncomp).foreach(c => bb.put(c.toByte).put(0x11.toByte).put(0.toByte))
+      bb.array() ++ body
+    }
+  }
+
+  // ---------------------------------------------------------------- mm01
+  /** Binary ingest → typed batched decode → metadata table. */
   def mm01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaIn]
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .as[(Long, String, String, Long)]
+      .map { case (id, src, text, n) => MediaIn(id, src, synthPayload(id, text, n)) }
     media.mapPartitions(decodeBatches).toDF().orderBy("doc_id")
   }
 
   val mm01Sql: String =
     """SELECT doc_id,
       |       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
-      |       octet_length(encode(text)) AS n_bytes,
+      |       CASE WHEN doc_id % 2 = 0 THEN 33
+      |            ELSE 12 + 3 * (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)
+      |       END + octet_length(encode(text)) AS n_bytes,
       |       md5(text) AS content_md5,
-      |       CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 1920 + 1 AS INT) AS width,
-      |       CAST(CAST(concat('0x', substr(md5(text), 16, 15)) AS BIGINT) % 1080 + 1 AS INT) AS height,
-      |       CAST(doc_id % 3 + 1 AS INT) AS channels,
-      |       (CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 1920 + 1)
-      |         * (CAST(concat('0x', substr(md5(text), 16, 15)) AS BIGINT) % 1080 + 1)
-      |         * (doc_id % 3 + 1) AS n_pixels
+      |       CAST(n_chars * 7 % 1920 + 1 AS INT) AS width,
+      |       CAST(n_chars * 13 % 1080 + 1 AS INT) AS height,
+      |       CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS channels,
+      |       CAST((n_chars * 7 % 1920 + 1) * (n_chars * 13 % 1080 + 1)
+      |         * (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END) AS BIGINT) AS n_pixels
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- mm02

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Dedup
+import graft.operators.{Dedup, Multimodal}
 
 /** Specs for the dedup/similarity operator plumbing that the driver's
   * DuckDB oracle can't isolate: the hot-bucket cap and the restructured
@@ -58,6 +58,41 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       assert(sig(d)._1 == sh((d, 0)), s"mh00 doc $d")
       assert(sig(d)._2 == sh((d, 7)), s"mh07 doc $d")
       assert(sig(d)._3 == sh((d, 15)), s"mh15 doc $d")
+    }
+  }
+
+  test("PNG parser decodes a real-world 1x1 RGBA png") {
+    // the canonical 67-byte 1x1 transparent PNG (not built by synthPayload)
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNk" +
+        "YPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    val Some((w, h, ch, off)) = Multimodal.parsePng(png)
+    assert((w, h, ch) == (1, 1, 4)) // colortype 6 = truecolour+alpha
+    assert(off == 33)
+    assert(Multimodal.parseJpeg(png).isEmpty)
+  }
+
+  test("JPEG parser scans past APP0 to the SOF0 frame header") {
+    val bb = java.nio.ByteBuffer.allocate(2 + 18 + 13)
+    bb.put(Array(0xFF, 0xD8).map(_.toByte)) // SOI
+    bb.put(Array(0xFF, 0xE0).map(_.toByte)).putShort(16) // APP0, JFIF
+    bb.put("JFIF".getBytes).put(new Array[Byte](10))
+    bb.put(Array(0xFF, 0xC0).map(_.toByte)).putShort(11) // SOF0
+    bb.put(8.toByte).putShort(2).putShort(3).put(1.toByte) // h=2 w=3 ncomp=1
+    bb.put(new Array[Byte](3))
+    val Some((w, h, ch, _)) = Multimodal.parseJpeg(bb.array())
+    assert((w, h, ch) == (3, 2, 1))
+    assert(Multimodal.parsePng(bb.array()).isEmpty)
+  }
+
+  test("synthPayload round-trips through the byte-level parsers") {
+    for (id <- 0L to 5L) {
+      val p = Multimodal.synthPayload(id, "hello media world", 17L)
+      val parsed = if (id % 2 == 0) Multimodal.parsePng(p) else Multimodal.parseJpeg(p)
+      val Some((w, h, ch, off)) = parsed
+      assert(w == (17 * 7 % 1920 + 1) && h == (17 * 13 % 1080 + 1))
+      assert(ch == Array(1, 3, 4)((id % 3).toInt))
+      assert(new String(p.drop(off), "UTF-8") == "hello media world")
     }
   }
 }
