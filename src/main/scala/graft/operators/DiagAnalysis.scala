@@ -110,9 +110,9 @@ object DiagAnalysis {
       clusterName: String): DataFrame = {
     val ev = gc.toDF().join(broadcast(nodeDc), Seq("node"), "left")
     // explode each event into its three rollup levels (a rollup can't
-    // feed the positional-percentile rank window, so the level column is
+    // feed a per-level percentile pick, so the level column is
     // materialized explicitly — same 3× row multiplier a rollup pays)
-    val ranked = ev
+    val lvls = ev
       .select(col("dc"), col("node"), col("ts"), col("pauseMs"))
       .withColumn("lvl", explode(array(
         struct(lit("Node").as("level"), col("node").as("name")),
@@ -120,23 +120,25 @@ object DiagAnalysis {
         struct(lit("Database").as("level"), lit(clusterName).as("name")))))
       .select(col("lvl.level").as("level"), col("lvl.name").as("name"),
         col("ts"), col("pauseMs"))
-    val byLvl = Window.partitionBy(col("level"), col("name"))
-    val withRank = ranked
-      .withColumn("rn", row_number().over(byLvl.orderBy(col("pauseMs"), col("ts"))))
-      .withColumn("n", count(lit(1)).over(byLvl))
-    def pick(q: Double, nm: String): Column = {
-      val idx = least(greatest(round(col("n") * q), lit(1L)), col("n"))
-      max(when(col("rn") === idx, col("pauseMs"))).as(nm)
-    }
-    withRank.groupBy(col("level"), col("name"), col("n")).agg(
-      min(col("pauseMs")).as("min_ms"),
-      pick(0.50, "p50"), pick(0.75, "p75"), pick(0.90, "p90"),
-      pick(0.95, "p95"), pick(0.98, "p98"), pick(0.99, "p99"),
-      max(col("pauseMs")).as("max_ms"),
+    // distributed histogram selection (Relational.histPercentiles): the
+    // Database level no longer sorts every GC event in one window
+    // partition. pauseMs is an integer, so the identity bucketing already
+    // bounds the prefix-sum relation by the pause-value domain.
+    val pcts = Relational.histPercentiles(lvls, Seq("level", "name"), "pauseMs",
+      identity, (n, q) => least(greatest(round(n * q), lit(1L)), n),
+      Seq(0.50 -> "p50", 0.75 -> "p75", 0.90 -> "p90",
+        0.95 -> "p95", 0.98 -> "p98", 0.99 -> "p99"))
+    val base = lvls.groupBy(col("level"), col("name")).agg(
       min(col("ts")).as("oldest"),
       max(col("ts")).as("newest"),
       max_by(col("ts"), struct(col("pauseMs"), col("ts"))).as("ts_of_max"))
+    pcts
       .withColumnRenamed("n", "pauses")
+      .withColumnRenamed("min_v", "min_ms").withColumnRenamed("max_v", "max_ms")
+      .join(base, Seq("level", "name"))
+      .select(col("level"), col("name"), col("pauses"), col("min_ms"),
+        col("p50"), col("p75"), col("p90"), col("p95"), col("p98"), col("p99"),
+        col("max_ms"), col("oldest"), col("newest"), col("ts_of_max"))
       .withColumn("level_rank",
         when(col("level") === "Database", 0).when(col("level") === "DC", 1).otherwise(2))
       .orderBy("level_rank", "name")

@@ -24,6 +24,56 @@ object Relational {
   /** Exact-decimal sum of a double column, returned as double. */
   private def dsum(c: Column): Column = sum(c.cast(D18_2)).cast("double")
 
+  /** Exact positional percentiles WITHOUT a full-data single-partition
+    * sort. The rank-window form (`row_number` over the group, pick
+    * rn == idx) puts the whole dataset in one window partition at the
+    * "all"/Database rollup level — one task sorts everything, a
+    * scale-killer at 100 TB. Selection here is distributed in three
+    * bounded steps instead:
+    *   1. value histogram: groupBy (keys, value) — a point-mass value
+    *      collapses to one row, and the shuffle key includes the value,
+    *      so even the "all" group spreads over all partitions;
+    *   2. coarse buckets (`bucketOf`, any monotone coarsening): prefix
+    *      sum over the per-key BUCKET relation, whose cardinality is
+    *      value-domain / bucket-width — independent of row count;
+    *   3. within-bucket prefix sum over that bucket's histogram rows.
+    * The value at global rank idx is the smallest value whose cumulative
+    * count reaches idx — identical to the rank-window pick for every idx
+    * formula, ties included (the rank ordering among equal values never
+    * changes which value sits at a global position).
+    *
+    * Returns one row per key group: keys ++ (n, min_v, <qs names>, max_v).
+    * `idxOf(n, q)` must yield the caller's 1-based target rank.
+    */
+  def histPercentiles(rows: DataFrame, keys: Seq[String], valueCol: String,
+      bucketOf: Column => Column, idxOf: (Column, Double) => Column,
+      qs: Seq[(Double, String)]): DataFrame = {
+    val k = keys.map(col)
+    val hist = rows.groupBy(k :+ col(valueCol): _*).agg(count(lit(1)).as("__c"))
+      .withColumn("__b", bucketOf(col(valueCol)))
+    val bstats = hist.groupBy(k :+ col("__b"): _*).agg(sum(col("__c")).as("__bc"))
+    val wb = Window.partitionBy(k: _*).orderBy(col("__b"))
+    val boff = bstats
+      .withColumn("__off", sum(col("__bc")).over(wb) - col("__bc"))
+      .select(k :+ col("__b") :+ col("__off"): _*)
+    val n = bstats.groupBy(k: _*).agg(sum(col("__bc")).as("__n"))
+    val win = Window.partitionBy(k :+ col("__b"): _*).orderBy(col(valueCol))
+    val cum = hist.join(boff, keys :+ "__b")
+      .withColumn("__cum", col("__off") + sum(col("__c")).over(win))
+      .join(n, keys)
+    val picks = qs.map { case (q, nm) =>
+      min(when(col("__cum") >= idxOf(col("__n"), q), col(valueCol))).as(nm)
+    }
+    val aggs = min(col(valueCol)).as("min_v") +: picks :+ max(col(valueCol)).as("max_v")
+    cum.groupBy(k :+ col("__n"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("__n", "n")
+  }
+
+  /** The q04/q20 target-rank formula: round-half-up(n·q) clamped to [1,n]. */
+  private[graft] def idxHalfUp(n: Column, q: Double): Column =
+    least(greatest(floor(n * q + 0.5), lit(1L)), n)
+
   // ---------------------------------------------------------------- q01
   /** Workload-share core (SURVEY §7.2): grouped SUMs (A1–A3), grand totals
     * (A4), ratio-of-total (A5/W1), global desc sort (O1).
@@ -137,28 +187,21 @@ object Relational {
 
   // ---------------------------------------------------------------- q04
   /** Positional multi-percentile (A6): the reference's exact semantics —
-    * sort, pick index round(n·q)−1, clamped (explore.py:365-398) — via a
-    * rank window + conditional max, no interpolation, no collect. Scales:
-    * the window shuffles once on the group key; everything after is
-    * map-side.
+    * sort, pick index round(n·q)−1, clamped (explore.py:365-398) — via
+    * the distributed histogram selection ([[histPercentiles]]): no
+    * interpolation, no collect, and no per-group full sort (a group is
+    * 1/|types| of the data — still a scale-killer as one window
+    * partition). The oracle keeps the rank-window form; the picked
+    * values are identical by construction.
     */
-  def q04(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val byType = Window.partitionBy(col("event_type"))
-    val ranked = ev
-      .withColumn("rn", row_number().over(byType.orderBy(col("value"), col("event_id"))))
-      .withColumn("n", count(lit(1)).over(byType))
-    def pick(q: Double): Column = {
-      val idx = least(greatest(floor(col("n") * q + 0.5), lit(1L)), col("n"))
-      max(when(col("rn") === idx, col("value")))
-    }
-    ranked.groupBy(col("event_type"), col("n")).agg(
-      min(col("value")).as("min_v"),
-      pick(0.50).as("p50"), pick(0.75).as("p75"), pick(0.90).as("p90"),
-      pick(0.95).as("p95"), pick(0.98).as("p98"), pick(0.99).as("p99"),
-      max(col("value")).as("max_v"))
+  def q04(s: SparkSession, dir: String): DataFrame =
+    histPercentiles(Tables.events(s, dir), Seq("event_type"), "value",
+        floor, idxHalfUp,
+        Seq(0.50 -> "p50", 0.75 -> "p75", 0.90 -> "p90",
+          0.95 -> "p95", 0.98 -> "p98", 0.99 -> "p99"))
+      .select("event_type", "n", "min_v", "p50", "p75", "p90", "p95",
+        "p98", "p99", "max_v")
       .orderBy("event_type")
-  }
 
   val q04Sql: String = {
     def pick(q: String, name: String) =
@@ -510,8 +553,11 @@ object Relational {
   /** 3-level rollup of positional percentiles + argmax timestamps — the
     * oracle twin of DiagAnalysis.gcPercentiles (A6–A9 at Database → DC →
     * Node, ref explore.py:332-341, 365-398, 1072-1077). Levels are
-    * materialized by exploding each event into its level rows (a rollup
-    * can't feed the rank window), then one rank window per (level, name).
+    * materialized by exploding each event into its level rows, then the
+    * percentiles come from the distributed histogram selection
+    * ([[histPercentiles]]) — the "all" level no longer sorts the whole
+    * dataset in one window partition. The timestamp aggregates are plain
+    * (partially-aggregated, shuffle-on-key) group-bys joined back on.
     */
   def q20(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -524,21 +570,15 @@ object Relational {
         struct(lit("sub").as("level"), col("sub").as("name")))).as("l"))
       .select(col("l.level").as("level"), col("l.name").as("name"),
         col("ts"), col("value"), col("event_id"))
-    val w = Window.partitionBy(col("level"), col("name"))
-    val ranked = lvls
-      .withColumn("rn", row_number().over(w.orderBy(col("value"), col("event_id"))))
-      .withColumn("n", count(lit(1)).over(w))
-    def pick(q: Double, nm: String): Column = {
-      val idx = least(greatest(floor(col("n") * q + 0.5), lit(1L)), col("n"))
-      max(when(col("rn") === idx, col("value"))).as(nm)
-    }
-    ranked.groupBy(col("level"), col("name"), col("n")).agg(
-      min(col("value")).as("min_v"),
-      pick(0.50, "p50"), pick(0.95, "p95"), pick(0.99, "p99"),
-      max(col("value")).as("max_v"),
+    val pcts = histPercentiles(lvls, Seq("level", "name"), "value",
+      floor, idxHalfUp, Seq(0.50 -> "p50", 0.95 -> "p95", 0.99 -> "p99"))
+    val base = lvls.groupBy(col("level"), col("name")).agg(
       min(col("ts")).as("oldest"), max(col("ts")).as("newest"),
       max_by(col("ts"), col("value") * 1e8 + col("event_id")).as("ts_of_max"))
-      .withColumnRenamed("n", "pauses")
+    pcts.withColumnRenamed("n", "pauses")
+      .join(base, Seq("level", "name"))
+      .select("level", "name", "pauses", "min_v", "p50", "p95", "p99",
+        "max_v", "oldest", "newest", "ts_of_max")
       .orderBy("level", "name")
   }
 

@@ -85,6 +85,39 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.parsePng(bb.array()).isEmpty)
   }
 
+  test("histPercentiles equals the rank-window pick on tie-heavy random data") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val rnd = new scala.util.Random(42)
+    // heavy ties (values 0..9) + a continuous tail, multiple group sizes
+    val rows = (1 to 800).map { i =>
+      val g = s"g${i % 3}"
+      val v = if (i % 2 == 0) (rnd.nextInt(10)).toDouble else rnd.nextDouble() * 50
+      (g, v, i.toLong)
+    }.toDF("k", "value", "id")
+    val qs = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+
+    val hist = Relational.histPercentiles(rows, Seq("k"), "value",
+        floor, Relational.idxHalfUp, qs)
+      .select("k", "n", "min_v", "p50", "p90", "p99", "max_v")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+
+    val byK = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+    val ranked = rows
+      .withColumn("rn", row_number().over(byK.orderBy(col("value"), col("id"))))
+      .withColumn("n", count(lit(1)).over(byK))
+    def pick(q: Double): org.apache.spark.sql.Column =
+      max(when(col("rn") === Relational.idxHalfUp(col("n"), q), col("value")))
+    val win = ranked.groupBy(col("k"), col("n")).agg(
+      min(col("value")).as("min_v"),
+      pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"),
+      max(col("value")).as("max_v"))
+      .select("k", "n", "min_v", "p50", "p90", "p99", "max_v")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+
+    assert(hist == win)
+  }
+
   test("synthPayload round-trips through the byte-level parsers") {
     for (id <- 0L to 5L) {
       val p = Multimodal.synthPayload(id, "hello media world", 17L)
