@@ -54,7 +54,9 @@ object DiagReport {
       tombstones = DiagAnalysis.tombstoneTab(tsEv, nodeDc),
       thresholds = DiagAnalysis.thresholdTabs(metrics, nodeDc, DiagAnalysis.tabSpecs(tp)),
       warnings = DiagAnalysis.guardrailWarnings(spark, catalog.objects, metrics,
-        gcPct, tsEv, nodeDc, cluster, tp),
+          gcPct, tsEv, nodeDc, cluster, tp)
+        .unionByName(DiagAnalysis.missingNodeWarnings(status, gossip, dirIp))
+        .orderBy("category", "check", "message"),
       proxyHist = DiagAnalysis.proxyHistTab(DiagSource.proxyHist(spark, root), nodeDc),
       clusterName = cluster)
   }
@@ -98,8 +100,11 @@ object DiagReport {
     }
     val totalSize = sumOf("size_bytes")
 
-    val warns = tabs.warnings.collect()
-      .groupBy(_.getAs[String]("category"))
+    val allWarns = tabs.warnings.collect()
+    // ref explore.py:304, 685: any unmatched node IP marks the diag
+    // incomplete in the summary
+    val missingData = if (allWarns.exists(_.getAs[String]("category") == "Missing Data")) 1 else 0
+    val warns = allWarns.groupBy(_.getAs[String]("category"))
     val warnJson = warns.toSeq.sortBy(_._1).map { case (cat, rows) =>
       val checks = rows.groupBy(_.getAs[String]("check")).toSeq.sortBy(_._1)
         .map { case (check, msgs) =>
@@ -133,21 +138,26 @@ object DiagReport {
     s"""{"cluster":${jstr(tabs.clusterName)},"workload":{$wlEntries},""" +
       s""""dataset_size":{$dsEntries},""" +
       s""""astra_metrics":{$metrics},""" +
-      s""""missing_data":0,"warnings":{$warnJson}}"""
+      s""""missing_data":$missingData,"warnings":{$warnJson}}"""
   }
 
-  /** Write one cluster's tabs + summary under `outDir`. */
+  /** Write one cluster's tabs + summary under `outDir`. The node tab is
+    * gated on having any status data (the reference's `exclude_tab`,
+    * explore.py:305-306: a diag with no nodetool/status drops the tab
+    * rather than emitting a zero-row one). */
   def write(tabs: Tabs, outDir: String): Unit = {
     new java.io.File(outDir).mkdirs()
-    Seq(
-      "node_table" -> tabs.nodeTable, "workload" -> tabs.workload,
+    (Seq(
+      "workload" -> tabs.workload,
       "gc_pauses" -> tabs.gc, "tombstones" -> tabs.tombstones,
       "threshold_tabs" -> tabs.thresholds, "warnings" -> tabs.warnings,
       "proxy_histograms" -> tabs.proxyHist
+    ) ++ (if (tabs.nodeTable.isEmpty) Nil else Seq("node_table" -> tabs.nodeTable))
     ).foreach { case (name, df) =>
       df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     }
     Files.writeString(Paths.get(s"$outDir/summary.json"), summaryJson(tabs))
+    DiagWorkbook.write(tabs, outDir)
   }
 
   /** Parse the reference's `-tp_*` threshold flags (explore.py:140-171),

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.Row
+import java.nio.file.{Files, Paths}
+
+/** Spreadsheet-shaped report: one CSV per workbook tab, with the
+  * reference's tab names and header layouts (ref explore.py:1121-1849 —
+  * the xlsx writer; sheets_data at explore.py:442-450). The engine's
+  * deliverable is the data: formulas the reference leaves to Excel
+  * (totals, averages, TPMo) are emitted as computed rows, and
+  * presentation-only features (freeze panes, formats, textbox comments)
+  * have no CSV counterpart. Side-by-side block layouts (Workload,
+  * Proxihistogram) are reproduced, including the empty separator column.
+  *
+  * Every tab is report-sized (post-aggregation) by construction, so the
+  * collects here are sink-sized, not data-sized.
+  */
+object DiagWorkbook {
+
+  private def csvCell(v: Any): String = v match {
+    case null => ""
+    case s: String if s.contains(",") || s.contains("\"") || s.contains("\n") =>
+      "\"" + s.replace("\"", "\"\"") + "\""
+    case other => other.toString
+  }
+
+  private def writeCsv(path: String, rows: Seq[Seq[Any]]): Unit =
+    Files.writeString(Paths.get(path),
+      rows.map(_.map(csvCell).mkString(",")).mkString("", "\n", "\n"))
+
+  private def get(r: Row, name: String): Any =
+    if (r.isNullAt(r.fieldIndex(name))) null else r.getAs[Any](name)
+
+  private def num(r: Row, name: String): Double =
+    Option(get(r, name)).map(_.toString.toDouble).getOrElse(0.0)
+
+  /** The reference's cfstats threshold tabs: engine tab key →
+    * (workbook tab name, headers) — explore.py:445-450. */
+  private val ThresholdTabs = Seq(
+    "dropped_mutation" -> ("Dropped Mutation",
+      Seq("Node", "DC", "Keyspace", "Table", "Dropped Mutations")),
+    "num_tables" -> ("Number of Tables",
+      Seq("Sample Node", "DC", "Keyspace", "Table", "Total Number of Tables")),
+    "large_partition" -> ("Large Partitions",
+      Seq("Node", "DC", "Keyspace", "Table", "Partition Size(MB)")),
+    "sstable_count" -> ("SSTable Count",
+      Seq("Example Node", "DC", "Keyspace", "Table", "SSTable Count")),
+    "read_latency" -> ("Read Latency",
+      Seq("Node", "DC", "Keyspace", "Table", "Read Latency (ms)")),
+    "write_latency" -> ("Write Latency",
+      Seq("Node", "DC", "Keyspace", "Table", "Write Latency (ms)")))
+
+  /** Write all workbook tabs as `<outDir>/workbook/<Tab Name>.csv`. */
+  def write(tabs: DiagReport.Tabs, outDir: String): Unit = {
+    val dir = s"$outDir/workbook"
+    new java.io.File(dir).mkdirs()
+
+    // ---- Node Data (explore.py:443, 1545-1559: + Avg Uptime footer)
+    val nodeRows = tabs.nodeTable.collect()
+    val nodeData = nodeRows.toSeq.map(r => Seq(
+      get(r, "dc"), get(r, "node"), get(r, "load"), get(r, "tokens"),
+      get(r, "rack"), get(r, "uptime_sec"), get(r, "uptime_human"),
+      get(r, "workload"), get(r, "version")))
+    val avgUptime =
+      if (nodeRows.isEmpty) 0.0 else nodeRows.map(num(_, "uptime_sec")).sum / nodeRows.length
+    if (nodeRows.nonEmpty) // exclude_tab parity: no status data, no tab
+      writeCsv(s"$dir/Node Data.csv",
+        Seq(Seq("Datacenter", "Node", "Load", "Tokens", "Rack", "Uptime (sec)",
+          "Uptime", "Workload", "Version")) ++ nodeData ++
+          Seq(Seq("", "", "", "", "Avg Uptime", avgUptime, "", "", "")))
+
+    // ---- Workload: read block ∥ write block (explore.py:1684-1789)
+    val wl = tabs.workload.collect().toSeq
+    val readSide = wl.sortBy(r => (-num(r, "reads"), r.getAs[String]("keyspace"),
+      r.getAs[String]("table"))).map(r => Seq(
+      get(r, "keyspace"), get(r, "table"), num(r, "reads"), num(r, "read_tps"),
+      num(r, "perc_read"), num(r, "read_perc_rw")))
+    val writeSide = wl.sortBy(r => (-num(r, "writes"), r.getAs[String]("keyspace"),
+      r.getAs[String]("table"))).map(r => Seq(
+      get(r, "keyspace"), get(r, "table"), num(r, "writes"), num(r, "write_tps"),
+      num(r, "perc_write"), num(r, "write_perc_rw")))
+    def tot(side: Seq[Seq[Any]], i: Int) = side.map(_(i).toString.toDouble).sum
+    val readTotal = Seq("Total", "", tot(readSide, 2), tot(readSide, 3), "", tot(readSide, 5))
+    val writeTotal = Seq("Total", "", tot(writeSide, 2), tot(writeSide, 3), "", tot(writeSide, 5))
+    val blockHdr = Seq("Keyspace", "Table")
+    val wlRows =
+      Seq(blockHdr ++ Seq("Read Requests", "Average TPS", "% Reads", "R % RW", "") ++
+        blockHdr ++ Seq("Write Requests", "Average TPS", "% Writes", "W % RW")) ++
+        (readSide :+ readTotal).zipAll(writeSide :+ writeTotal,
+          Seq.fill(6)(""), Seq.fill(6)("")).map { case (a, b) => a ++ Seq("") ++ b }
+    writeCsv(s"$dir/Workload.csv", wlRows)
+
+    // ---- Data Size (explore.py:1130, 1710-1716) + Total footer
+    val dsRows = wl.sortBy(r => (-num(r, "size_bytes"), r.getAs[String]("keyspace"),
+      r.getAs[String]("table"))).map(r =>
+      Seq(get(r, "keyspace"), get(r, "table"), num(r, "size_bytes")))
+    writeCsv(s"$dir/Data Size.csv",
+      Seq(Seq("Keyspace", "Table", "Size (Bytes)")) ++ dsRows ++
+        Seq(Seq("Total", "", wl.map(num(_, "size_bytes")).sum)))
+
+    // ---- threshold tabs (explore.py:445-450)
+    val th = tabs.thresholds.collect().groupBy(_.getAs[String]("tab"))
+    ThresholdTabs.foreach { case (key, (tabName, headers)) =>
+      val rows = th.getOrElse(key, Array.empty[Row]).toSeq.map(r => Seq(
+        get(r, "node"), get(r, "dc"), get(r, "keyspace"), get(r, "table"),
+        num(r, "value")))
+      writeCsv(s"$dir/$tabName.csv", headers.map(_.asInstanceOf[Any]) +: rows)
+    }
+
+    // ---- Tombstones (explore.py:1575-1600; ts_cols order)
+    val tsRows = tabs.tombstones.collect().toSeq.map(r => Seq(
+      get(r, "dc"), get(r, "node"), get(r, "keyspace"), get(r, "table"),
+      get(r, "reads"), get(r, "tombstones")))
+    writeCsv(s"$dir/Tombstones.csv",
+      Seq(Seq("Sample DC", "Sample Node", "Keyspace", "Table",
+        "Live Rows Read", "Tombstones")) ++ tsRows)
+
+    // ---- GC Pauses (explore.py:1605-1682). The reference writes the
+    // node's DC in column 2 for node rows; the engine's gc relation
+    // carries the rollup level there (documented deviation).
+    val gcRows = tabs.gc.collect().toSeq.map(r => Seq(
+      get(r, "name"), get(r, "level"), get(r, "pauses"), get(r, "max_ms"),
+      get(r, "p99"), get(r, "p98"), get(r, "p95"), get(r, "p90"),
+      get(r, "p75"), get(r, "p50"), get(r, "min_ms"),
+      get(r, "oldest"), get(r, "newest"), get(r, "ts_of_max")))
+    writeCsv(s"$dir/GC Pauses.csv",
+      Seq(Seq("Name", "Level/DC", "Pauses", "Max", "P99", "P98", "P95",
+        "P90", "P75", "P50", "Min", "From", "To", "Max Date")) ++ gcRows)
+
+    // ---- Proxihistogram: read block ∥ write block (explore.py:444)
+    val phLabels = Seq("Max", "99", "98", "95", "75", "50", "Min")
+    val phRows = tabs.proxyHist.collect().toSeq.map { r =>
+      val ids = Seq(get(r, "dc"), get(r, "node"))
+      ids ++ phLabels.map(l => get(r, s"r_$l")) ++ Seq("") ++
+        ids ++ phLabels.map(l => get(r, s"w_$l"))
+    }
+    val phHdr = Seq("Datacenter", "Node", "Max", "P99", "P98", "P95", "P75", "P50", "Min")
+    writeCsv(s"$dir/Proxihistogram.csv", (phHdr ++ Seq("") ++ phHdr) +: phRows)
+
+    // ---- Astra Metrics: workload summary + warning sections
+    // (explore.py:1801-1846)
+    val secPerMonth = 60.0 * 60 * 24 * 365.25 / 12
+    val readTps = wl.map(num(_, "read_tps")).sum
+    val writeTps = wl.map(num(_, "write_tps")).sum
+    val warnRows = tabs.warnings.collect().toSeq
+    val warnSection =
+      if (warnRows.isEmpty) Seq(Seq("No potential guardrail issues identified"))
+      else warnRows.groupBy(_.getAs[String]("category")).toSeq.sortBy(_._1)
+        .flatMap { case (cat, rs) =>
+          Seq(Seq(""), Seq(cat)) ++
+            rs.groupBy(_.getAs[String]("check")).toSeq.sortBy(_._1)
+              .flatMap { case (check, ms) =>
+                Seq(check).map(Seq[Any](_)) ++
+                  ms.map(_.getAs[String]("message")).sorted.map(m => Seq[Any]("", m))
+              }
+        }
+    writeCsv(s"$dir/Astra Metrics.csv",
+      Seq(
+        Seq(s"Astra Metrics Data for ${tabs.clusterName}"),
+        Seq("Workload Summary"),
+        Seq("Read TPS", readTps),
+        Seq("Read TPMo", readTps * secPerMonth),
+        Seq("Write TPS", writeTps),
+        Seq("Write TPMo", writeTps * secPerMonth),
+        Seq("Data Size (GB)", wl.map(num(_, "size_bytes")).sum / 1e9),
+        Seq("Average Uptime", avgUptime)) ++ warnSection)
+  }
+}

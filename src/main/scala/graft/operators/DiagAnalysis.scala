@@ -34,11 +34,18 @@ object DiagAnalysis {
       when(col("dseVersion") === "" || col("workload") === "", ossVer)
         .otherwise(col("dseVersion")).as("version"))
     val info = nodeInfo.select(col("node_dir"), col("uptime_sec"))
+    val up = coalesce(col("uptime_sec"), lit(0L))
+    // "dd days hh:mm:ss" — the reference renders this as an Excel formula
+    // (explore.py:1554); here it's an engine column
+    val human = concat(floor(up / 86400).cast("long"), lit(" days "),
+      lpad((up % 86400 / 3600).cast("long").cast("string"), 2, "0"), lit(":"),
+      lpad((up % 3600 / 60).cast("long").cast("string"), 2, "0"), lit(":"),
+      lpad((up % 60).cast("string"), 2, "0"))
     st.join(broadcast(go), Seq("ip"), "left")
       .join(broadcast(dirIp), Seq("ip"), "left")
       .join(broadcast(info), Seq("node_dir"), "left")
       .select(col("dc"), col("ip").as("node"), col("load"), col("tokens"),
-        col("rack"), coalesce(col("uptime_sec"), lit(0L)).as("uptime_sec"),
+        col("rack"), up.as("uptime_sec"), human.as("uptime_human"),
         coalesce(col("workload"), lit("OSS Cassandra")).as("workload"),
         coalesce(col("version"), lit(ossVer)).as("version"))
       .orderBy("dc", "node")
@@ -75,7 +82,12 @@ object DiagAnalysis {
       .withColumn("norm", when(col("metric") === "Local read count",
           col("v") / coalesce(col("rf_dc"), lit(1.0)))
         .otherwise(col("v") / coalesce(col("rf_total"), lit(1.0))))
-      .withColumn("tps", col("norm") / col("uptime_sec"))
+      // explicit uptime-0 guard: such a node contributes its counts but
+      // no TPS term (the reference would crash on the division,
+      // explore.py:936/985 — float(count)/float(node_uptime[node]));
+      // relying on Spark's silent x/0→NULL here hid the semantics
+      .withColumn("tps",
+        when(col("uptime_sec") > 0, col("norm") / col("uptime_sec")))
 
     val agg = base.groupBy(col("keyspace"), col("table")).agg(
       sum(when(col("metric") === "Local read count", col("norm"))).as("reads"),
@@ -306,6 +318,24 @@ object DiagAnalysis {
     (perKind ++ udfuda ++ Seq(colCnt, tblCnt, lpar, gcWarn, tsWarn))
       .reduce(_.unionByName(_))
       .orderBy("category", "check", "message")
+  }
+
+  /** Missing-node detection (ref explore.py:302-304, 683-686): an IP
+    * seen in nodetool/status or gossipinfo with no matching node
+    * directory yields a 'Missing Data'/'Missing Node Data' warning row,
+    * and its presence flips summary_json.missing_data to 1. Documented
+    * deviation: the reference also silently drops such nodes from the
+    * node tab; this engine keeps the row (with zero/default fields) so a
+    * down node stays visible alongside its warning.
+    */
+  def missingNodeWarnings(status: Dataset[StatusRow], gossip: Dataset[GossipNode],
+      dirIp: DataFrame): DataFrame = {
+    val seen = status.toDF().select(col("ip"))
+      .unionByName(gossip.toDF().select(col("ip")))
+      .distinct()
+    seen.join(broadcast(dirIp.select(col("ip"))), Seq("ip"), "left_anti")
+      .select(lit("Missing Data").as("category"),
+        lit("Missing Node Data").as("check"), col("ip").as("message"))
   }
 
   /** Proxy-histogram tab (ref explore.py:1500-1509, 1516-1560): one row

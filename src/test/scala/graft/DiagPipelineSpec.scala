@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.Row
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** End-to-end pipeline test over the diag_mini fixture (SURVEY.md §5.3):
   * parse → analyze → summary, asserting hand-computed golden values.
@@ -109,6 +111,10 @@ class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(msgs.count { case (c, _) => c == "User-Defined Aggregate" } == 1)
     // no SAI warning: 1 SAI ≤ tp 8
     assert(!msgs.exists(_._1 == "Storage-Attached Indexes"))
+    // down node 10.0.0.9 is in status but has no diag dir
+    // (ref explore.py:302-304: unmatched IP → Missing Node Data warning)
+    assert(msgs.contains(("Missing Node Data", "10.0.0.9")))
+    assert(msgs.count(_._1 == "Missing Node Data") == 1)
   }
 
   test("node table: status ⋈ gossip ⋈ uptime; OSS/DSE versions") {
@@ -118,12 +124,56 @@ class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(n1.getAs[String]("workload") == "OSS Cassandra")
     assert(n1.getAs[String]("version") == "4.0.11")
     assert(n1.getAs[Long]("uptime_sec") == 86400L)
+    assert(n1.getAs[String]("uptime_human") == "1 days 00:00:00")
+    assert(nt("10.0.0.3").getAs[String]("uptime_human") == "0 days 12:00:00")
     assert(nt("10.0.0.3").getAs[String]("workload") == "DSE Core")
     assert(nt("10.0.0.3").getAs[String]("version") == "6.0.0")
     assert(nt("10.0.0.4").getAs[String]("workload") == "Search + Graph")
     assert(nt("10.0.0.4").getAs[String]("version") == "6.8.25")
     // down node 10.0.0.9 has no diag dir: defaults
     assert(nt("10.0.0.9").getAs[Long]("uptime_sec") == 0L)
+  }
+
+  test("workbook: one CSV per reference tab with the reference layouts") {
+    val dir = Files.createTempDirectory("graft_wb").toString
+    DiagWorkbook.write(tabs, dir)
+    def lines(tab: String): Seq[String] = {
+      val p = Paths.get(s"$dir/workbook/$tab.csv")
+      assert(Files.exists(p), s"missing tab $tab")
+      Files.readAllLines(p).asScala.toSeq
+    }
+    // all 13 reference tabs exist (explore.py:1127-1138, 443-450)
+    val hdr = Map(
+      "Node Data" -> "Datacenter,Node,Load,Tokens,Rack,Uptime (sec),Uptime,Workload,Version",
+      "Dropped Mutation" -> "Node,DC,Keyspace,Table,Dropped Mutations",
+      "Number of Tables" -> "Sample Node,DC,Keyspace,Table,Total Number of Tables",
+      "Large Partitions" -> "Node,DC,Keyspace,Table,Partition Size(MB)",
+      "SSTable Count" -> "Example Node,DC,Keyspace,Table,SSTable Count",
+      "Read Latency" -> "Node,DC,Keyspace,Table,Read Latency (ms)",
+      "Write Latency" -> "Node,DC,Keyspace,Table,Write Latency (ms)",
+      "Tombstones" -> "Sample DC,Sample Node,Keyspace,Table,Live Rows Read,Tombstones",
+      "GC Pauses" -> "Name,Level/DC,Pauses,Max,P99,P98,P95,P90,P75,P50,Min,From,To,Max Date",
+      "Data Size" -> "Keyspace,Table,Size (Bytes)")
+    hdr.foreach { case (tab, h) => assert(lines(tab).head == h, s"tab $tab header") }
+    // side-by-side blocks keep the empty separator column
+    assert(lines("Workload").head ==
+      "Keyspace,Table,Read Requests,Average TPS,% Reads,R % RW,," +
+        "Keyspace,Table,Write Requests,Average TPS,% Writes,W % RW")
+    assert(lines("Proxihistogram").head ==
+      "Datacenter,Node,Max,P99,P98,P95,P75,P50,Min,," +
+        "Datacenter,Node,Max,P99,P98,P95,P75,P50,Min")
+    // workload data: read side sorted desc — users first; Total row closes
+    val wlRows = lines("Workload").tail
+    assert(wlRows.head.startsWith("ks1,users,20000"))
+    assert(wlRows.last.contains("Total"))
+    // node tab carries the Avg Uptime footer
+    assert(lines("Node Data").last.contains("Avg Uptime"))
+    // astra metrics: summary rows + warning sections
+    val am = lines("Astra Metrics")
+    assert(am.head == "Astra Metrics Data for TestCluster")
+    assert(am.exists(_.startsWith("Read TPS,")))
+    assert(am.contains("Astra Guardrails"))
+    assert(am.exists(_.contains("Missing Node Data")))
   }
 
   test("proxy histograms: pivoted per (dc, node), µs→ms") {
@@ -133,6 +183,22 @@ class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[String]("dc") == "dc1")
     assert(math.abs(r.getAs[Double]("r_50") - 1.31072) < 1e-9)
     assert(math.abs(r.getAs[Double]("w_Max") - 17.43692) < 1e-9)
+  }
+
+  test("Hadoop-FS path transparency: file:-scheme root ≡ plain path (S14)") {
+    import graft.sources.DiagSource
+    val abs = Paths.get("src/test/resources/diag_mini").toAbsolutePath.toString
+    val uri = "file://" + abs
+    // discovery, whole-file reads, and the full pipeline all go through
+    // the Hadoop FileSystem API — the s3a:// claim rests on exactly this
+    // scheme-resolution path
+    assert(DiagSource.nodeDirs(spark, uri) == DiagSource.nodeDirs(spark, abs))
+    def files(root: String) = DiagSource.wholeFiles(spark, root, "nodetool/cfstats")
+      .collect().map(r => (r.getString(0), r.getString(1).hashCode)).sortBy(_._1).toSeq
+    assert(files(uri) == files(abs) && files(uri).nonEmpty)
+    val t2 = DiagReport.analyze(spark, uri)
+    assert(t2.clusterName == "TestCluster")
+    assert(t2.workload.collect().length == tabs.workload.collect().length)
   }
 
   test("summary.json: valid JSON, reference keys, totals") {
@@ -145,7 +211,11 @@ class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
       .get("read_req").asDouble() == 20000.0)
     assert(tree.get("warnings").get("Astra Guardrails").get("Materialized Views")
       .get(0).asText().endsWith("***"))
-    assert(tree.get("missing_data").asInt() == 0)
+    // the down node 10.0.0.9 has no diag dir → incomplete diag
+    // (ref explore.py:304: missing_data flips to 1)
+    assert(tree.get("missing_data").asInt() == 1)
+    assert(tree.get("warnings").get("Missing Data").get("Missing Node Data")
+      .get(0).asText() == "10.0.0.9")
     // Astra Metrics (engine-computed, reference had them as Excel formulas)
     val am = tree.get("astra_metrics")
     assert(am.get("data_size_gb").asDouble() == 2.6)
