@@ -17,6 +17,11 @@ object Bench {
     // column — timing an optimizer-gutted query). Failures are recorded
     // as -1.0 so a broken query can never read as a speedup.
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // drop caches from the previous run: persist() inside a query must
+      // be paid by THIS run (a warm run silently hitting the cold run's
+      // cache would time a no-op), and accumulated caches across 37×2
+      // runs add eviction noise
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9 }

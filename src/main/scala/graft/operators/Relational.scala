@@ -437,11 +437,15 @@ object Relational {
     val agg = Tables.orders(s, dir)
       .groupBy(col("o_orderpriority"), col("o_custkey"))
       .agg(sum(col("o_totalprice").cast(D18_2)).as("spend_d"))
-    val w = Window.partitionBy(col("o_orderpriority"))
-    agg
+    // unlike q01's 6-row aggregate, this relation scales with customer
+    // count — a ratio-of-total WINDOW would sort 1/|priorities| of it in
+    // each of ~5 window partitions. The totals relation is 5 rows:
+    // aggregate it separately (map-side partials) and broadcast it back.
+    val tot = agg.groupBy(col("o_orderpriority"))
+      .agg(sum(col("spend_d")).as("tot_d"))
+    agg.join(broadcast(tot), Seq("o_orderpriority"))
       .withColumn("spend", col("spend_d").cast("double"))
-      .withColumn("share",
-        col("spend_d").cast("double") / sum(col("spend_d")).over(w).cast("double"))
+      .withColumn("share", col("spend_d").cast("double") / col("tot_d").cast("double"))
       .select("o_orderpriority", "o_custkey", "spend", "share")
       .orderBy("o_orderpriority", "o_custkey")
   }
