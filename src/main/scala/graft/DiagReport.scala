@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model._
 import graft.operators.DiagAnalysis
@@ -61,6 +61,29 @@ object DiagReport {
       clusterName = cluster)
   }
 
+  /** Engine-computed Astra Metrics (the reference leaves these to Excel
+    * formulas, explore.py:1801-1826). ONE definition feeds both
+    * summary.json and the workbook's Astra Metrics tab — the two
+    * deliverables can't drift. */
+  final case class AstraMetrics(readTps: Double, writeTps: Double,
+      sizeBytes: Double, avgUptimeSec: Double) {
+    val secPerMonth: Double = 60.0 * 60 * 24 * 365.25 / 12
+    def readTpmo: Double = readTps * secPerMonth
+    def writeTpmo: Double = writeTps * secPerMonth
+    def dataSizeGb: Double = sizeBytes / 1e9
+  }
+
+  def astraMetrics(wlRows: Seq[Row], nodeRows: Seq[Row]): AstraMetrics = {
+    def sumOf(c: String) = wlRows
+      .map(r => Option(r.getAs[Any](c)).map(_.toString.toDouble).getOrElse(0.0)).sum
+    val uptimes = nodeRows.map(_.getAs[Long]("uptime_sec"))
+    AstraMetrics(
+      readTps = sumOf("read_tps"), writeTps = sumOf("write_tps"),
+      sizeBytes = sumOf("size_bytes"),
+      avgUptimeSec =
+        if (uptimes.isEmpty) 0.0 else uptimes.sum.toDouble / uptimes.length)
+  }
+
   /** Nested summary mirroring the reference's summary_json keys:
     * workload.{ks}.{tbl}.read/write{...}, workload.total_*,
     * dataset_size.{ks}.{tbl}.size + total, warnings.{cat}.{check}[…].
@@ -86,8 +109,7 @@ object DiagReport {
     }
     def sumOf(col: String) =
       wl.map(r => Option(r.getAs[Any](col)).map(_.toString.toDouble).getOrElse(0.0)).sum
-    val totalReadTps = sumOf("read_tps")
-    val totalWriteTps = sumOf("write_tps")
+    val am = astraMetrics(wl.toSeq, tabs.nodeTable.collect().toSeq)
     val totalReadPer = sumOf("read_perc_rw")
     val totalWritePer = sumOf("write_perc_rw")
 
@@ -98,7 +120,7 @@ object DiagReport {
       }.mkString(",")
       s"${jstr(ks)}:{$tbls}"
     }
-    val totalSize = sumOf("size_bytes")
+    val totalSize = am.sizeBytes
 
     val allWarns = tabs.warnings.collect()
     // ref explore.py:304, 685: any unmatched node IP marks the diag
@@ -115,25 +137,21 @@ object DiagReport {
     }.mkString(",")
 
     val wlEntries = (workload ++ Seq(
-      s""""total_read_tps":$totalReadTps""", s""""total_read_per":$totalReadPer""",
-      s""""total_write_tps":$totalWriteTps""", s""""total_write_per":$totalWritePer"""))
+      s""""total_read_tps":${am.readTps}""", s""""total_read_per":$totalReadPer""",
+      s""""total_write_tps":${am.writeTps}""", s""""total_write_per":$totalWritePer"""))
       .mkString(",")
     val dsEntries = (ds ++ Seq(s""""total":${jnum(totalSize)}""")).mkString(",")
 
-    // Astra Metrics tab (ref explore.py:1801-1826): the reference computes
-    // these client-side as Excel formulas in the sink — TPS→TPMo via
-    // ×60·60·24·365.25/12, bytes→GB via /1e9, AVERAGE(uptime). Moved into
-    // the engine (SURVEY.md §7.5) so summary.json carries them.
-    val secPerMonth = 60.0 * 60 * 24 * 365.25 / 12
-    val uptimes = tabs.nodeTable.collect().map(_.getAs[Long]("uptime_sec"))
-    val avgUptime = if (uptimes.isEmpty) 0.0 else uptimes.sum.toDouble / uptimes.length
+    // Astra Metrics (ref explore.py:1801-1826: Excel formulas in the
+    // reference — moved into the engine, SURVEY.md §7.5; ONE definition
+    // shared with the workbook tab via [[astraMetrics]])
     val metrics = Seq(
-      s""""read_tps":$totalReadTps""",
-      s""""read_tpmo":${totalReadTps * secPerMonth}""",
-      s""""write_tps":$totalWriteTps""",
-      s""""write_tpmo":${totalWriteTps * secPerMonth}""",
-      s""""data_size_gb":${totalSize / 1e9}""",
-      s""""avg_uptime_sec":$avgUptime""").mkString(",")
+      s""""read_tps":${am.readTps}""",
+      s""""read_tpmo":${am.readTpmo}""",
+      s""""write_tps":${am.writeTps}""",
+      s""""write_tpmo":${am.writeTpmo}""",
+      s""""data_size_gb":${am.dataSizeGb}""",
+      s""""avg_uptime_sec":${am.avgUptimeSec}""").mkString(",")
 
     s"""{"cluster":${jstr(tabs.clusterName)},"workload":{$wlEntries},""" +
       s""""dataset_size":{$dsEntries},""" +
@@ -147,17 +165,26 @@ object DiagReport {
     * rather than emitting a zero-row one). */
   def write(tabs: Tabs, outDir: String): Unit = {
     new java.io.File(outDir).mkdirs()
-    (Seq(
-      "workload" -> tabs.workload,
-      "gc_pauses" -> tabs.gc, "tombstones" -> tabs.tombstones,
-      "threshold_tabs" -> tabs.thresholds, "warnings" -> tabs.warnings,
-      "proxy_histograms" -> tabs.proxyHist
-    ) ++ (if (tabs.nodeTable.isEmpty) Nil else Seq("node_table" -> tabs.nodeTable))
-    ).foreach { case (name, df) =>
-      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-    }
-    Files.writeString(Paths.get(s"$outDir/summary.json"), summaryJson(tabs))
-    DiagWorkbook.write(tabs, outDir)
+    // each tab feeds up to three sinks (parquet, summary.json, the CSV
+    // workbook) plus the node-tab gate — persist the report-sized
+    // relations so the diag-tree analysis DAG runs once per tab, not
+    // once per sink
+    val cached = Seq(tabs.nodeTable, tabs.workload, tabs.gc, tabs.tombstones,
+      tabs.thresholds, tabs.warnings, tabs.proxyHist)
+    cached.foreach(_.persist())
+    try {
+      (Seq(
+        "workload" -> tabs.workload,
+        "gc_pauses" -> tabs.gc, "tombstones" -> tabs.tombstones,
+        "threshold_tabs" -> tabs.thresholds, "warnings" -> tabs.warnings,
+        "proxy_histograms" -> tabs.proxyHist
+      ) ++ (if (tabs.nodeTable.isEmpty) Nil else Seq("node_table" -> tabs.nodeTable))
+      ).foreach { case (name, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
+      Files.writeString(Paths.get(s"$outDir/summary.json"), summaryJson(tabs))
+      DiagWorkbook.write(tabs, outDir)
+    } finally cached.foreach(_.unpersist())
   }
 
   /** Parse the reference's `-tp_*` threshold flags (explore.py:140-171),

@@ -19,7 +19,8 @@ object DiagWorkbook {
 
   private def csvCell(v: Any): String = v match {
     case null => ""
-    case s: String if s.contains(",") || s.contains("\"") || s.contains("\n") =>
+    case s: String if s.contains(",") || s.contains("\"") ||
+        s.contains("\n") || s.contains("\r") =>
       "\"" + s.replace("\"", "\"\"") + "\""
     case other => other.toString
   }
@@ -55,22 +56,24 @@ object DiagWorkbook {
     val dir = s"$outDir/workbook"
     new java.io.File(dir).mkdirs()
 
-    // ---- Node Data (explore.py:443, 1545-1559: + Avg Uptime footer)
     val nodeRows = tabs.nodeTable.collect()
+    val wl = tabs.workload.collect().toSeq
+    // numbers shared with summary.json via DiagReport.astraMetrics —
+    // one definition, two deliverables
+    val am = DiagReport.astraMetrics(wl, nodeRows.toSeq)
+
+    // ---- Node Data (explore.py:443, 1545-1559: + Avg Uptime footer)
     val nodeData = nodeRows.toSeq.map(r => Seq(
       get(r, "dc"), get(r, "node"), get(r, "load"), get(r, "tokens"),
       get(r, "rack"), get(r, "uptime_sec"), get(r, "uptime_human"),
       get(r, "workload"), get(r, "version")))
-    val avgUptime =
-      if (nodeRows.isEmpty) 0.0 else nodeRows.map(num(_, "uptime_sec")).sum / nodeRows.length
     if (nodeRows.nonEmpty) // exclude_tab parity: no status data, no tab
       writeCsv(s"$dir/Node Data.csv",
         Seq(Seq("Datacenter", "Node", "Load", "Tokens", "Rack", "Uptime (sec)",
           "Uptime", "Workload", "Version")) ++ nodeData ++
-          Seq(Seq("", "", "", "", "Avg Uptime", avgUptime, "", "", "")))
+          Seq(Seq("", "", "", "", "Avg Uptime", am.avgUptimeSec, "", "", "")))
 
     // ---- Workload: read block ∥ write block (explore.py:1684-1789)
-    val wl = tabs.workload.collect().toSeq
     val readSide = wl.sortBy(r => (-num(r, "reads"), r.getAs[String]("keyspace"),
       r.getAs[String]("table"))).map(r => Seq(
       get(r, "keyspace"), get(r, "table"), num(r, "reads"), num(r, "read_tps"),
@@ -139,9 +142,6 @@ object DiagWorkbook {
 
     // ---- Astra Metrics: workload summary + warning sections
     // (explore.py:1801-1846)
-    val secPerMonth = 60.0 * 60 * 24 * 365.25 / 12
-    val readTps = wl.map(num(_, "read_tps")).sum
-    val writeTps = wl.map(num(_, "write_tps")).sum
     val warnRows = tabs.warnings.collect().toSeq
     val warnSection =
       if (warnRows.isEmpty) Seq(Seq("No potential guardrail issues identified"))
@@ -158,11 +158,11 @@ object DiagWorkbook {
       Seq(
         Seq(s"Astra Metrics Data for ${tabs.clusterName}"),
         Seq("Workload Summary"),
-        Seq("Read TPS", readTps),
-        Seq("Read TPMo", readTps * secPerMonth),
-        Seq("Write TPS", writeTps),
-        Seq("Write TPMo", writeTps * secPerMonth),
-        Seq("Data Size (GB)", wl.map(num(_, "size_bytes")).sum / 1e9),
-        Seq("Average Uptime", avgUptime)) ++ warnSection)
+        Seq("Read TPS", am.readTps),
+        Seq("Read TPMo", am.readTpmo),
+        Seq("Write TPS", am.writeTps),
+        Seq("Write TPMo", am.writeTpmo),
+        Seq("Data Size (GB)", am.dataSizeGb),
+        Seq("Average Uptime", am.avgUptimeSec)) ++ warnSection)
   }
 }

@@ -85,9 +85,13 @@ object Multimodal {
       while (m == 0xFF && i + 2 < p.length) { i += 1; m = p(i + 1) & 0xFF } // fill bytes
       if (m >= 0xD0 && m <= 0xD9 || m == 0x01) { i += 2 } // standalone, no length
       else {
+        // the fill-byte skip may have consumed the 4-byte margin the
+        // loop guard checked — a truncated segment is "not a JPEG",
+        // never an out-of-bounds read
+        if (i + 4 > p.length) return None
         val len = beShort(p, i + 2)
         if (m >= 0xC0 && m <= 0xC3) { // SOF0..SOF3 (baseline/progressive)
-          if (i + 9 > p.length) return None
+          if (i + 10 > p.length) return None // through the p(i+9) read
           val h = beShort(p, i + 5)
           val w = beShort(p, i + 7)
           val ncomp = p(i + 9) & 0xFF

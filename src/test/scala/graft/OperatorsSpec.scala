@@ -118,6 +118,16 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(hist == win)
   }
 
+  test("JPEG parser returns None on truncated bytes instead of crashing") {
+    // truncated exactly at the SOF component-count byte
+    val atNcomp = Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x05, 0x08, 0x00,
+      0x02, 0x00, 0x01).map(_.toByte)
+    assert(Multimodal.parseJpeg(atNcomp).isEmpty)
+    // fill bytes running off the end of the array
+    val fillRunoff = Array(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte)
+    assert(Multimodal.parseJpeg(fillRunoff).isEmpty)
+  }
+
   test("synthPayload round-trips through the byte-level parsers") {
     for (id <- 0L to 5L) {
       val p = Multimodal.synthPayload(id, "hello media world", 17L)
