@@ -217,8 +217,10 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  val dd03Sql: String =
-    s"""WITH $minhashSigSqlCte,
+  /** CTE chain through the verified pair relation — shared by dd03 (the
+    * pair listing) and dd08 (the cluster assignment over those pairs). */
+  private val dd03PairsCte: String =
+    s"""$minhashSigSqlCte,
        |bl0 AS (SELECT doc_id, b, CASE b WHEN 0 THEN bh0 WHEN 1 THEN bh1
        |                                 WHEN 2 THEN bh2 ELSE bh3 END AS bh
        |       FROM sig, (SELECT unnest(range(0, 4)) AS b)),
@@ -233,12 +235,87 @@ object Dedup {
        |inter AS (SELECT d1, d2, COUNT(*) AS c
        |          FROM cand JOIN sh s1 ON d1 = s1.doc_id
        |                    JOIN sh s2 ON d2 = s2.doc_id AND s1.s = s2.s
-       |          GROUP BY d1, d2)
-       |SELECT d1, d2, c AS n_common,
-       |       CAST(c AS DOUBLE) / CAST(n1.n + n2.n - c AS DOUBLE) AS jaccard
-       |FROM inter JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
-       |WHERE CAST(c AS DOUBLE) / CAST(n1.n + n2.n - c AS DOUBLE) >= 0.2
-       |ORDER BY d1, d2""".stripMargin
+       |          GROUP BY d1, d2),
+       |pairs AS (SELECT d1, d2, c AS n_common,
+       |                 CAST(c AS DOUBLE) / CAST(n1.n + n2.n - c AS DOUBLE) AS jaccard
+       |          FROM inter JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+       |          WHERE CAST(c AS DOUBLE) / CAST(n1.n + n2.n - c AS DOUBLE) >= 0.2)""".stripMargin
+
+  val dd03Sql: String =
+    s"""WITH $dd03PairsCte
+       |SELECT d1, d2, n_common, jaccard FROM pairs ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------- dd08
+  /** Deterministic connected components by min-label propagation over an
+    * undirected edge list (a, b): each node's label starts at
+    * min(self, neighbors) and every BSP round takes the min of its own
+    * and its neighbors' labels — converging to the minimum doc_id in the
+    * component in O(diameter) rounds. The scale shape is the standard
+    * iterative join: one shuffle on the node key per round, lineage cut
+    * by localCheckpoint so 20 rounds don't stack 20 plans, and
+    * convergence detected by the label SUM (labels only ever decrease,
+    * so an unchanged sum IS the fixpoint — one tiny aggregate per round
+    * instead of a full diff join).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lab = edges
+      .groupBy(col("a").as("doc_id"))
+      .agg(min(least(col("a"), col("b"))).as("lbl"))
+      .localCheckpoint()
+    def labSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("lbl"))).head().get(0)).fold(0L)(_.asInstanceOf[Long])
+    var prevSum = labSum(lab)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(lab, edges("b") === lab("doc_id"))
+        .select(edges("a").as("doc_id"), col("lbl"))
+      val next = lab.unionByName(prop)
+        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val s = labSum(next)
+      converged = s == prevSum
+      prevSum = s
+      lab = next
+      iter += 1
+    }
+    edges.unpersist()
+    // cluster count can approach node count (all-singleton graphs) —
+    // a plain shuffle join; AQE may still pick broadcast when it's tiny
+    val sz = lab.groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    lab.select(col("doc_id"), col("lbl").as("cluster_id"))
+      .join(sz, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  /** Near-dup cluster assignment: connected components over the dd03
+    * verified-pair graph — the step a real dedup pipeline runs after
+    * pair generation (keep one doc per cluster). cluster_id = min doc_id
+    * in the component; only docs with ≥1 near-dup appear.
+    */
+  def dd08(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(dd03(s, dir).select(col("d1"), col("d2")))
+      .orderBy("doc_id")
+
+  /** Oracle twin: transitive closure as a recursive CTE (reachability
+    * pairs dedup'd by UNION), cluster = MIN reachable node — the same
+    * fixpoint the Spark label propagation converges to. */
+  val dd08Sql: String =
+    s"""WITH RECURSIVE $dd03PairsCte,
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |          UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a),
+       |lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+       |SELECT doc_id, cluster_id, cluster_size
+       |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- dd04
   /** N-gram Jaccard top-k: the 20 most similar doc pairs by word-3-gram
@@ -432,6 +509,7 @@ object Dedup {
     Q("dd01_exact_dedup", "exact dedup: content-hash groups + keeper", dd01, Some(dd01Sql)),
     Q("dd02_minhash_sig", "16-fn MinHash signatures + 4 LSH band hashes", dd02, Some(dd02Sql)),
     Q("dd03_minhash_lsh_pairs", "LSH band candidates verified by exact Jaccard", dd03, Some(dd03Sql)),
+    Q("dd08_neardup_clusters", "connected-component cluster ids over LSH pairs", dd08, Some(dd08Sql)),
     Q("dd04_ngram_jaccard_topk", "top-20 word-3-gram Jaccard pairs (inverted index)", dd04, Some(dd04Sql)),
     Q("dd05_simhash_sig", "60-bit SimHash + 15-bit banding chunks", dd05, Some(dd05Sql)),
     Q("dd06_simhash_hamming", "SimHash banded Hamming near-dup top-20", dd06, Some(dd06Sql)),

@@ -61,6 +61,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("connectedComponents: min-label fixpoint on chains, cliques, singleton pairs") {
+    import spark.implicits._
+    // components: {1,2,3,4} (a chain, diameter 3), {10,11,12} (triangle),
+    // {20,21} (single edge); edge directions mixed on purpose
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (21L, 20L)
+    ).toDF("d1", "d2")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (1L, 4L), 2L -> (1L, 4L), 3L -> (1L, 4L), 4L -> (1L, 4L),
+      10L -> (10L, 3L), 11L -> (10L, 3L), 12L -> (10L, 3L),
+      20L -> (20L, 2L), 21L -> (20L, 2L)))
+    // empty pair relation converges to an empty result, not an NPE
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("d1", "d2"))
+      .collect().isEmpty)
+  }
+
   test("PNG parser decodes a real-world 1x1 RGBA png") {
     // the canonical 67-byte 1x1 transparent PNG (not built by synthPayload)
     val png = java.util.Base64.getDecoder.decode(
