@@ -183,7 +183,10 @@ object Dedup {
     * (equi-join on (band, bucket), membership capped at [[BucketCap]] so
     * a hot bucket can't go quadratic), then verified with exact shingle
     * Jaccard ≥ 0.2. */
-  def dd03(s: SparkSession, dir: String): DataFrame = {
+  /** dd03's verified near-dup pair relation, unsorted — the shared input
+    * of dd03 (which adds the presentation sort) and dd08 (where a sort
+    * before the component iteration would be wasted work). */
+  private def dd03Pairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // the band self-join and the 3-way shingle verify would otherwise
     // recompute the signature/shingling pipeline once per join branch
@@ -214,8 +217,10 @@ object Dedup {
         col("c").cast("double") / (col("n1.n") + col("n2.n") - col("c")).cast("double"))
       .filter(col("jaccard") >= 0.2)
       .select(col("d1"), col("d2"), col("c").as("n_common"), col("jaccard"))
-      .orderBy("d1", "d2")
   }
+
+  def dd03(s: SparkSession, dir: String): DataFrame =
+    dd03Pairs(s, dir).orderBy("d1", "d2")
 
   /** CTE chain through the verified pair relation — shared by dd03 (the
     * pair listing) and dd08 (the cluster assignment over those pairs). */
@@ -298,7 +303,7 @@ object Dedup {
     * in the component; only docs with ≥1 near-dup appear.
     */
   def dd08(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(dd03(s, dir).select(col("d1"), col("d2")))
+    connectedComponents(dd03Pairs(s, dir).select(col("d1"), col("d2")))
       .orderBy("doc_id")
 
   /** Oracle twin: transitive closure as a recursive CTE (reachability

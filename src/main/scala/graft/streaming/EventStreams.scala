@@ -87,6 +87,72 @@ object EventStreams {
       }
   }
 
+  /** One user's open session. */
+  final case class SessionState(start: java.sql.Timestamp,
+      end: java.sql.Timestamp, n: Long)
+
+  final case class SessionOut(user_id: Long, start_ts: java.sql.Timestamp,
+      end_ts: java.sql.Timestamp, n_events: Long, duration_sec: Long)
+
+  /** Streaming twin of the batch q21 gap sessionization: per user, events
+    * within `gapSec` of the session's current end extend it; a larger gap
+    * closes it and opens a new one. A closed session is emitted either by
+    * an in-stream gap or by the EVENT-TIME timeout — the watermark passing
+    * end+gap proves no on-time event can extend the session, which is
+    * exactly the batch 30-minute-gap semantics made incremental
+    * (ProcessingTimeTimeout would both livelock tests and tie session
+    * closure to wall-clock, not data — see the batch/stream parity spec).
+    *
+    * State per user is O(1) (start, end, n) — unlike the percentile
+    * operator there is no per-event state, so user_id cardinality is the
+    * only scale bound, and timeout eviction keeps only users with open
+    * sessions inside the watermark horizon.
+    */
+  def sessionize(events: Dataset[(Long, java.sql.Timestamp)],
+      gapSec: Long = 1800L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSec * 1000
+    events.toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state: GroupState[SessionState]) =>
+          def close(s: SessionState) = SessionOut(user, s.start, s.end, s.n,
+            (s.end.getTime - s.start.getTime) / 1000)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(s))
+          } else {
+            // within-batch order is arbitrary; gap logic needs time order
+            val ts = rows.map(_._2).toVector.sortBy(_.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t.getTime <= s.end.getTime + gapMs =>
+                  // a bounded-late row may precede the current start
+                  val start = if (t.before(s.start)) t else s.start
+                  val end = if (t.after(s.end)) t else s.end
+                  cur = Some(SessionState(start, end, s.n + 1))
+                case Some(s) =>
+                  closed ::= close(s)
+                  cur = Some(SessionState(t, t, 1L))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end.getTime + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** File-source entry: stream a parquet events directory with the batch
     * schema (TESTDATA events) into [[hourlyRollup]]. Handles the
     * TIMESTAMP(NANOS) encoding of the testdata events table the same way

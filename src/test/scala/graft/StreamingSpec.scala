@@ -123,6 +123,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(total == batch) // every event lands in exactly one hourly window
   }
 
+  test("sessionize: gap closes a session; watermark timeout flushes the open one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // user 1: two events 10 min apart (one session), then a 40-min gap
+    // event (closes it in-stream); user 2: one lone event
+    mem.addData(
+      (1L, ts("2023-03-01 10:00:00")), (1L, ts("2023-03-01 10:10:00")),
+      (2L, ts("2023-03-01 10:05:00")))
+    q.processAllAvailable()
+    mem.addData((1L, ts("2023-03-01 10:50:00")))
+    q.processAllAvailable()
+    // advance the watermark far past every open session's end+gap so the
+    // event-time timeout flushes them (12:30 - 10min wm >> 11:20)
+    mem.addData((99L, ts("2023-03-01 12:30:00")))
+    q.processAllAvailable()
+    mem.addData((99L, ts("2023-03-01 14:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess")
+      .select("user_id", "start_ts", "end_ts", "n_events", "duration_sec")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // batch q21 semantics on the same rows: user 1 splits at the 40-min
+    // gap into [10:00,10:10] and [10:50,10:50]; user 2 has a singleton
+    assert(got.contains((1L, ts("2023-03-01 10:00:00"), ts("2023-03-01 10:10:00"), 2L, 600L)))
+    assert(got.contains((1L, ts("2023-03-01 10:50:00"), ts("2023-03-01 10:50:00"), 1L, 0L)))
+    assert(got.contains((2L, ts("2023-03-01 10:05:00"), ts("2023-03-01 10:05:00"), 1L, 0L)))
+  }
+
   test("pick: positional percentile definition (round, clamp, 1-based)") {
     val v = Vector(1.0, 2.0, 3.0, 4.0, 5.0)
     assert(EventStreams.pick(v, 0.5) == 3.0)   // round(2.5)=3 (half-up)
