@@ -56,6 +56,7 @@ object DiagReport {
       warnings = DiagAnalysis.guardrailWarnings(spark, catalog.objects, metrics,
           gcPct, tsEv, nodeDc, cluster, tp)
         .unionByName(DiagAnalysis.missingNodeWarnings(status, gossip, dirIp))
+        .unionByName(DiagAnalysis.workloadWarnings(gossip))
         .orderBy("category", "check", "message"),
       proxyHist = DiagAnalysis.proxyHistTab(DiagSource.proxyHist(spark, root), nodeDc),
       clusterName = cluster)

@@ -320,6 +320,23 @@ object DiagAnalysis {
       .orderBy("category", "check", "message")
   }
 
+  /** Unsupported-workload warnings (ref explore.py:696-702): any DSE
+    * workload other than plain Cassandra (parsed to 'DSE Core') gets a
+    * 'Workload'/'Not Supported' warning with the raw workload name, and
+    * Graph-enabled nodes add a 'Graph' warning — deduplicated, like the
+    * reference's add_to_warning. Empty workload = OSS node, no warning.
+    */
+  def workloadWarnings(gossip: Dataset[GossipNode]): DataFrame = {
+    val g = gossip.toDF()
+    val raw = regexp_replace(col("workload"), " \\+ Graph$", "")
+    val unsupported = g.select(raw.as("message"))
+      .filter(col("message") =!= "" && col("message") =!= "DSE Core")
+    val graphWarn = g.filter(col("graph")).select(lit("Graph").as("message"))
+    unsupported.unionByName(graphWarn).distinct()
+      .select(lit("Workload").as("category"), lit("Not Supported").as("check"),
+        col("message"))
+  }
+
   /** Missing-node detection (ref explore.py:302-304, 683-686): an IP
     * seen in nodetool/status or gossipinfo with no matching node
     * directory yields a 'Missing Data'/'Missing Node Data' warning row,

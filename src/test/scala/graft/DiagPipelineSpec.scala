@@ -115,6 +115,13 @@ class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
     // (ref explore.py:302-304: unmatched IP → Missing Node Data warning)
     assert(msgs.contains(("Missing Node Data", "10.0.0.9")))
     assert(msgs.count(_._1 == "Missing Node Data") == 1)
+    // 10.0.0.4 runs Search + Graph (ref explore.py:698-702: non-Cassandra
+    // workloads and Graph are each flagged once)
+    assert(msgs.contains(("Not Supported", "Search")))
+    assert(msgs.contains(("Not Supported", "Graph")))
+    // DSE Core (plain Cassandra) and OSS nodes are NOT flagged
+    assert(!msgs.exists { case (c, m) => c == "Not Supported" &&
+      (m == "DSE Core" || m == "OSS Cassandra" || m == "") })
   }
 
   test("node table: status ⋈ gossip ⋈ uptime; OSS/DSE versions") {
