@@ -276,6 +276,12 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // plain one-hop propagation: near-dup graphs are near-cliques
+      // (duplicates of a doc are duplicates of each other), so diameter
+      // is 2-3 and rounds stay O(1). Measured: adding label-of-label
+      // pointer jumping (path doubling, O(log diameter) rounds) costs
+      // more per round than it saves here — it is the right lever only
+      // for long-chain graphs, which this input shape doesn't produce.
       val prop = edges.join(lab, edges("b") === lab("doc_id"))
         .select(edges("a").as("doc_id"), col("lbl"))
       val next = lab.unionByName(prop)
