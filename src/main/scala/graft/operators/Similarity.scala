@@ -108,7 +108,17 @@ object Similarity {
     * the cell. At 100 TB the cell assignment is a broadcast join and only
     * 1/cells of the data is scored per query.
     */
-  def ss02(s: SparkSession, dir: String): DataFrame = {
+  def ss02(s: SparkSession, dir: String): DataFrame = ivf(s, dir, nprobe = 1)
+
+  // ---------------------------------------------------------------- ss04
+  /** Multi-probe IVF: identical to ss02 but each query scores its top-2
+    * cells by centroid cosine — the standard recall/cost dial (nprobe).
+    * Probed cells are disjoint, so candidates need no dedup; the per-query
+    * cost is nprobe/cells of the data.
+    */
+  def ss04(s: SparkSession, dir: String): DataFrame = ivf(s, dir, nprobe = 2)
+
+  private def ivf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val el = e.select(col("vec_id"), col("label"),
@@ -130,7 +140,7 @@ object Similarity {
       .withColumn("ccos", cosine(col("dotqc"), col("qn2"), col("cn2")))
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("clabel"))
-    val best = qc.withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+    val best = qc.withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobe)
       .select(col("query_id"), col("clabel"))
     // exact search inside the chosen cell
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -154,7 +164,10 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  val ss02Sql: String =
+  val ss02Sql: String = ivfSql(nprobe = 1)
+  val ss04Sql: String = ivfSql(nprobe = 2)
+
+  private def ivfSql(nprobe: Int): String =
     s"""WITH $elCte,
        |cent AS (SELECT label, pos,
        |                CAST(SUM(CAST(ROUND((x) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS c
@@ -174,7 +187,7 @@ object Similarity {
        |best AS (SELECT query_id, clabel FROM (
        |           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |                       ORDER BY ccos DESC, clabel) AS rn FROM qcs)
-       |         WHERE rn = 1),
+       |         WHERE rn <= $nprobe),
        |cappedc AS (SELECT vec_id FROM (
        |              SELECT vec_id, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
        |              FROM embeddings)
@@ -273,5 +286,6 @@ object Similarity {
     Q("ss01_knn_bruteforce", "broadcast brute-force cosine top-5", ss01, Some(ss01Sql)),
     Q("ss02_knn_ivf", "IVF: label-cell centroids, probe best cell", ss02, Some(ss02Sql)),
     Q("ss03_knn_lsh", "random-hyperplane LSH sign-bucket ANN", ss03, Some(ss03Sql)),
+    Q("ss04_knn_ivf_multiprobe", "IVF with nprobe=2 (recall/cost dial)", ss04, Some(ss04Sql)),
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
 
 /** Text-analysis operators for a training-data pipeline (north-star
@@ -187,11 +188,50 @@ object TextAnalysis {
       |       COUNT(*) AS n_shingles
       |FROM hh GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- ta05
+  /** Lexical statistics per doc — integer-only (no float math, so the
+    * cross-engine hash can't drift): vocabulary size, hapax count
+    * (tokens occurring exactly once — the classic corpus-quality
+    * signal), and the most frequent token with its count (ties broken
+    * lexicographically ascending). The top-token window partitions per
+    * doc, bounded by the doc's vocabulary — never a corpus-wide sort.
+    */
+  def ta05(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("tok"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("vocab"),
+        count(when(col("cnt") === 1, lit(1))).as("n_hapax"),
+        max(when(col("rn") === 1, col("tok"))).as("top_token"),
+        max(when(col("rn") === 1, col("cnt"))).as("top_count"))
+      .orderBy("doc_id")
+  }
+
+  val ta05Sql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |            FROM documents),
+      |cnt AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok WHERE tok <> '' GROUP BY 1, 2),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rn
+      |       FROM cnt)
+      |SELECT doc_id, COUNT(*) AS vocab,
+      |       COUNT(CASE WHEN cnt = 1 THEN 1 END) AS n_hapax,
+      |       MAX(CASE WHEN rn = 1 THEN tok END) AS top_token,
+      |       MAX(CASE WHEN rn = 1 THEN cnt END) AS top_count
+      |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("ta01_langid", "stopword-heuristic language ID + accuracy flag", ta01, Some(ta01Sql)),
     Q("ta02_quality_score", "length/punct/stopword quality score", ta02, Some(ta02Sql)),
     Q("ta03_token_counts", "whitespace + BPE-ish regex token counts", ta03, Some(ta03Sql)),
     Q("ta04_fingerprint", "order-independent shingle-hash fingerprint", ta04, Some(ta04Sql)),
+    Q("ta05_lexical_stats", "vocab / hapax / top-token integer stats", ta05, Some(ta05Sql)),
   )
 }
