@@ -179,10 +179,6 @@ object Dedup {
        |SELECT * FROM sig ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- dd03
-  /** MinHash LSH near-dup pairs: candidates share an LSH band bucket
-    * (equi-join on (band, bucket), membership capped at [[BucketCap]] so
-    * a hot bucket can't go quadratic), then verified with exact shingle
-    * Jaccard ≥ 0.2. */
   /** dd03's verified near-dup pair relation, unsorted — the shared input
     * of dd03 (which adds the presentation sort) and dd08 (where a sort
     * before the component iteration would be wasted work). */
@@ -219,6 +215,10 @@ object Dedup {
       .select(col("d1"), col("d2"), col("c").as("n_common"), col("jaccard"))
   }
 
+  /** MinHash LSH near-dup pairs: candidates share an LSH band bucket
+    * (equi-join on (band, bucket), membership capped at [[BucketCap]] so
+    * a hot bucket can't go quadratic), then verified with exact shingle
+    * Jaccard ≥ 0.2. */
   def dd03(s: SparkSession, dir: String): DataFrame =
     dd03Pairs(s, dir).orderBy("d1", "d2")
 
@@ -262,7 +262,7 @@ object Dedup {
     * so an unchanged sum IS the fixpoint — one tiny aggregate per round
     * instead of a full diff join).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -270,8 +270,12 @@ object Dedup {
       .groupBy(col("a").as("doc_id"))
       .agg(min(least(col("a"), col("b"))).as("lbl"))
       .localCheckpoint()
-    def labSum(df: DataFrame): Long =
-      Option(df.agg(sum(col("lbl"))).head().get(0)).fold(0L)(_.asInstanceOf[Long])
+    // DECIMAL(38,0): a Long sum of ids overflows around 10^10 docs (and
+    // Spark 4's default ANSI mode turns that into a crash); the decimal
+    // sum is exact at any realistic scale, so equal sums still ⟺ fixpoint
+    def labSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head()
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labSum(lab)
     var converged = false
     var iter = 0
@@ -288,12 +292,19 @@ object Dedup {
         .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
       val s = labSum(next)
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       lab = next
       iter += 1
     }
     edges.unpersist()
+    // a silent non-converged exit would emit INCONSISTENT labels (same
+    // component, different cluster_ids) and a mysterious oracle mismatch
+    // — fail loudly instead; diameter > maxIter means the input is not
+    // the near-clique graph this operator is tuned for
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds maxIter; raise maxIter")
     // cluster count can approach node count (all-singleton graphs) —
     // a plain shuffle join; AQE may still pick broadcast when it's tiny
     val sz = lab.groupBy(col("lbl").as("cluster_id"))

@@ -198,8 +198,7 @@ object TextAnalysis {
     */
   def ta05(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .select(col("doc_id"), explode(ws).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("tok"))
@@ -215,8 +214,8 @@ object TextAnalysis {
   }
 
   val ta05Sql: String =
-    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
-      |            FROM documents),
+    s"""WITH $wsSqlCte,
+      |tok AS (SELECT doc_id, unnest(ws) AS tok FROM w),
       |cnt AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok WHERE tok <> '' GROUP BY 1, 2),
       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rn
       |       FROM cnt)

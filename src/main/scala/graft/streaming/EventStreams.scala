@@ -98,10 +98,19 @@ object EventStreams {
     * within `gapSec` of the session's current end extend it; a larger gap
     * closes it and opens a new one. A closed session is emitted either by
     * an in-stream gap or by the EVENT-TIME timeout — the watermark passing
-    * end+gap proves no on-time event can extend the session, which is
-    * exactly the batch 30-minute-gap semantics made incremental
+    * end+gap proves no on-time event can extend the session
     * (ProcessingTimeTimeout would both livelock tests and tie session
     * closure to wall-clock, not data — see the batch/stream parity spec).
+    * Gaps and durations are computed on FLOOR-SECOND epochs, exactly like
+    * q21's unix_timestamp arithmetic, so sub-second event times can't make
+    * the twins diverge.
+    *
+    * Single-pass semantics for bounded-late rows (the one deviation from
+    * the batch sort): a late event within `gapSec` of the open session's
+    * span extends it (backward extensions keep the no-hole->gap
+    * invariant); a late event more than `gapSec` BEFORE the open
+    * session's start belongs to an earlier — already emitted — session
+    * and is closed as its own singleton rather than re-opening history.
     *
     * State per user is O(1) (start, end, n) — unlike the percentile
     * operator there is no per-event state, so user_id cardinality is the
@@ -111,7 +120,7 @@ object EventStreams {
   def sessionize(events: Dataset[(Long, java.sql.Timestamp)],
       gapSec: Long = 1800L): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = gapSec * 1000
+    def sec(t: java.sql.Timestamp): Long = Math.floorDiv(t.getTime, 1000L)
     events.toDF("user_id", "ts")
       .withWatermark("ts", "10 minutes")
       .as[(Long, java.sql.Timestamp)]
@@ -120,7 +129,7 @@ object EventStreams {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user, rows, state: GroupState[SessionState]) =>
           def close(s: SessionState) = SessionOut(user, s.start, s.end, s.n,
-            (s.end.getTime - s.start.getTime) / 1000)
+            sec(s.end) - sec(s.start))
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
@@ -132,8 +141,12 @@ object EventStreams {
             var cur = state.getOption
             ts.foreach { t =>
               cur match {
-                case Some(s) if t.getTime <= s.end.getTime + gapMs =>
-                  // a bounded-late row may precede the current start
+                case Some(s) if sec(t) < sec(s.start) - gapSec =>
+                  // too far before the open session: part of an earlier,
+                  // already-emitted session — close as a singleton
+                  closed ::= SessionOut(user, t, t, 1L, 0L)
+                case Some(s) if sec(t) <= sec(s.end) + gapSec =>
+                  // extends the session (possibly backward, bounded-late)
                   val start = if (t.before(s.start)) t else s.start
                   val end = if (t.after(s.end)) t else s.end
                   cur = Some(SessionState(start, end, s.n + 1))
@@ -146,7 +159,7 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end.getTime + gapMs)
+              state.setTimeoutTimestamp((sec(s.end) + gapSec) * 1000L)
             }
             closed.reverseIterator
           }
