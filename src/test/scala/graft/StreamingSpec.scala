@@ -156,6 +156,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains((2L, ts("2023-03-01 10:05:00"), ts("2023-03-01 10:05:00"), 1L, 0L)))
   }
 
+  test("sessionize: a late event far before the open session closes as a singleton") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.sessionize(mem.toDS(), gapSec = 300L)
+      .writeStream.format("memory").queryName("sessLate").outputMode("append").start()
+    // 10:00 then 10:30: the 30-min gap closes [10:00] and opens [10:30]
+    mem.addData((1L, ts("2023-03-01 10:00:00")), (1L, ts("2023-03-01 10:30:00")))
+    q.processAllAvailable()
+    // 10:21 is on-time for the 10-min watermark (10:20) but more than the
+    // 5-min gap BEFORE the open session's 10:30 start: it must become its
+    // own closed singleton, NOT back-extend [10:30] across a 9-min hole
+    mem.addData((1L, ts("2023-03-01 10:21:00")))
+    q.processAllAvailable()
+    // flush the open session via the event-time timeout
+    mem.addData((99L, ts("2023-03-01 12:00:00")))
+    q.processAllAvailable()
+    mem.addData((99L, ts("2023-03-01 14:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessLate")
+      .select("user_id", "start_ts", "end_ts", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(got.contains((1L, ts("2023-03-01 10:00:00"), ts("2023-03-01 10:00:00"), 1L)))
+    assert(got.contains((1L, ts("2023-03-01 10:21:00"), ts("2023-03-01 10:21:00"), 1L)))
+    assert(got.contains((1L, ts("2023-03-01 10:30:00"), ts("2023-03-01 10:30:00"), 1L)))
+  }
+
   test("pick: positional percentile definition (round, clamp, 1-based)") {
     val v = Vector(1.0, 2.0, 3.0, 4.0, 5.0)
     assert(EventStreams.pick(v, 0.5) == 3.0)   // round(2.5)=3 (half-up)
