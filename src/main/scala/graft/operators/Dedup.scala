@@ -263,8 +263,12 @@ object Dedup {
     * instead of a full diff join).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    // the symmetrization union reads `pairs` twice — without this persist
+    // the whole upstream pair pipeline (for dd08: all of dd03) executes
+    // once per branch in the first action
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(p.select(col("d2").as("a"), col("d1").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var lab = edges
       .groupBy(col("a").as("doc_id"))
@@ -298,6 +302,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     // a silent non-converged exit would emit INCONSISTENT labels (same
     // component, different cluster_ids) and a mysterious oracle mismatch
     // — fail loudly instead; diameter > maxIter means the input is not
