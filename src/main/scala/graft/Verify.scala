@@ -24,6 +24,10 @@ object Verify {
       catch { case NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries persist intermediates (dd03/dd06/dd08 signatures etc.)
+      // and can't unpersist them before their own action completes —
+      // release per query so 42 runs don't stack dead cached blocks
+      spark.catalog.clearCache()
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${Json.quote(k)}: ${Json.quote(v)}" }

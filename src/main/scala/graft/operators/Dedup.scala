@@ -71,7 +71,9 @@ object Dedup {
 
   private def gridSql(expr: String): String = s"CAST(ROUND(($expr) * 1e9) AS BIGINT)"
 
-  private val h60Sql = (s: String) =>
+  /** DuckDB mirror of [[h60]] — every oracle that hashes must build on
+    * this one definition so the portable-hash pattern can't drift. */
+  private[operators] val h60Sql = (s: String) =>
     s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
 
   /** Distinct word n-shingles per document: (doc_id, s).
@@ -257,7 +259,7 @@ object Dedup {
     * and its neighbors' labels — converging to the minimum doc_id in the
     * component in O(diameter) rounds. The scale shape is the standard
     * iterative join: one shuffle on the node key per round, lineage cut
-    * by localCheckpoint so 20 rounds don't stack 20 plans, and
+    * by localCheckpoint so rounds don't stack plans, and
     * convergence detected by the label SUM (labels only ever decrease,
     * so an unchanged sum IS the fixpoint — one tiny aggregate per round
     * instead of a full diff join).

@@ -24,7 +24,10 @@ object Sampling {
   private def bucket = Dedup.h60(concat(lit("split:"), col("doc_id"))) % 100L
 
   private val bucketSql =
-    "CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+    s"${Dedup.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100"
+
+  private val keepSql =
+    s"${Dedup.h60Sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 20"
 
   // ---------------------------------------------------------------- sp01
   /** Deterministic 90/5/5 train/val/test assignment per doc. */
@@ -66,11 +69,10 @@ object Sampling {
   }
 
   val sp02Sql: String =
-    """SELECT lang, COUNT(*) AS n_docs,
-      |       CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 20
-      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-      |       CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 20
-      |                     THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS kept_ratio
+    s"""SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN $keepSql THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(SUM(CASE WHEN $keepSql THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(COUNT(*) AS DOUBLE) AS kept_ratio
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Registry of this family. */

@@ -110,7 +110,10 @@ object EventStreams {
     * span extends it (backward extensions keep the no-hole->gap
     * invariant); a late event more than `gapSec` BEFORE the open
     * session's start belongs to an earlier — already emitted — session
-    * and is closed as its own singleton rather than re-opening history.
+    * and is closed as its own singleton rather than re-opening history
+    * (append-mode output cannot be retracted, so a burst of such late
+    * events fragments into singletons where the batch sort would merge
+    * them — the inherent cost of emit-on-close streaming sessionization).
     *
     * State per user is O(1) (start, end, n) — unlike the percentile
     * operator there is no per-event state, so user_id cardinality is the
@@ -159,7 +162,12 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp((sec(s.end) + gapSec) * 1000L)
+              // +1: events in second sec(end)+gap still extend the session
+              // (floor-second compare), so the timeout may only fire once
+              // the watermark passes the END of that second — firing at
+              // its start would close up to 999 ms early and split
+              // sessions the batch twin merges
+              state.setTimeoutTimestamp((sec(s.end) + gapSec + 1) * 1000L)
             }
             closed.reverseIterator
           }
