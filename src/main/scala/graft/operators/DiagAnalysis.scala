@@ -95,10 +95,12 @@ object DiagAnalysis {
       sum(when(col("metric") === "Space used (live)", col("norm"))).as("size_bytes"),
       sum(when(col("metric") === "Local read count", col("tps"))).as("read_tps"),
       sum(when(col("metric") === "Local write count", col("tps"))).as("write_tps"))
-    val w = Window.partitionBy()
-    agg
-      .withColumn("total_reads", sum(col("reads")).over(w))
-      .withColumn("total_writes", sum(col("writes")).over(w))
+    // grand totals as a 1-row aggregate broadcast back (the q15 pattern):
+    // the agg relation is schema-sized, but an empty-partition window
+    // would still drag every row through one task
+    val tot = agg.agg(
+      sum(col("reads")).as("total_reads"), sum(col("writes")).as("total_writes"))
+    agg.crossJoin(broadcast(tot))
       .withColumn("total_rw", col("total_reads") + col("total_writes"))
       .withColumn("perc_read", col("reads") / col("total_reads"))
       .withColumn("perc_write", col("writes") / col("total_writes"))
