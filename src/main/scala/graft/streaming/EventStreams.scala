@@ -87,6 +87,21 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the incremental twin of the batch dd01
+    * content-hash dedup, composed from built-ins (the preference order:
+    * existing operators before custom state): md5 the normalized text,
+    * then watermarked `dropDuplicates` keeps the first arrival per
+    * signature and drops re-arrivals. State per signature is evicted
+    * once the watermark passes its event time — the horizon is the
+    * dedup window; cross-horizon dupes are the batch job's business.
+    */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("sig",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("sig")
+
   /** One user's open session. */
   final case class SessionState(start: java.sql.Timestamp,
       end: java.sql.Timestamp, n: Long)

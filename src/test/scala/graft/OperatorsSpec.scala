@@ -81,6 +81,30 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .collect().isEmpty)
   }
 
+  test("split assignment is a pure function of doc_id: stable across plans") {
+    import graft.operators.Sampling
+    val dir = "/root/testdata/sf0.001"
+    val a = Sampling.sp01(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Int]("bucket"), r.getAs[String]("split"))).toMap
+    // independent plan: recompute the bucket from the hash definition on a
+    // repartitioned scan — a layout- or partitioning-sensitive assignment
+    // (anything rand()-like) would diverge here
+    val b = Tables.documents(spark, dir).repartition(17)
+      .select(col("doc_id"),
+        (Dedup.h60(concat(lit("split:"), col("doc_id"))) % 100L).cast("int").as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a.nonEmpty && a.keySet == b.keySet)
+    a.foreach { case (id, (bucket, split)) =>
+      assert(bucket == b(id), s"doc $id bucket")
+      val expected = if (bucket < 90) "train" else if (bucket < 95) "val" else "test"
+      assert(split == expected, s"doc $id split")
+    }
+    // every split non-empty at sf0.001, train largest
+    val n = a.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(n.keySet == Set("train", "val", "test"))
+    assert(n("train") > n("val") && n("train") > n("test"))
+  }
+
   test("PNG parser decodes a real-world 1x1 RGBA png") {
     // the canonical 67-byte 1x1 transparent PNG (not built by synthPayload)
     val png = java.util.Base64.getDecoder.decode(

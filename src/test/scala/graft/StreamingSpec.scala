@@ -185,6 +185,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains((1L, ts("2023-03-01 10:30:00"), ts("2023-03-01 10:30:00"), 1L)))
   }
 
+  test("dedupStream drops same-content re-arrivals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.dedupStream(mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    mem.addData(
+      (ts("2023-03-01 10:00:00"), 1L, "Hello  World"),
+      (ts("2023-03-01 10:01:00"), 2L, "hello world"), // same normalized content
+      (ts("2023-03-01 10:02:00"), 3L, "something else"))
+    q.processAllAvailable()
+    // re-arrival in a later micro-batch, still inside the watermark
+    mem.addData((ts("2023-03-01 10:10:00"), 4L, "HELLO   world"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L)) // first arrival per content survives
+  }
+
   test("pick: positional percentile definition (round, clamp, 1-based)") {
     val v = Vector(1.0, 2.0, 3.0, 4.0, 5.0)
     assert(EventStreams.pick(v, 0.5) == 3.0)   // round(2.5)=3 (half-up)
