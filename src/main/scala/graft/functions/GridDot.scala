@@ -154,6 +154,75 @@ case class SimHash60(child: Expression)
     copy(child = newChild)
 }
 
+/** Native Catalyst expression: whitespace-tokenize a string (after the
+  * trim+lowercase normalization every text operator uses), keep distinct
+  * tokens in first-occurrence order, and emit each token's portable
+  * 60-bit hash (first 15 hex chars of its UTF-8 md5) as `array<bigint>`.
+  *
+  * Semantically identical to
+  * `transform(array_distinct(split(lower(trim(text)),'\\s+')),
+  *            w -> CAST(conv(substring(md5(CAST(w AS BINARY)),1,15),16,10) AS BIGINT))`
+  * but the HOF form evaluates an interpreted Cast→Md5→Substring→Conv
+  * expression tree per token; here the whole pass is one kernel with a
+  * single MessageDigest reused across tokens. Normalization parity is by
+  * construction: the kernel calls the same UTF8String.trim()/toLowerCase
+  * the built-in `trim`/`lower` expressions use, and the same Java-regex
+  * split as `split`.
+  */
+case class TokensH60(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.types.StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"tokens_h60 expects string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "tokens_h60"
+
+  /** Kernel shared by interpreted eval and codegen (called per row). */
+  def kernel(s: Any): ArrayData = {
+    val u = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val txt = u.trim().toLowerCase().toString
+    val toks = TokensH60.Ws.split(txt, -1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < toks.length) { seen.add(toks(i)); i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = bytes 0..6 (14 digits) + high nibble of byte 7
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xFFL); j += 1 }
+      out(k) = (v << 4) | ((d(7) >> 4) & 0xFL)
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = kernel(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("tokensH60", this, classOf[TokensH60].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.kernel($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokensH60 {
+  /** Same regex the SQL `split(…, '\\s+')` compiles. */
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+}
+
 /** Registration for the engine's native functions. Call once per session
   * (idempotent); afterwards `expr("grid_dot(a, b)")` resolves. Also
   * injectable via `spark.sql.extensions=graft.functions.GraftExtensions`.
@@ -170,6 +239,8 @@ object GraftFunctions {
         "grid_dot", exprs => GridDot(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction(
         "simhash60", exprs => SimHash60(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "tokens_h60", exprs => TokensH60(exprs(0)), "built-in")
     }
   }
 }
@@ -190,5 +261,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SimHash60].getName, "simhash60"),
       (exprs: Seq[Expression]) => SimHash60(exprs(0))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("tokens_h60"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TokensH60].getName, "tokens_h60"),
+      (exprs: Seq[Expression]) => TokensH60(exprs(0))))
   }
 }

@@ -394,20 +394,15 @@ object Dedup {
     * Also emits 4 × 15-bit chunks (the banding key for Hamming search).
     */
   private def simhashSig(docs: DataFrame): DataFrame = {
-    // Entirely map-side, no explode/shuffle: distinct-token hashes as an
-    // array column (md5-based, portable), then the native codegen'd
-    // simhash60 kernel (graft.functions.SimHash60) folds the token×60-bit
-    // majority vote in one compiled loop per row — the naive
-    // (doc × token × bit) explode is a 60× row multiplier that shuffles
-    // the whole corpus, and the higher-order-function form evaluates
-    // interpreted lambdas per (token × bit).
+    // Entirely map-side, no explode/shuffle, two fused native kernels:
+    // tokens_h60 tokenizes + distincts + md5-hashes the doc in one pass
+    // (the HOF form ran an interpreted Cast→Md5→Substring→Conv tree per
+    // token), and simhash60 folds the token×60-bit majority vote in one
+    // compiled loop — the naive (doc × token × bit) explode is a 60× row
+    // multiplier that shuffles the whole corpus.
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sig = docs.select(col("doc_id"),
-        expr("""transform(
-                  array_distinct(split(lower(trim(text)), '\\s+')),
-                  w -> CAST(conv(substring(md5(CAST(w AS BINARY)), 1, 15), 16, 10) AS BIGINT))
-             """).as("hs"))
-      .select(col("doc_id"), expr("simhash60(hs)").as("simhash"))
+        expr("simhash60(tokens_h60(text))").as("simhash"))
     (0 to 3).foldLeft(sig) { (df, j) =>
       df.withColumn(s"c$j", expr(s"(simhash >> ${15 * j}) & 32767"))
     }

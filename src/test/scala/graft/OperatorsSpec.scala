@@ -105,6 +105,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(n("train") > n("val") && n("train") > n("test"))
   }
 
+  test("tokens_h60 kernel equals the HOF tokenize+md5 pipeline") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq(
+      "The quick  Brown\tFox\njumps",   // mixed case, tabs/newlines, dup after lower
+      "  leading and trailing   ",       // trim
+      "",                                // empty text → single empty token
+      "ÜNICÖDE ünicöde ß straße",        // non-ASCII lowercasing
+      "one one one two"                  // distinct collapse
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = docs.selectExpr("doc_id", "tokens_h60(text) AS hs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = docs.selectExpr("doc_id",
+      """transform(
+           array_distinct(split(lower(trim(text)), '\\s+')),
+           w -> CAST(conv(substring(md5(CAST(w AS BINARY)), 1, 15), 16, 10) AS BIGINT)) AS hs""")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == hof)
+  }
+
   test("PNG parser decodes a real-world 1x1 RGBA png") {
     // the canonical 67-byte 1x1 transparent PNG (not built by synthPayload)
     val png = java.util.Base64.getDecoder.decode(
