@@ -55,6 +55,18 @@ object DiagWorkbook {
   def write(tabs: DiagReport.Tabs, outDir: String): Unit = {
     val dir = s"$outDir/workbook"
     new java.io.File(dir).mkdirs()
+    val s = sheets(tabs)
+    s.foreach { case (name, rows) => writeCsv(s"$dir/$name.csv", rows) }
+    // the reference's primary artifact: <db>_astra_chart.xlsx
+    // (explore.py:1124) — same sheets, written as a real workbook
+    DiagXlsx.write(s"$outDir/${tabs.clusterName}_astra_chart.xlsx", s)
+  }
+
+  /** Build every workbook tab as (name, rows), in the reference's sheet
+    * order (explore.py:1127-1138). */
+  private def sheets(tabs: DiagReport.Tabs): Seq[(String, Seq[Seq[Any]])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Seq[Any]])]
+    def sheet(name: String, rows: Seq[Seq[Any]]): Unit = out += (name -> rows)
 
     val nodeRows = tabs.nodeTable.collect()
     val wl = tabs.workload.collect().toSeq
@@ -68,7 +80,7 @@ object DiagWorkbook {
       get(r, "rack"), get(r, "uptime_sec"), get(r, "uptime_human"),
       get(r, "workload"), get(r, "version")))
     if (nodeRows.nonEmpty) // exclude_tab parity: no status data, no tab
-      writeCsv(s"$dir/Node Data.csv",
+      sheet("Node Data",
         Seq(Seq("Datacenter", "Node", "Load", "Tokens", "Rack", "Uptime (sec)",
           "Uptime", "Workload", "Version")) ++ nodeData ++
           Seq(Seq("", "", "", "", "Avg Uptime", am.avgUptimeSec, "", "", "")))
@@ -91,13 +103,13 @@ object DiagWorkbook {
         blockHdr ++ Seq("Write Requests", "Average TPS", "% Writes", "W % RW")) ++
         (readSide :+ readTotal).zipAll(writeSide :+ writeTotal,
           Seq.fill(6)(""), Seq.fill(6)("")).map { case (a, b) => a ++ Seq("") ++ b }
-    writeCsv(s"$dir/Workload.csv", wlRows)
+    sheet("Workload", wlRows)
 
     // ---- Data Size (explore.py:1130, 1710-1716) + Total footer
     val dsRows = wl.sortBy(r => (-num(r, "size_bytes"), r.getAs[String]("keyspace"),
       r.getAs[String]("table"))).map(r =>
       Seq(get(r, "keyspace"), get(r, "table"), num(r, "size_bytes")))
-    writeCsv(s"$dir/Data Size.csv",
+    sheet("Data Size",
       Seq(Seq("Keyspace", "Table", "Size (Bytes)")) ++ dsRows ++
         Seq(Seq("Total", "", wl.map(num(_, "size_bytes")).sum)))
 
@@ -107,14 +119,14 @@ object DiagWorkbook {
       val rows = th.getOrElse(key, Array.empty[Row]).toSeq.map(r => Seq(
         get(r, "node"), get(r, "dc"), get(r, "keyspace"), get(r, "table"),
         num(r, "value")))
-      writeCsv(s"$dir/$tabName.csv", headers.map(_.asInstanceOf[Any]) +: rows)
+      sheet(tabName, headers.map(_.asInstanceOf[Any]) +: rows)
     }
 
     // ---- Tombstones (explore.py:1575-1600; ts_cols order)
     val tsRows = tabs.tombstones.collect().toSeq.map(r => Seq(
       get(r, "dc"), get(r, "node"), get(r, "keyspace"), get(r, "table"),
       get(r, "reads"), get(r, "tombstones")))
-    writeCsv(s"$dir/Tombstones.csv",
+    sheet("Tombstones",
       Seq(Seq("Sample DC", "Sample Node", "Keyspace", "Table",
         "Live Rows Read", "Tombstones")) ++ tsRows)
 
@@ -126,7 +138,7 @@ object DiagWorkbook {
       get(r, "p99"), get(r, "p98"), get(r, "p95"), get(r, "p90"),
       get(r, "p75"), get(r, "p50"), get(r, "min_ms"),
       get(r, "oldest"), get(r, "newest"), get(r, "ts_of_max")))
-    writeCsv(s"$dir/GC Pauses.csv",
+    sheet("GC Pauses",
       Seq(Seq("Name", "Level/DC", "Pauses", "Max", "P99", "P98", "P95",
         "P90", "P75", "P50", "Min", "From", "To", "Max Date")) ++ gcRows)
 
@@ -138,7 +150,7 @@ object DiagWorkbook {
         ids ++ phLabels.map(l => get(r, s"w_$l"))
     }
     val phHdr = Seq("Datacenter", "Node", "Max", "P99", "P98", "P95", "P75", "P50", "Min")
-    writeCsv(s"$dir/Proxihistogram.csv", (phHdr ++ Seq("") ++ phHdr) +: phRows)
+    sheet("Proxihistogram", (phHdr ++ Seq("") ++ phHdr) +: phRows)
 
     // ---- Astra Metrics: workload summary + warning sections
     // (explore.py:1801-1846)
@@ -154,7 +166,7 @@ object DiagWorkbook {
                   ms.map(_.getAs[String]("message")).sorted.map(m => Seq[Any]("", m))
               }
         }
-    writeCsv(s"$dir/Astra Metrics.csv",
+    sheet("Astra Metrics",
       Seq(
         Seq(s"Astra Metrics Data for ${tabs.clusterName}"),
         Seq("Workload Summary"),
@@ -164,5 +176,13 @@ object DiagWorkbook {
         Seq("Write TPMo", am.writeTpmo),
         Seq("Data Size (GB)", am.dataSizeGb),
         Seq("Average Uptime", am.avgUptimeSec)) ++ warnSection)
+
+    // reference sheet order: Astra Metrics, Workload, Data Size, the
+    // sheets_data tabs, Tombstones, GC Pauses (explore.py:1127-1138)
+    val order = Seq("Astra Metrics", "Workload", "Data Size", "Node Data",
+      "Proxihistogram") ++ ThresholdTabs.map(_._2._1) ++
+      Seq("Tombstones", "GC Pauses")
+    val byName = out.toMap
+    order.flatMap(n => byName.get(n).map(n -> _))
   }
 }

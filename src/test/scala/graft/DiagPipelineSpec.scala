@@ -181,6 +181,29 @@ class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(am.exists(_.startsWith("Read TPS,")))
     assert(am.contains("Astra Guardrails"))
     assert(am.exists(_.contains("Missing Node Data")))
+
+    // the reference's primary artifact: a real xlsx workbook (zip of
+    // SpreadsheetML parts), 13 sheets, Astra Metrics first
+    val xlsx = new java.util.zip.ZipFile(s"$dir/TestCluster_astra_chart.xlsx")
+    try {
+      val entries = Iterator.continually(xlsx.entries())
+        .take(1).flatMap(e => Iterator.continually(e).takeWhile(_.hasMoreElements)
+          .map(_.nextElement().getName)).toSet
+      assert(entries.contains("[Content_Types].xml"))
+      assert(entries.contains("xl/workbook.xml"))
+      assert((1 to 13).forall(i => entries.contains(s"xl/worksheets/sheet$i.xml")))
+      def part(name: String): String = {
+        val in = xlsx.getInputStream(xlsx.getEntry(name))
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      val wb = part("xl/workbook.xml")
+      assert(wb.contains("""<sheet name="Astra Metrics" sheetId="1""""))
+      assert(wb.contains("""<sheet name="GC Pauses" sheetId="13""""))
+      assert(part("xl/worksheets/sheet1.xml")
+        .contains("Astra Metrics Data for TestCluster"))
+      // numeric cells are native numbers, not strings
+      assert(part("xl/worksheets/sheet4.xml").contains("<c r=\"F2\"><v>86400</v></c>"))
+    } finally xlsx.close()
   }
 
   test("proxy histograms: pivoted per (dc, node), µs→ms") {
