@@ -125,6 +125,13 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(native == hof)
   }
 
+  test("xlsx column references cross the AA boundary correctly") {
+    assert(DiagXlsx.colRef(0) == "A" && DiagXlsx.colRef(25) == "Z")
+    assert(DiagXlsx.colRef(26) == "AA" && DiagXlsx.colRef(27) == "AB")
+    assert(DiagXlsx.colRef(51) == "AZ" && DiagXlsx.colRef(52) == "BA")
+    assert(DiagXlsx.colRef(701) == "ZZ" && DiagXlsx.colRef(702) == "AAA")
+  }
+
   test("PNG parser decodes a real-world 1x1 RGBA png") {
     // the canonical 67-byte 1x1 transparent PNG (not built by synthPayload)
     val png = java.util.Base64.getDecoder.decode(
