@@ -87,6 +87,45 @@ object EventStreams {
       }
   }
 
+  /** Histogram state for integer-valued running percentiles. */
+  final case class HistState(counts: Map[Int, Long])
+
+  /** Exact running percentiles with BOUNDED state for integer-valued
+    * streams (GC pause ms, latencies in µs buckets): state per key is a
+    * value→count histogram, so it grows with the value DOMAIN, not the
+    * event count — the fix for [[runningPercentiles]]'s documented
+    * O(values) state trade. The positional pick walks the sorted
+    * histogram's cumulative counts — the same smallest-value-reaching-
+    * rank-idx selection as the batch histPercentiles, so picks equal the
+    * sorted-vector definition exactly.
+    */
+  def runningPercentilesHist(events: Dataset[(String, Int)])
+      : Dataset[PctUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[HistState, PctUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[HistState]) =>
+          var h = state.getOption.map(_.counts).getOrElse(Map.empty[Int, Long])
+          rows.foreach { case (_, v) => h = h.updated(v, h.getOrElse(v, 0L) + 1L) }
+          state.update(HistState(h))
+          if (h.isEmpty) Iterator.empty
+          else {
+            val sorted = h.toArray.sortBy(_._1)
+            val n = sorted.map(_._2).sum
+            def pickH(q: Double): Double = {
+              val idx = math.min(math.max(math.round(n * q), 1L), n)
+              var cum = 0L
+              var i = 0
+              while (cum < idx) { cum += sorted(i)._2; i += 1 }
+              sorted(i - 1)._1.toDouble
+            }
+            Iterator.single(PctUpdate(key, n, sorted.head._1.toDouble,
+              pickH(0.50), pickH(0.95), pickH(0.99), sorted.last._1.toDouble))
+          }
+      }
+  }
+
   /** Streaming exact dedup — the incremental twin of the batch dd01
     * content-hash dedup, composed from built-ins (the preference order:
     * existing operators before custom state): md5 the normalized text,

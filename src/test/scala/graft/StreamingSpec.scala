@@ -204,6 +204,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 3L)) // first arrival per content survives
   }
 
+  test("histogram-state percentiles equal the vector-state operator across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batches = Seq(
+      Seq(("k", 210), ("k", 450), ("k", 210), ("j", 7)),       // ties collapse
+      Seq(("k", 100), ("k", 999), ("k", 450), ("j", 3)))
+    val memV = MemoryStream[(String, Double)]
+    val memH = MemoryStream[(String, Int)]
+    val qv = EventStreams.runningPercentiles(memV.toDS())
+      .writeStream.format("memory").queryName("pv").outputMode("update").start()
+    val qh = EventStreams.runningPercentilesHist(memH.toDS())
+      .writeStream.format("memory").queryName("ph2").outputMode("update").start()
+    batches.foreach { b =>
+      memV.addData(b.map { case (k, v) => (k, v.toDouble) }: _*)
+      memH.addData(b: _*)
+      qv.processAllAvailable()
+      qh.processAllAvailable()
+    }
+    qv.stop(); qh.stop()
+    // compare the LAST update per key from both operators
+    def last(tbl: String) = spark.table(tbl)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    assert(last("pv") == last("ph2"))
+    val k = last("ph2")("k")
+    assert(k._2 == 6L && k._3 == 100.0 && k._7 == 999.0) // n, min, max
+  }
+
   test("pick: positional percentile definition (round, clamp, 1-based)") {
     val v = Vector(1.0, 2.0, 3.0, 4.0, 5.0)
     assert(EventStreams.pick(v, 0.5) == 3.0)   // round(2.5)=3 (half-up)
