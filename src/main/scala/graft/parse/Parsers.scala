@@ -30,11 +30,15 @@ object Parsers {
     var dc = ""
     lines.flatMap { line =>
       if (line.contains("Datacenter:")) {
-        dc = line.split(":")(1).trim; None
+        dc = line.split(":").lift(1).map(_.trim).getOrElse(""); None
       } else if (line.count(_ == '.') >= 3) {
         val v = line.split("\\s+").filter(_.nonEmpty)
+        // toIntOption: a malformed token count skips the row — the parser
+        // contract is skip-what-you-can't-parse, never throw (a throw
+        // kills the whole file's task)
         if (v.length >= 8)
-          Some(StatusRow(dc, v(1), v(0), v(2) + " " + v(3), v(4).toInt, v(7)))
+          v(4).toIntOption.map(tok =>
+            StatusRow(dc, v(1), v(0), v(2) + " " + v(3), tok, v(7)))
         else None
       } else None
     }
@@ -52,7 +56,8 @@ object Parsers {
     val blocks = scala.collection.mutable.ArrayBuffer.empty[B]
     lines.foreach { line =>
       if (line.startsWith("/")) {
-        blocks += B(line.split("/")(1).trim)
+        // a bare "/" line has no address field — skip the block header
+        line.split("/").lift(1).foreach(ip => blocks += B(ip.trim))
       } else if (blocks.nonEmpty) {
         val b = blocks.last
         if (line.contains("DC:")) {
@@ -169,7 +174,7 @@ object Parsers {
       if (parts.length >= 2) (unq(parts(0)), unq(parts(1))) else (ks, unq(parts(0)))
     }
 
-    lines.foreach { raw =>
+    def handleLine(raw: String): Unit = {
       val line = raw.trim
       if (line.isEmpty) close()
       else {
@@ -261,6 +266,10 @@ object Parsers {
         }
       }
     }
+    // a malformed DDL line (truncated CREATE, stray tokens) skips — it
+    // must not kill the whole schema file's task; real DDL dumps are
+    // machine-generated, so the happy path never takes this exit
+    lines.foreach(l => try handleLine(l) catch { case _: Exception => () })
     close()
     SchemaCatalog(objects.toSeq, rfs.toSeq)
   }
