@@ -75,9 +75,61 @@ object Sampling {
       |         / CAST(COUNT(*) AS DOUBLE) AS kept_ratio
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- sp03
+  /** Exact decontamination: test/val-split docs whose NORMALIZED content
+    * (lowercased, whitespace-collapsed — the dd01 signature) also occurs
+    * in the train split. The standard pre-training hygiene check; run it
+    * after sp01 and before training. One row per contaminated eval doc
+    * with the smallest colliding train doc and the collision count.
+    *
+    * Scale posture: one shuffle on the content signature (the train side
+    * aggregates to distinct signatures first, so a heavily duplicated
+    * train doc can't fan out the join).
+    */
+  def sp03(s: SparkSession, dir: String): DataFrame =
+    sp03Over(Tables.documents(s, dir))
+
+  /** (doc_id, bucket) for any docs-shaped relation — the split hash,
+    * exposed for composition and specs. */
+  def sp01Buckets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), bucket.cast("int").as("bucket"))
+
+  /** [[sp03]] over any docs-shaped relation. */
+  def sp03Over(d: DataFrame): DataFrame = {
+    val docs = d
+      .withColumn("bucket", bucket)
+      .withColumn("sig",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")))
+    val train = docs.filter(col("bucket") < 90)
+      .groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("train_doc_id"), count(lit(1)).as("n_train"))
+    docs.filter(col("bucket") >= 90)
+      .select(col("doc_id"), col("sig"),
+        when(col("bucket") < 95, "val").otherwise("test").as("split"))
+      .join(train, Seq("sig"))
+      .select(col("doc_id"), col("split"), col("train_doc_id"), col("n_train"))
+      .orderBy("doc_id")
+  }
+
+  val sp03Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $bucketSql AS bucket,
+       |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS sig
+       |  FROM documents),
+       |train AS (SELECT sig, MIN(doc_id) AS train_doc_id,
+       |                 COUNT(*) AS n_train
+       |          FROM d WHERE bucket < 90 GROUP BY sig)
+       |SELECT doc_id,
+       |       CASE WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+       |       train_doc_id, n_train
+       |FROM d JOIN train USING (sig)
+       |WHERE bucket >= 90
+       |ORDER BY doc_id""".stripMargin
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("sp01_split_assign", "deterministic hash 90/5/5 train/val/test split", sp01, Some(sp01Sql)),
     Q("sp02_stratified_sample", "stratified 20% hash sample + audit counts", sp02, Some(sp02Sql)),
+    Q("sp03_contamination_exact", "test/val docs whose content occurs in train", sp03, Some(sp03Sql)),
   )
 }

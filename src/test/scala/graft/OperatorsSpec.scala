@@ -125,6 +125,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(native == hof)
   }
 
+  test("sp03 contamination flags only cross-split exact content collisions") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // build a doc set where we KNOW the split buckets, then inject
+    // content collisions across and within splits
+    val base = (0L until 400L).map(i => (i, s"unique text $i", "en", "s", 10L))
+    val df0 = base.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val buckets = Sampling.sp01Buckets(df0).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val trainIds = buckets.filter(_._2 < 90).keys.toSeq.sorted
+    val evalIds = buckets.filter(_._2 >= 90).keys.toSeq.sorted
+    assert(trainIds.nonEmpty && evalIds.size >= 2)
+    // eval doc evalIds(0) duplicates a train doc (normalized: case+ws);
+    // eval doc evalIds(1) duplicates ANOTHER EVAL doc only (no train hit)
+    val docs = base.map { case (id, text, l, s0, n) =>
+      val t =
+        if (id == evalIds(0)) s"UNIQUE   Text ${trainIds.head}"
+        else if (id == trainIds.head) s"unique text ${trainIds.head}"
+        else if (evalIds.size > 2 && id == evalIds(1)) s"unique text ${evalIds(2)}"
+        else text
+      (id, t, l, s0, n)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.createOrReplaceTempView("spec_docs")
+    val got = Sampling.sp03Over(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got.contains(evalIds(0)) && got(evalIds(0)) == trainIds.head)
+    assert(!got.contains(evalIds(1))) // eval↔eval collision is NOT contamination
+  }
+
   test("xlsx column references cross the AA boundary correctly") {
     assert(DiagXlsx.colRef(0) == "A" && DiagXlsx.colRef(25) == "Z")
     assert(DiagXlsx.colRef(26) == "AA" && DiagXlsx.colRef(27) == "AB")
