@@ -23,7 +23,12 @@ object DiagReport {
   final case class Tabs(
       nodeTable: DataFrame, workload: DataFrame, gc: DataFrame,
       tombstones: DataFrame, thresholds: DataFrame, warnings: DataFrame,
-      proxyHist: DataFrame, clusterName: String)
+      proxyHist: DataFrame, clusterName: String,
+      /** every non-system (keyspace, table) seen in cfstats — the
+        * reference registers a summary_json placeholder for each
+        * (explore.py:937-938) even when no metric survives the >0
+        * filters (an idle table emits `{}`) */
+      seenTables: DataFrame)
 
   def analyze(spark: SparkSession, root: String,
       tp: Thresholds = Thresholds(), inclSys: Boolean = false): Tabs = {
@@ -59,7 +64,8 @@ object DiagReport {
         .unionByName(DiagAnalysis.workloadWarnings(gossip))
         .orderBy("category", "check", "message"),
       proxyHist = DiagAnalysis.proxyHistTab(DiagSource.proxyHist(spark, root), nodeDc),
-      clusterName = cluster)
+      clusterName = cluster,
+      seenTables = DiagAnalysis.seenTables(metrics, inclSys))
   }
 
   /** Engine-computed Astra Metrics (the reference leaves these to Excel
@@ -96,17 +102,32 @@ object DiagReport {
       else d.toString
 
     val wl = tabs.workload.collect()
-    val byKs = wl.groupBy(_.getAs[String]("keyspace"))
-    val workload = byKs.toSeq.sortBy(_._1).map { case (ks, rows) =>
-      val tbls = rows.sortBy(_.getAs[String]("table")).map { r =>
-        def d(n: String) = Option(r.getAs[Any](n)).map(_.toString.toDouble).getOrElse(0.0)
-        val read =
-          s"""{"read_req":${jnum(d("reads"))},"avg_tps":${d("read_tps")},"perc_read":${d("perc_read")},"perc_rw":${d("read_perc_rw")}}"""
-        val write =
-          s"""{"write_req":${jnum(d("writes"))},"avg_tps":${d("write_tps")},"perc_write":${d("perc_write")},"perc_rw":${d("write_perc_rw")}}"""
-        s"${jstr(r.getAs[String]("table"))}:{" + s""""read":$read,"write":$write}"""
+    // every cfstats-seen table gets an entry; a block (read / write /
+    // size) appears only when its count survived the >0 filter — an
+    // idle table is `{}` on both sides (ref explore.py:937-938 register
+    // the placeholder, 1718/1748/1788 add blocks only for counted
+    // tables); golden-diffed in GoldenReferenceSpec
+    val seen = tabs.seenTables.collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val wlByTbl = wl.map(r =>
+      (r.getAs[String]("keyspace"), r.getAs[String]("table")) -> r).toMap
+    val allTbls = (seen ++ wlByTbl.keys).distinct
+    def opt(r: Row, n: String): Option[Double] =
+      Option(r.getAs[Any](n)).map(_.toString.toDouble)
+    val byKs = allTbls.groupBy(_._1)
+    val workload = byKs.toSeq.sortBy(_._1).map { case (ks, tbls) =>
+      val entries = tbls.map(_._2).distinct.sorted.map { tbl =>
+        val blocks = wlByTbl.get((ks, tbl)).toSeq.flatMap { r =>
+          def d(n: String) = opt(r, n).getOrElse(0.0)
+          val read = opt(r, "reads").map(v =>
+            s""""read":{"read_req":${jnum(v)},"avg_tps":${d("read_tps")},"perc_read":${d("perc_read")},"perc_rw":${d("read_perc_rw")}}""")
+          val write = opt(r, "writes").map(v =>
+            s""""write":{"write_req":${jnum(v)},"avg_tps":${d("write_tps")},"perc_write":${d("perc_write")},"perc_rw":${d("write_perc_rw")}}""")
+          read.toSeq ++ write.toSeq
+        }
+        s"${jstr(tbl)}:{${blocks.mkString(",")}}"
       }.mkString(",")
-      s"${jstr(ks)}:{$tbls}"
+      s"${jstr(ks)}:{$entries}"
     }
     def sumOf(col: String) =
       wl.map(r => Option(r.getAs[Any](col)).map(_.toString.toDouble).getOrElse(0.0)).sum
@@ -114,12 +135,13 @@ object DiagReport {
     val totalReadPer = sumOf("read_perc_rw")
     val totalWritePer = sumOf("write_perc_rw")
 
-    val ds = byKs.toSeq.sortBy(_._1).map { case (ks, rows) =>
-      val tbls = rows.sortBy(_.getAs[String]("table")).map { r =>
-        val sz = Option(r.getAs[Any]("size_bytes")).map(_.toString.toDouble).getOrElse(0.0)
-        s"${jstr(r.getAs[String]("table"))}:{" + s""""size":${jnum(sz)}}"""
+    val ds = byKs.toSeq.sortBy(_._1).map { case (ks, tbls) =>
+      val entries = tbls.map(_._2).distinct.sorted.map { tbl =>
+        val size = wlByTbl.get((ks, tbl)).flatMap(r => opt(r, "size_bytes"))
+          .map(sz => s""""size":${jnum(sz)}""").getOrElse("")
+        s"${jstr(tbl)}:{$size}"
       }.mkString(",")
-      s"${jstr(ks)}:{$tbls}"
+      s"${jstr(ks)}:{$entries}"
     }
     val totalSize = am.sizeBytes
 
@@ -127,13 +149,25 @@ object DiagReport {
     // ref explore.py:304, 685: any unmatched node IP marks the diag
     // incomplete in the summary
     val missingData = if (allWarns.exists(_.getAs[String]("category") == "Missing Data")) 1 else 0
+    // the two reference categories always exist (warnings initialized at
+    // explore.py:574), and the three per-table guardrail checks always
+    // carry a list, empty or not (explore.py:1090-1091)
+    val alwaysChecks = Map(
+      "Astra Guardrails" -> Seq("Materialized Views", "Secondary Indexes",
+        "Storage-Attached Indexes"),
+      "Database Health" -> Seq.empty[String])
     val warns = allWarns.groupBy(_.getAs[String]("category"))
-    val warnJson = warns.toSeq.sortBy(_._1).map { case (cat, rows) =>
-      val checks = rows.groupBy(_.getAs[String]("check")).toSeq.sortBy(_._1)
-        .map { case (check, msgs) =>
-          s"${jstr(check)}:[" +
-            msgs.map(m => jstr(m.getAs[String]("message"))).sorted.mkString(",") + "]"
-        }.mkString(",")
+    val allCats = (warns.keySet ++ alwaysChecks.keySet).toSeq.sorted
+    val warnJson = allCats.map { cat =>
+      val rows = warns.getOrElse(cat, Array.empty[Row])
+      val byCheck = rows.groupBy(_.getAs[String]("check"))
+      val checkNames =
+        (byCheck.keySet ++ alwaysChecks.getOrElse(cat, Nil)).toSeq.sorted
+      val checks = checkNames.map { check =>
+        val msgs = byCheck.getOrElse(check, Array.empty[Row])
+        s"${jstr(check)}:[" +
+          msgs.map(m => jstr(m.getAs[String]("message"))).sorted.mkString(",") + "]"
+      }.mkString(",")
       s"${jstr(cat)}:{$checks}"
     }.mkString(",")
 
@@ -154,9 +188,17 @@ object DiagReport {
       s""""data_size_gb":${am.dataSizeGb}""",
       s""""avg_uptime_sec":${am.avgUptimeSec}""").mkString(",")
 
+    // `avg_uptime` is the reference's top-level key (explore.py:1563).
+    // Documented deviation: the reference divides by its node-tab row
+    // cursor (diag-dir nodes + 1, an off-by-one) and drops down nodes
+    // from both sides; this engine averages over ALL status nodes with
+    // down nodes contributing 0 — GoldenReferenceSpec pins both.
+    // `cluster` and `astra_metrics` are additive keys (no reference
+    // counterpart; metrics live in its xlsx as Excel formulas).
     s"""{"cluster":${jstr(tabs.clusterName)},"workload":{$wlEntries},""" +
       s""""dataset_size":{$dsEntries},""" +
       s""""astra_metrics":{$metrics},""" +
+      s""""avg_uptime":${am.avgUptimeSec},""" +
       s""""missing_data":$missingData,"warnings":{$warnJson}}"""
   }
 

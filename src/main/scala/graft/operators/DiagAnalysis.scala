@@ -63,9 +63,12 @@ object DiagAnalysis {
     */
   def workload(metrics: Dataset[TableMetric], rf: Dataset[KeyspaceRf],
       nodeInfo: DataFrame, inclSys: Boolean = false): DataFrame = {
+    // index tables are INCLUDED: the reference sets is_index but never
+    // reads it (explore.py:925-931 — dead variable), so secondary-index
+    // "tables" flow into workload, dataset size and the totals;
+    // golden-diffed against explore.py output in GoldenReferenceSpec
     val m = metrics.toDF()
       .filter(col("keyspace") =!= "" && notSystem(col("keyspace"), inclSys))
-      .filter(!col("isIndex"))
     val totalRf = rf.toDF().groupBy(col("keyspace"))
       .agg(sum(col("rf")).as("rf_total"))
     val dcRf = rf.toDF().select(col("keyspace"), col("dc"), col("rf").as("rf_dc"))
@@ -108,6 +111,16 @@ object DiagAnalysis {
       .withColumn("write_perc_rw", col("writes") / col("total_rw"))
       .orderBy(coalesce(col("reads"), lit(0.0)).desc, col("keyspace"), col("table"))
   }
+
+  /** Distinct non-system (keyspace, table) pairs seen in cfstats — the
+    * summary_json placeholder set (ref explore.py:924-938: every table
+    * encountered registers `{}` under workload and dataset_size, index
+    * tables included). */
+  def seenTables(metrics: Dataset[TableMetric], inclSys: Boolean): DataFrame =
+    metrics.toDF()
+      .filter(col("keyspace") =!= "" && col("table") =!= "" &&
+        notSystem(col("keyspace"), inclSys))
+      .select(col("keyspace"), col("table")).distinct()
 
   /** Multi-level GC percentile rollup (ref explore.py:332-341, 365-398,
     * 1072-1077): the same events bucketed at Database → DC → Node via
@@ -302,9 +315,12 @@ object DiagAnalysis {
       .groupBy(col("dc"), col("keyspace"), col("table"))
       .agg(max(col("v")).as("v"))
       .select(lit(gr).as("category"), lit("Large Partitions").as("check"),
+        // size rendered as a double ("260.0MB", "150.5MB") — the
+        // reference prints int(value)/1000000, a Python float
+        // (explore.py:1458-1461); golden-diffed byte-for-byte
         concat(lit("Table "), col("dc"), lit("."), col("keyspace"), lit("."),
           col("table"), lit(" partition size "),
-          (col("v") / 1e6).cast("long"), lit("MB"),
+          (floor(col("v")) / 1e6).cast("string"), lit("MB"),
           when(col("v") >= tp.grLparMb * 1e6, "***").otherwise("")).as("message"))
 
     // GC P99 at database level (388-389)
@@ -312,12 +328,37 @@ object DiagAnalysis {
       .select(lit(dh).as("category"), lit("GC Pauses").as("check"),
         lit(s"P99 GC pause greater than ${tp.tpGcpMs}").as("message"))
 
-    // tombstone presence (358-361)
+    // tombstone presence (358-361): the threshold is comma-grouped like
+    // the reference's "{:,}".format(tp_ts)
     val tsWarn = tombstones.toDF().limit(1)
       .select(lit(dh).as("category"), lit("Tombstones").as("check"),
-        lit(s"Tombstones greater than ${tp.tpTs} in a single read request").as("message"))
+        lit("Tombstones greater than %,d in a single read request"
+          .formatLocal(java.util.Locale.US, tp.tpTs)).as("message"))
 
-    (perKind ++ udfuda ++ Seq(colCnt, tblCnt, lpar, gcWarn, tsWarn))
+    // single-entry Database Health presence warnings (1442-1446): any
+    // cfstats row at-or-over its tab threshold flips one fixed message
+    // per tab — "<Tab Name> greater than <threshold>"
+    def fmtNum(d: Double): String =
+      if (d == d.floor) d.toLong.toString else d.toString
+    val healthChecks = Seq(
+      ("Dropped Mutations", "Dropped Mutation", tp.tpDrm.toDouble, false),
+      ("SSTable count", "SSTable Count", tp.tpSstbl.toDouble, false),
+      ("Local read latency", "Read Latency", tp.tpRlMs, true),
+      ("Local write latency", "Write Latency", tp.tpWlMs, true))
+    val mSys = metrics.toDF().filter(notSystem(col("keyspace"), inclSys = false))
+    val presence = healthChecks.map { case (metric, tabName, thr, stripMs) =>
+      val v =
+        if (stripMs) num(regexp_replace(col("value"), "\\s*ms\\s*$", ""))
+        else num(col("value"))
+      mSys.filter(col("metric") === metric)
+        .withColumn("v", v)
+        .filter(col("v") >= thr && !isnan(col("v")))
+        .limit(1)
+        .select(lit(dh).as("category"), lit(tabName).as("check"),
+          lit(s"$tabName greater than ${fmtNum(thr)}").as("message"))
+    }
+
+    (perKind ++ udfuda ++ presence ++ Seq(colCnt, tblCnt, lpar, gcWarn, tsWarn))
       .reduce(_.unionByName(_))
       .orderBy("category", "check", "message")
   }

@@ -35,11 +35,15 @@ class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
     val legacy = wl(("ks2", "legacy_cf"))
     assert(math.abs(legacy.getAs[Double]("reads") - 80.0) < 1e-6)
     assert(math.abs(legacy.getAs[Double]("writes") - 48.0) < 1e-6)
-    // system keyspace + index tables excluded
+    // system keyspace excluded; index tables INCLUDED (the reference's
+    // is_index is a dead variable, explore.py:925-931 — golden-diffed)
     assert(!wl.keySet.exists(_._1 == "system"))
-    assert(!wl.keySet.exists(_._2 == "users_by_email_idx"))
-    // ratio-of-total: users reads / 24080
-    assert(math.abs(users.getAs[Double]("perc_read") - 20000.0 / 24080.0) < 1e-9)
+    val idx = wl(("ks2", "users_by_email_idx"))
+    // idx reads: 10/rf(ks2)=10/3 per node × 4; size 1000/Σrf=1000/3
+    assert(math.abs(idx.getAs[Double]("reads") - 40.0 / 3) < 1e-9)
+    assert(math.abs(idx.getAs[Double]("size_bytes") - 1000.0 / 3) < 1e-6)
+    // ratio-of-total: users reads / (24080 + idx 13.3̅)
+    assert(math.abs(users.getAs[Double]("perc_read") - 20000.0 / (24080.0 + 40.0 / 3)) < 1e-9)
     // tps: (12000/3)/86400 ×2 + (12000/2)/43200 ×2
     val expTps = 4000.0 / 86400 * 2 + 6000.0 / 43200 * 2
     assert(math.abs(users.getAs[Double]("read_tps") - expTps) < 1e-9)
@@ -102,7 +106,12 @@ class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(msgs.contains(("Number of Tables", "160 tables in database")))
     assert(msgs.contains(("GC Pauses", "P99 GC pause greater than 800")))
     assert(msgs.contains(("Tombstones",
-      "Tombstones greater than 1000 in a single read request")))
+      "Tombstones greater than 1,000 in a single read request")))
+    // single-entry Database Health presence warnings (explore.py:1445)
+    assert(msgs.contains(("SSTable Count", "SSTable Count greater than 20")))
+    assert(msgs.contains(("Read Latency", "Read Latency greater than 100")))
+    assert(msgs.contains(("Dropped Mutation", "Dropped Mutation greater than 100000")))
+    assert(!msgs.exists(_._1 == "Write Latency")) // none ≥ 100ms in fixture
     assert(msgs.exists { case (c, m) =>
       c == "Large Partitions" && m.contains("ks1.users") && m.endsWith("***") })
     assert(msgs.exists { case (c, m) =>
@@ -236,7 +245,17 @@ class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val tree = mapper.readTree(json)
     assert(tree.get("cluster").asText() == "TestCluster")
-    assert(tree.get("dataset_size").get("total").asDouble() == 1.6e9 + 8e8 + 2e8)
+    // total includes the index table (2000/6) — reference parity
+    assert(math.abs(tree.get("dataset_size").get("total").asDouble() -
+      (1.6e9 + 8e8 + 2e8 + 1000.0 / 3)) < 1e-5)
+    // idle table: placeholder {} entries, no size/read/write blocks
+    assert(tree.get("dataset_size").get("ks1").get("idle").isEmpty)
+    assert(tree.get("workload").get("ks1").get("idle").isEmpty)
+    // index table: read block only (writes never counted)
+    val idxNode = tree.get("workload").get("ks2").get("users_by_email_idx")
+    assert(idxNode.has("read") && !idxNode.has("write"))
+    // top-level avg_uptime (reference key, our all-status-nodes semantic)
+    assert(tree.get("avg_uptime").asDouble() == (86400.0 * 2 + 43200 * 2) / 5)
     assert(tree.get("workload").get("ks1").get("users").get("read")
       .get("read_req").asDouble() == 20000.0)
     assert(tree.get("warnings").get("Astra Guardrails").get("Materialized Views")
@@ -248,7 +267,7 @@ class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
       .get(0).asText() == "10.0.0.9")
     // Astra Metrics (engine-computed, reference had them as Excel formulas)
     val am = tree.get("astra_metrics")
-    assert(am.get("data_size_gb").asDouble() == 2.6)
+    assert(math.abs(am.get("data_size_gb").asDouble() - (2.6 + 1000.0 / 3 / 1e9)) < 1e-12)
     val tps = am.get("read_tps").asDouble()
     assert(math.abs(am.get("read_tpmo").asDouble() - tps * 60 * 60 * 24 * 365.25 / 12) < 1e-6)
     // 5 status nodes: 86400×2 + 43200×2 + 0 (down node) over 5

@@ -1,0 +1,246 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import scala.sys.process.{Process, ProcessLogger}
+
+/** Golden cross-validation against the ACTUAL reference program
+  * (/root/reference/explore.py), not a re-reading of its source: run it
+  * on the diag_mini fixture through a recording xlsxwriter shim
+  * (tools/xlsxwriter_shim), then diff its summary.json and workbook cell
+  * dump against this engine's output key-by-key.
+  *
+  * Parity keys must match exactly; every known intent deviation is
+  * PINNED as an explicit assertion on BOTH sides, so silent drift in
+  * either direction fails the build:
+  *   - `.append =` bug → reference keeps only the last UDF/UDA, garbled
+  *     by its tokenization (explore.py:817-838); engine collects all.
+  *   - MV source attribution → reference tokenizes the SELECT clause
+  *     ("*.users", explore.py:853-855); engine resolves the real table.
+  *   - inline-PK column undercount → reference's field dict skips a
+  *     `x type PRIMARY KEY` line (explore.py:858-869); engine counts it.
+  *   - AdditionalLogs gating → reference reads ./AdditionalLogs relative
+  *     to CWD and only for dash-named node dirs (explore.py:1049-1066);
+  *     engine ingests the side-channel for every node.
+  *   - GC percentile position → reference picks round(n·q)-1 with
+  *     banker's rounding (explore.py:365-376); engine HALF_UP(n·q).
+  *   - tablestats-only node → reference pass 2 crashes (explore.py:1425
+  *     has no cfstats→tablestats fallback, unlike :901-903); engine
+  *     falls back in both passes.
+  *
+  * Skipped (canceled) when python3 or the reference checkout is absent.
+  */
+class GoldenReferenceSpec extends AnyFunSuite with SparkTestBase {
+
+  private val refScript = Paths.get("/root/reference/explore.py")
+  private val shimDir = Paths.get("tools/xlsxwriter_shim").toAbsolutePath
+  private val mapper = new ObjectMapper()
+
+  private def python3: Option[String] =
+    Seq("python3").find { p =>
+      try Process(Seq(p, "--version")).!(ProcessLogger(_ => ())) == 0
+      catch { case _: Exception => false }
+    }
+
+  private def requireEnv(): String = {
+    assume(Files.exists(refScript), "reference checkout not present")
+    val py = python3
+    assume(py.isDefined, "python3 not on PATH")
+    py.get
+  }
+
+  private def copyTree(src: Path, dst: Path): Unit =
+    Files.walk(src).iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** Copy the fixture and give tablestats-only nodes a cfstats twin so
+    * the reference's fallback-less pass 2 can run (pinned separately in
+    * the crash test). */
+  private def materializeFixture(): Path = {
+    val root = Files.createTempDirectory("graft_golden")
+    copyTree(Paths.get("src/test/resources/diag_mini"), root)
+    Files.list(root.resolve("nodes")).iterator().asScala.foreach { nd =>
+      val ts = nd.resolve("nodetool/tablestats")
+      val cf = nd.resolve("nodetool/cfstats")
+      if (Files.exists(ts) && !Files.exists(cf)) Files.copy(ts, cf)
+    }
+    root
+  }
+
+  private def runReference(py: String, fixture: Path): Int =
+    Process(
+      Seq(py, refScript.toString, "-p", fixture.toString),
+      cwd = fixture.toFile,
+      "PYTHONPATH" -> shimDir.toString
+    ).!(ProcessLogger(_ => (), _ => ()))
+
+  // one shared run of both programs on one fixture tree
+  private lazy val golden: (JsonNode, JsonNode, JsonNode) = {
+    val py = requireEnv()
+    val fixture = materializeFixture()
+    assert(runReference(py, fixture) == 0, "reference program failed")
+    val ref = mapper.readTree(Files.readString(fixture.resolve("summary.json")))
+    val cells = mapper.readTree(Files.readString(
+      fixture.resolve("TestCluster_astra_chart.xlsx.celldump.json")))
+    val ours = mapper.readTree(
+      DiagReport.summaryJson(DiagReport.analyze(spark, fixture.toString)))
+    (ref, cells, ours)
+  }
+
+  /** Deep diff; numbers compare with relative tolerance, arrays as
+    * sorted string multisets. Returns human-readable diff lines. */
+  private def diff(a: JsonNode, b: JsonNode, path: String = ""): Seq[String] =
+    if (a.isObject && b.isObject) {
+      val keys = (a.fieldNames.asScala ++ b.fieldNames.asScala).toSeq.distinct
+      keys.flatMap { k =>
+        if (!a.has(k)) Seq(s"only-right $path/$k")
+        else if (!b.has(k)) Seq(s"only-left $path/$k")
+        else diff(a.get(k), b.get(k), s"$path/$k")
+      }
+    } else if (a.isArray && b.isArray) {
+      val l = a.elements.asScala.map(_.toString).toSeq.sorted
+      val r = b.elements.asScala.map(_.toString).toSeq.sorted
+      if (l != r) Seq(s"array-diff $path left=$l right=$r") else Nil
+    } else if (a.isNumber && b.isNumber) {
+      val (x, y) = (a.doubleValue, b.doubleValue)
+      if (math.abs(x - y) > 1e-9 * math.max(1.0, math.max(math.abs(x), math.abs(y))))
+        Seq(s"num-diff $path left=$x right=$y")
+      else Nil
+    } else if (a.asText != b.asText) Seq(s"val-diff $path left=$a right=$b")
+    else Nil
+
+  test("workload, dataset_size, missing_data, avg_uptime: exact parity") {
+    val (ref, _, ours) = golden
+    for (key <- Seq("workload", "dataset_size"))
+      assert(diff(ref.get(key), ours.get(key), key).isEmpty,
+        diff(ref.get(key), ours.get(key), key).mkString("\n"))
+    assert(ref.get("missing_data").asInt == ours.get("missing_data").asInt)
+    // avg_uptime matches on THIS fixture but the semantics differ:
+    // reference = Σuptime(diag nodes)/(diag nodes+1) (row-cursor
+    // off-by-one, explore.py:1553-1563: 259200/5); engine =
+    // Σuptime(all status nodes, down=0)/count (259200/5). A fixture
+    // with ≠1 down node would separate them — that asymmetry is the pin.
+    assert(ref.get("avg_uptime").asDouble == 51840.0)
+    assert(ours.get("avg_uptime").asDouble == 51840.0)
+  }
+
+  test("warnings: exact parity on every well-formed check") {
+    val (ref, _, ours) = golden
+    val sane = Seq(
+      ("Astra Guardrails", "Secondary Indexes"),
+      ("Astra Guardrails", "Storage-Attached Indexes"), // both empty []
+      ("Astra Guardrails", "Number of Tables"),
+      ("Astra Guardrails", "Large Partitions"),
+      ("Database Health", "Tombstones"),
+      ("Database Health", "SSTable Count"),
+      ("Database Health", "Read Latency"),
+      ("Database Health", "Dropped Mutation"),
+      ("Missing Data", "Missing Node Data"),
+      ("Workload", "Not Supported"))
+    for ((cat, check) <- sane) {
+      val l = ref.get("warnings").get(cat).get(check)
+      val r = ours.get("warnings").get(cat).get(check)
+      assert(l != null && r != null, s"$cat/$check missing")
+      assert(diff(l, r, s"$cat/$check").isEmpty,
+        diff(l, r, s"$cat/$check").mkString("\n"))
+    }
+    // neither side invents extra checks beyond the pinned set
+    val pinnedOursOnly = Set("GC Pauses")
+    val refChecks = ref.get("warnings").fieldNames.asScala.flatMap(c =>
+      ref.get("warnings").get(c).fieldNames.asScala.map((c, _))).toSet
+    val ourChecks = ours.get("warnings").fieldNames.asScala.flatMap(c =>
+      ours.get("warnings").get(c).fieldNames.asScala.map((c, _))).toSet
+    assert((ourChecks -- refChecks).map(_._2) == pinnedOursOnly)
+    assert((refChecks -- ourChecks).isEmpty)
+  }
+
+  test("pinned: MV source attribution — reference tokenizes the SELECT clause") {
+    val (ref, _, ours) = golden
+    val refMv = ref.get("warnings").get("Astra Guardrails")
+      .get("Materialized Views").elements.asScala.map(_.asText).toSeq
+    val ourMv = ours.get("warnings").get("Astra Guardrails")
+      .get("Materialized Views").elements.asScala.map(_.asText).toSeq
+    // src_ks = line.split('.')[0].split()[1] over "SELECT * FROM ks1.users"
+    // yields "*" (explore.py:853); the engine resolves the real base table
+    assert(refMv == Seq("3 Materialized Views of *.users***"))
+    assert(ourMv == Seq("3 Materialized Views of ks1.users***"))
+  }
+
+  test("pinned: UDF/UDA `.append =` last-wins + tokenization garble") {
+    val (ref, _, ours) = golden
+    def warn(n: JsonNode, check: String) = n.get("warnings")
+      .get("Astra Guardrails").get(check).elements.asScala.map(_.asText).toSeq
+    // assigning to list.append raises → except replaces the list, so only
+    // the LAST function survives; tbl token for "CREATE OR REPLACE
+    // FUNCTION ks1.maxof(a int,..." is "ks1.maxof(a" and the ks context
+    // is whatever CREATE KEYSPACE came last (ks2) — explore.py:821-838
+    assert(warn(ref, "User-Defined Function") == Seq("UDF ks1.maxof(a in ks2"))
+    // "CREATE AGGREGATE IF NOT EXISTS ..." special-case grabs token [2]
+    // = "IF" (explore.py:811-814)
+    assert(warn(ref, "User-Defined Aggregate") == Seq("UDA IF in ks2"))
+    // engine: collect-all with real names and defining keyspace
+    assert(warn(ours, "User-Defined Function").sorted ==
+      Seq("UDF avgstate in ks1", "UDF maxof in ks1"))
+    assert(warn(ours, "User-Defined Aggregate") == Seq("UDA average in ks1"))
+  }
+
+  test("pinned: inline-PK column undercount") {
+    val (ref, _, ours) = golden
+    def cols(n: JsonNode) = n.get("warnings").get("Astra Guardrails")
+      .get("Number of Columns").elements.asScala.map(_.asText).toSeq
+    // "id uuid PRIMARY KEY," routes to the PRIMARY KEY branch and never
+    // reaches the field dict (explore.py:858-869) → 51; the DDL declares
+    // 52 columns and the engine counts them all
+    assert(cols(ref) == Seq("51 columns in ks2.legacy_cf"))
+    assert(cols(ours) == Seq("52 columns in ks2.legacy_cf"))
+  }
+
+  test("pinned: GC event set, percentile position, and the 10001 node bug") {
+    val (_, cells, ours) = golden
+    val gc = cells.get("GC Pauses")
+    def row(i: Int)(c: Int): JsonNode = gc.get(s"$i,$c")
+    // reference Database row: 5 pauses — the AdditionalLogs event (1000ms)
+    // is skipped because ./AdditionalLogs resolves against CWD and the
+    // node-dir gate wants dash-separated IPs (explore.py:1049-1060);
+    // values are [100,210,300,450,600] and P50 = pos round(2.5)-1 = 1
+    // (banker's) → 210, P99 = pos round(4.95)-1 = 4 → 600 ≤ tp_gcp 800,
+    // which is why the reference emits NO GC-pause warning
+    assert(row(1)(1).asText == "Database")
+    assert(row(1)(2).asInt == 5)
+    assert(row(1)(9).asInt == 210)  // P50
+    assert(row(1)(4).asInt == 600)  // P99
+    // reference writes node dir "10_0_0_1" through int() — Python reads
+    // underscores as digit separators → 10001 (explore.py:415)
+    assert(row(4)(0).asInt == 10001)
+    // engine: 6 events (AdditionalLogs ingested for every node), HALF_UP
+    // position → P50 = idx 3 of [100,210,300,450,600,1000] = 300, and
+    // P99 = 1000 > 800 fires the warning the reference misses
+    val db = tabs_gc_database()
+    assert(db.getAs[Long]("pauses") == 6)
+    assert(db.getAs[Int]("p50") == 300)
+    assert(db.getAs[Int]("p99") == 1000)
+    assert(ours.get("warnings").get("Database Health").get("GC Pauses")
+      .get(0).asText == "P99 GC pause greater than 800")
+  }
+
+  private def tabs_gc_database(): org.apache.spark.sql.Row =
+    DiagReport.analyze(spark, "src/test/resources/diag_mini").gc
+      .filter("level = 'Database'").head()
+
+  test("pinned: tablestats-only node crashes the reference, not the engine") {
+    val py = requireEnv()
+    val raw = Files.createTempDirectory("graft_golden_raw")
+    copyTree(Paths.get("src/test/resources/diag_mini"), raw)
+    // no cfstats materialization: node 10.0.0.3 has only tablestats
+    assert(runReference(py, raw) != 0,
+      "expected the reference's fallback-less pass 2 (explore.py:1425) to fail")
+    // the engine's S5 fallback handles the same tree end-to-end
+    assert(DiagReport.analyze(spark, raw.toString).clusterName == "TestCluster")
+  }
+}
