@@ -197,19 +197,22 @@ object TextAnalysis {
     * doc, bounded by the doc's vocabulary — never a corpus-wide sort.
     */
   def ta05(s: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(ws).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("tok"))
-    counts
-      .withColumn("rn", row_number().over(w))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("vocab"),
-        count(when(col("cnt") === 1, lit(1))).as("n_hapax"),
-        max(when(col("rn") === 1, col("tok"))).as("top_token"),
-        max(when(col("rn") === 1, col("cnt"))).as("top_count"))
+    // entirely map-side: the stats depend only on the row's own token
+    // multiset, so the one compiled `token_stats` kernel replaces the
+    // explode → groupBy(doc_id,tok) → window → groupBy(doc_id) chain
+    // that shuffled the exploded token corpus twice (r2 bench cost #2).
+    // Docs with no non-empty tokens yield NULL and are dropped, exactly
+    // as they produced no groupable rows in the relational form.
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      // no-token doc ⟺ all-whitespace text: this cheap, scan-pushable
+      // predicate replaces filter(st.isNotNull), which Catalyst pushes
+      // below the projection and therefore evaluates the kernel twice
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), expr("token_stats(text)").as("st"))
+      .select(col("doc_id"), col("st.vocab").as("vocab"),
+        col("st.n_hapax").as("n_hapax"), col("st.top_token").as("top_token"),
+        col("st.top_count").as("top_count"))
       .orderBy("doc_id")
   }
 

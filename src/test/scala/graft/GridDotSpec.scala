@@ -62,4 +62,61 @@ class GridDotSpec extends AnyFunSuite with SparkTestBase {
     val (native, _) = viaSpark(Seq(0.5f, -0.5f, 2.0f), Seq(0.5f, -0.5f, 2.0f), codegen = true)
     assert(native == 250000000L + 250000000L + 4000000000L)
   }
+
+  private def tokenStats(text: String, codegen: Boolean) = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+    try Seq(text).toDF("text")
+      .select(expr("token_stats(text)").as("st"))
+      .select("st.vocab", "st.n_hapax", "st.top_token", "st.top_count", "st")
+      .head()
+    finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("token_stats: vocab/hapax/top with lexicographic tie-break (codegen on/off)") {
+    for (cg <- Seq(true, false)) {
+      // "b b a a c": counts {a:2, b:2, c:1} — tie on 2 → lowest token "a"
+      val r = tokenStats("  B b a A c ", cg)
+      assert(r.getLong(0) == 3L, s"vocab cg=$cg")
+      assert(r.getLong(1) == 1L, s"hapax cg=$cg")
+      assert(r.getString(2) == "a", s"top tie-break cg=$cg")
+      assert(r.getLong(3) == 2L, s"top count cg=$cg")
+    }
+  }
+
+  test("token_stats: all-whitespace doc yields NULL (the no-rows analogue)") {
+    for (cg <- Seq(true, false)) {
+      val r = tokenStats("   \t  ", cg)
+      assert(r.isNullAt(4), s"cg=$cg")
+    }
+  }
+
+  test("token_stats: equals the relational explode/window form on real docs") {
+    import spark.implicits._
+    val docs = Seq(
+      ("d1", "the cat sat on the mat the end"),
+      ("d2", "x"),
+      ("d3", "alpha beta alpha beta gamma")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("gds_docs")
+    GraftFunctions.register(spark)
+    val native = docs
+      .select(col("doc_id"), expr("token_stats(text)").as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("doc_id"), col("st.vocab"), col("st.n_hapax"),
+        col("st.top_token"), col("st.top_count"))
+      .orderBy("doc_id").collect().toSeq
+    val relational = spark.sql(
+      """WITH tok AS (SELECT doc_id, explode(split(lower(trim(text)), '\\s+')) AS t
+        |            FROM gds_docs),
+        |cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY 1,2),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, t) rn
+        |       FROM cnt)
+        |SELECT doc_id, COUNT(*) AS vocab, COUNT(CASE WHEN c=1 THEN 1 END) AS n_hapax,
+        |       MAX(CASE WHEN rn=1 THEN t END) AS top_token,
+        |       MAX(CASE WHEN rn=1 THEN c END) AS top_count
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin).collect().toSeq
+    assert(native.map(_.toString) == relational.map(_.toString))
+  }
 }
