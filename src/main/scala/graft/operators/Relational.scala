@@ -222,7 +222,11 @@ object Relational {
   /** Multi-level rollup (A6 levels) + count/min/max/argmax (A7–A9).
     * Ref: explore.py:332-341, 1072-1077 — the same events bucketed at
     * database and per-type level; argmax = timestamp of the max value,
-    * tie-broken by unique event_id so both engines agree.
+    * tie-broken by unique event_id via STRUCT ordering (value first,
+    * then id) — a packed scalar key like value*1e8+id lets the id term
+    * override sub-id_range/1e8 value gaps (r2 verdict "What's wrong"
+    * #2). The oracle mirrors it collision-free in two passes: max value
+    * per group, then MAX_BY(ts, event_id) among the max-value rows.
     */
   def q05(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -231,19 +235,27 @@ object Relational {
         count(lit(1)).as("n_events"),
         min(col("ts")).as("oldest"),
         max(col("ts")).as("newest"),
-        max_by(col("ts"), col("value") * 1e8 + col("event_id")).as("ts_of_max"))
+        max_by(col("ts"), struct(col("value"), col("event_id"))).as("ts_of_max"))
       .withColumn("level", coalesce(col("event_type"), lit("__ALL__")))
       .select("level", "n_events", "oldest", "newest", "ts_of_max")
       .orderBy("level")
   }
 
   val q05Sql: String =
-    """SELECT COALESCE(event_type, '__ALL__') AS level,
-      |       COUNT(*) AS n_events,
-      |       MIN(ts) AS oldest,
-      |       MAX(ts) AS newest,
-      |       MAX_BY(ts, value * 1e8 + event_id) AS ts_of_max
-      |FROM events GROUP BY ROLLUP(event_type) ORDER BY level""".stripMargin
+    """WITH lvls AS (
+      |  SELECT event_type AS level, ts, value, event_id FROM events
+      |  UNION ALL
+      |  SELECT '__ALL__', ts, value, event_id FROM events),
+      |agg AS (
+      |  SELECT level, COUNT(*) AS n_events, MIN(ts) AS oldest,
+      |         MAX(ts) AS newest, MAX(value) AS mv
+      |  FROM lvls GROUP BY 1),
+      |am AS (
+      |  SELECT l.level, MAX_BY(l.ts, l.event_id) AS ts_of_max
+      |  FROM lvls l JOIN agg a ON l.level = a.level AND l.value = a.mv
+      |  GROUP BY 1)
+      |SELECT a.level, a.n_events, a.oldest, a.newest, m.ts_of_max
+      |FROM agg a JOIN am m USING (level) ORDER BY level""".stripMargin
 
   // ---------------------------------------------------------------- q06
   /** Two-level threshold/guardrail predicate with severity (P3/P4).
@@ -578,7 +590,9 @@ object Relational {
       floor, idxHalfUp, Seq(0.50 -> "p50", 0.95 -> "p95", 0.99 -> "p99"))
     val base = lvls.groupBy(col("level"), col("name")).agg(
       min(col("ts")).as("oldest"), max(col("ts")).as("newest"),
-      max_by(col("ts"), col("value") * 1e8 + col("event_id")).as("ts_of_max"))
+      // struct ordering: max value wins, event_id only splits exact ties
+      // (see q05 — the packed scalar key could override small value gaps)
+      max_by(col("ts"), struct(col("value"), col("event_id"))).as("ts_of_max"))
     pcts.withColumnRenamed("n", "pauses")
       .join(base, Seq("level", "name"))
       .select("level", "name", "pauses", "min_v", "p50", "p95", "p99",
@@ -598,13 +612,21 @@ object Relational {
        |ranked AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY level, name ORDER BY value, event_id) AS rn,
        |         COUNT(*) OVER (PARTITION BY level, name) AS n
-       |  FROM lvls)
-       |SELECT level, name, n AS pauses, MIN(value) AS min_v,
+       |  FROM lvls),
+       |agg AS (
+       |  SELECT level, name, n AS pauses, MIN(value) AS min_v,
        |       ${pick("0.50", "p50")}, ${pick("0.95", "p95")}, ${pick("0.99", "p99")},
        |       MAX(value) AS max_v,
-       |       MIN(ts) AS oldest, MAX(ts) AS newest,
-       |       MAX_BY(ts, value * 1e8 + event_id) AS ts_of_max
-       |FROM ranked GROUP BY level, name, n ORDER BY level, name""".stripMargin
+       |       MIN(ts) AS oldest, MAX(ts) AS newest
+       |  FROM ranked GROUP BY level, name, n),
+       |am AS (
+       |  SELECT l.level, l.name, MAX_BY(l.ts, l.event_id) AS ts_of_max
+       |  FROM lvls l JOIN agg a ON l.level = a.level AND l.name = a.name
+       |                        AND l.value = a.max_v
+       |  GROUP BY 1, 2)
+       |SELECT a.level, a.name, a.pauses, a.min_v, a.p50, a.p95, a.p99,
+       |       a.max_v, a.oldest, a.newest, m.ts_of_max
+       |FROM agg a JOIN am m USING (level, name) ORDER BY level, name""".stripMargin
   }
 
   // ---------------------------------------------------------------- q21

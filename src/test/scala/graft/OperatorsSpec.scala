@@ -10,6 +10,27 @@ import graft.operators.{Dedup, Multimodal}
   */
 class OperatorsSpec extends AnyFunSuite with SparkTestBase {
 
+  test("argmax struct ordering: max-value row wins even 1e-9 apart with large ids") {
+    import spark.implicits._
+    // q05/q20 regression: the old packed key value*1e8 + event_id let the
+    // id term dominate any value gap smaller than id_range/1e8 — here the
+    // LOWER value carries a huge id and would have (wrongly) won
+    val df = Seq(
+      (1.000000001, 1L, "right"),
+      (1.000000000, 999999999999L, "wrong")
+    ).toDF("value", "event_id", "tag")
+    val viaStruct = df.agg(
+      max_by(col("tag"), struct(col("value"), col("event_id")))).head.getString(0)
+    val viaPacked = df.agg(
+      max_by(col("tag"), col("value") * 1e8 + col("event_id"))).head.getString(0)
+    assert(viaStruct == "right")
+    assert(viaPacked == "wrong") // documents exactly why the key changed
+    // and on an exact value tie the id still splits it deterministically
+    val tie = Seq((1.0, 1L, "low"), (1.0, 2L, "high")).toDF("value", "event_id", "tag")
+    assert(tie.agg(max_by(col("tag"), struct(col("value"), col("event_id"))))
+      .head.getString(0) == "high")
+  }
+
   test("capPerKey keeps the cap lowest-ord members per key") {
     import spark.implicits._
     // key "hot" has 5 members, "cold" has 2; cap at 3
