@@ -139,8 +139,14 @@ object Dedup {
     * before its shuffle — the top cost in round-1 bench). Coefficients
     * stay < 2^24 and hh < 2^31, so every product fits in a Long.
     */
-  private[graft] def minhashSig(docs: DataFrame): DataFrame = {
-    val hh = wordShingles(docs, 3).withColumn("hh", h60(col("s")) % P)
+  private[graft] def minhashSig(docs: DataFrame): DataFrame =
+    minhashSigFromShingles(wordShingles(docs, 3))
+
+  /** Signature aggregation over an existing (doc_id, s) shingle relation
+    * — the entry point [[DedupPrepare.minhashSig]] uses so the shingle
+    * explode materializes once per corpus, not once per query. */
+  private[graft] def minhashSigFromShingles(shingles: DataFrame): DataFrame = {
+    val hh = shingles.withColumn("hh", h60(col("s")) % P)
     val mins = (0 to 15).map { i =>
       min((lit(1L + 604271L * i) * col("hh") + lit(7L + 202409L * i)) % P)
         .as(f"mh$i%02d")
@@ -172,9 +178,11 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- dd02
-  /** MinHash signature table: 16 minhashes + 4 band hashes per doc. */
+  /** MinHash signature table: 16 minhashes + 4 band hashes per doc —
+    * read from the materialized layer (bucketed+sorted by doc_id, so
+    * this is a scan, not a recompute). */
   def dd02(s: SparkSession, dir: String): DataFrame =
-    minhashSig(Tables.documents(s, dir)).orderBy("doc_id")
+    DedupPrepare.minhashSig(s, dir).orderBy("doc_id")
 
   val dd02Sql: String =
     s"""WITH $minhashSigSqlCte
@@ -185,24 +193,19 @@ object Dedup {
     * of dd03 (which adds the presentation sort) and dd08 (where a sort
     * before the component iteration would be wasted work). */
   private def dd03Pairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    // the band self-join and the 3-way shingle verify would otherwise
-    // recompute the signature/shingling pipeline once per join branch
-    val sig = minhashSig(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandsLong = capPerKey(
-      sig.select(col("doc_id"),
-        explode(map_from_arrays(
-          array((0 to 3).map(lit): _*),
-          array((0 to 3).map(b => col(s"bh$b")): _*))).as(Seq("b", "bh"))),
-      Seq("b", "bh"), "doc_id", BucketCap)
+    // both the band self-join and the 3-way shingle verify read the
+    // materialized layer: the per-query persist() of r2 becomes a
+    // corpus-wide bucketed table — lshBands is bucketed on (b, bh), so
+    // this self-join needs NO exchange on either side
+    val bandsLong = DedupPrepare.lshBands(s, dir)
     val cand = bandsLong.as("x").join(bandsLong.as("y"),
         col("x.b") === col("y.b") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val sh = wordShingles(docs, 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bucketed+sorted by doc_id: the groupBy below and the d1/d2 joins
+    // read pre-clustered buckets
+    val sh = DedupPrepare.shingles3(s, dir)
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
@@ -354,10 +357,15 @@ object Dedup {
     * the pruned shingle universe (both engines agree on the definition).
     */
   def dd04(s: SparkSession, dir: String): DataFrame = {
-    val sh = wordShingles(Tables.documents(s, dir), 3)
-    // used by the self-join AND the per-doc counts — compute once
-    val kept = sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("df") <= 100).drop("df")
+    val sh = DedupPrepare.shingles3(s, dir)
+    // document-frequency cut as hash-aggregate + join, not a window: the
+    // window form sorts every (s)-partition; the aggregate does map-side
+    // partial counting and the join back is on the same key (r2 verdict
+    // "What's wrong" #4). Used by the self-join AND the per-doc counts —
+    // persist the pruned relation once.
+    val dfCut = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select(col("s"))
+    val kept = sh.join(dfCut, Seq("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = kept.as("a").join(kept.as("b"),

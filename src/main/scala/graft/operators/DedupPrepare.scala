@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Materialized shingle/signature layer shared by the dedup family
+  * (r2 verdict "Next round" #3): the word-3-shingle relation, the
+  * MinHash signature table, and the capped LSH band relation are
+  * computed ONCE per corpus and stored as BUCKETED parquet tables, then
+  * read by dd02/dd03/dd04/dd08/ta04.
+  *
+  * Why bucketed tables and not `.persist`: persistence is per-query and
+  * per-JVM — at 100 TB the family's dominant cost is recomputing the
+  * shingle explode + distinct for every query that needs it. A bucketed
+  * table is the cluster-shareable version of that cache, and its layout
+  * IS the shuffle:
+  *  - `shingles3`/`minhashSig` bucket+sort by doc_id → every
+  *    groupBy(doc_id) (signature aggregation, per-doc shingle counts,
+  *    ta04 fingerprints) and every verify join keyed on doc_id reads
+  *    pre-clustered data, no exchange;
+  *  - `lshBands` buckets by (b, bh) → the LSH candidate self-join is a
+  *    bucketed sort-merge join with NO shuffle on either side — the
+  *    pair-forming shuffle, the single most expensive exchange of the
+  *    family, is paid once at write time and never again.
+  *
+  * Materialization is lazy per (session catalog, corpus dir): the first
+  * query that needs a layer writes it (mode=overwrite, so a fresh JVM
+  * can never read a stale catalog entry), later queries just read the
+  * table. The DuckDB oracle recomputes everything from `documents` —
+  * the layer is an execution strategy, not a semantic change.
+  */
+object DedupPrepare {
+
+  /** Bucket count: matches the session shuffle parallelism the engine
+    * configures (32 on the bench box); at cluster scale this would be
+    * sized to corpus-bytes / target-partition-bytes. */
+  val Buckets = 32
+
+  private def tag(dir: String): String = {
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    s"${safe}_$h".toLowerCase
+  }
+
+  private def ensure(s: SparkSession, name: String, build: () => DataFrame,
+      bucketCols: Seq[String], sortCols: Seq[String]): DataFrame = synchronized {
+    if (!s.catalog.tableExists(name)) {
+      build().write.mode("overwrite").format("parquet")
+        .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(sortCols.head, sortCols.tail: _*)
+        .saveAsTable(name)
+    }
+    s.table(name)
+  }
+
+  /** Distinct word-3-shingles (doc_id, s), bucketed+sorted by doc_id. */
+  def shingles3(s: SparkSession, dir: String): DataFrame =
+    ensure(s, s"graft_prep_shingles3_${tag(dir)}",
+      () => Dedup.wordShingles(Tables.documents(s, dir), 3),
+      Seq("doc_id"), Seq("doc_id"))
+
+  /** MinHash signature table (doc_id, mh00..mh15, bh0..bh3), bucketed by
+    * doc_id — built FROM the shingle table, so the explode+distinct runs
+    * once for the whole family. */
+  def minhashSig(s: SparkSession, dir: String): DataFrame =
+    ensure(s, s"graft_prep_minhash_${tag(dir)}",
+      () => Dedup.minhashSigFromShingles(shingles3(s, dir)),
+      Seq("doc_id"), Seq("doc_id"))
+
+  /** Capped LSH band relation (b, bh, doc_id), bucketed by (b, bh): both
+    * sides of the candidate self-join read the same buckets — no
+    * exchange. The [[Dedup.BucketCap]] is applied before writing (it is
+    * part of the operator's semantics, not a per-query choice). */
+  def lshBands(s: SparkSession, dir: String): DataFrame =
+    ensure(s, s"graft_prep_lshbands_${tag(dir)}",
+      () => {
+        val sig = minhashSig(s, dir)
+        Dedup.capPerKey(
+          sig.select(col("doc_id"),
+            explode(map_from_arrays(
+              array((0 to 3).map(lit): _*),
+              array((0 to 3).map(b => col(s"bh$b")): _*))).as(Seq("b", "bh"))),
+          Seq("b", "bh"), "doc_id", Dedup.BucketCap)
+          .select(col("b"), col("bh"), col("doc_id"))
+      },
+      Seq("b", "bh"), Seq("b", "bh", "doc_id"))
+}

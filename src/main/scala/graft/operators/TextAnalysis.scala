@@ -167,7 +167,9 @@ object TextAnalysis {
     * than 3 tokens have no fingerprint and are excluded).
     */
   def ta04(s: SparkSession, dir: String): DataFrame =
-    Dedup.wordShingles(Tables.documents(s, dir), 3)
+    // reads the materialized shingle layer (bucketed by doc_id — the
+    // groupBy below needs no exchange), shared with dd02/dd03/dd04/dd08
+    DedupPrepare.shingles3(s, dir)
       .withColumn("h", Dedup.h60(col("s")) % P)
       .groupBy(col("doc_id"))
       .agg(
