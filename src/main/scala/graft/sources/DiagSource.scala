@@ -27,35 +27,116 @@ import java.util.zip.ZipInputStream
   */
 object DiagSource {
 
-  /** Node directory names under `<root>/nodes/`. */
-  def nodeDirs(spark: SparkSession, root: String): Seq[String] = {
-    val p = new Path(root, "nodes")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  /** One-sweep file index of a diag root (r2 verdict "What's wrong" #3:
+    * the per-(node, rel) `exists()` probes, per-candidate `spark.read`s
+    * and the linear path→node scan were node-count-many sequential
+    * namenode round-trips on a 10k-node snapshot). A single recursive
+    * `listFiles` over `<root>/nodes` (+ one over `<root>/AdditionalLogs`)
+    * captures every (node, rel → path) fact; all discovery below is then
+    * O(1) map lookups, and path→node resolution in executors is an exact
+    * hash lookup on the scheme-normalized URI path, broadcast once.
+    */
+  final case class DiagIndex(
+      nodes: Seq[String],
+      files: Map[(String, String), String],
+      addLogs: Seq[(String, String)]) {
+    /** (node, fullPath) for every node that has `rel`, node-sorted. */
+    def forRel(rel: String): Seq[(String, String)] =
+      nodes.flatMap(n => files.get((n, rel)).map(n -> _))
+    /** system* log files under logs/cassandra + the AdditionalLogs side
+      * channel: (node, fullPath, isZip). */
+    def logFiles: Seq[(String, String, Boolean)] = {
+      val inTree = files.toSeq.collect {
+        case ((n, rel), p) if rel.startsWith("logs/cassandra/") &&
+          rel.stripPrefix("logs/cassandra/").split("\\.")(0) == "system" &&
+          !rel.stripPrefix("logs/cassandra/").contains("/") => (n, p)
+      }
+      (inTree ++ addLogs).sorted.map { case (n, p) =>
+        (n, p, p.endsWith(".zip"))
+      }
+    }
   }
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[String, DiagIndex]
+
+  /** Strip the scheme so listed paths ("file:/a/b") and
+    * `input_file_name` values ("file:///a/b") meet on one key. */
+  private[sources] def uriPath(p: String): String = new Path(p).toUri.getPath
+
+  private def sweep(spark: SparkSession, base: Path): Seq[(String, String)] = {
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Nil
+    else {
+      val it = fs.listFiles(base, true)
+      val out = Seq.newBuilder[(String, String)]
+      // qualify: a relative root lists fully-qualified children, and the
+      // prefix strip must compare like with like
+      val baseUri = uriPath(fs.makeQualified(base).toString).stripSuffix("/")
+      while (it.hasNext) {
+        val st = it.next()
+        val full = st.getPath.toString
+        val rel = uriPath(full).stripPrefix(baseUri).stripPrefix("/")
+        if (rel.nonEmpty) out += ((rel, full))
+      }
+      out.result()
+    }
   }
+
+  /** The per-root index, swept once per session (diag trees are static
+    * snapshots; the cache is keyed by the root string). */
+  def index(spark: SparkSession, root: String): DiagIndex =
+    indexCache.getOrElseUpdate(root, {
+      val nodeFiles = sweep(spark, new Path(root, "nodes"))
+        .flatMap { case (rel, full) =>
+          val cut = rel.indexOf('/')
+          if (cut < 0) None
+          else Some((rel.substring(0, cut), rel.substring(cut + 1), full))
+        }
+      val add = sweep(spark, new Path(root, "AdditionalLogs"))
+        .flatMap { case (rel, full) =>
+          // AdditionalLogs/<node>/var/log/cassandra/system* (explore.py:1060-1066)
+          val parts = rel.split("/")
+          if (parts.length == 5 && parts(1) == "var" && parts(2) == "log" &&
+            parts(3) == "cassandra" && parts(4).split("\\.")(0) == "system")
+            Some((parts(0), full))
+          else None
+        }
+      DiagIndex(
+        nodes = nodeFiles.map(_._1).distinct.sorted,
+        files = nodeFiles.map(t => (t._1, t._2) -> t._3).toMap,
+        addLogs = add)
+    })
+
+  /** Node directory names under `<root>/nodes/`. */
+  def nodeDirs(spark: SparkSession, root: String): Seq[String] =
+    index(spark, root).nodes
 
   /** (nodeDir, content) for every node's `<rel>` file that exists. */
   def wholeFiles(spark: SparkSession, root: String, rel: String): DataFrame = {
     import spark.implicits._
-    val paths = nodeDirs(spark, root)
-      .map(n => (n, s"$root/nodes/$n/$rel"))
-      .filter { case (_, p) => exists(spark, p) }
+    val paths = index(spark, root).forRel(rel)
     if (paths.isEmpty)
       return spark.emptyDataset[(String, String)].toDF("node_dir", "content")
-    val byPath = paths.map { case (n, p) => (p, n) }.toMap
+    val byUri = paths.map { case (n, p) => (uriPath(p), n) }.toMap
+    val bc = spark.sparkContext.broadcast(byUri)
     val df = spark.read.option("wholetext", "true")
       .text(paths.map(_._2): _*)
       .select(input_file_name().as("path"), col("value").as("content"))
-    val toNode = udf((p: String) => byPath.find { case (k, _) =>
-      p.endsWith(k) || k.endsWith(p.replaceFirst("^file:/+", "/"))
-    }.map(_._2).getOrElse(new Path(p).getParent.getParent.getName))
+    val toNode = udf((p: String) => bc.value.getOrElse(uriPath(p),
+      new Path(p).getParent.getParent.getName))
     df.select(toNode(col("path")).as("node_dir"), col("content"))
+  }
+
+  /** Whole content of one file, read driver-side (used only for the
+    * small cluster-wide singleton files — no Spark job per probe). */
+  private def readWhole(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      StandardCharsets.UTF_8)
+    finally in.close()
   }
 
   /** First node dir (sorted) that has `<rel>`, with content — the
@@ -63,18 +144,13 @@ object DiagSource {
     * cluster-wide files (status, gossip, schema) are read from one node.
     */
   def firstFile(spark: SparkSession, root: String, rel: String): Option[String] =
-    nodeDirs(spark, root).iterator
-      .map(n => s"$root/nodes/$n/$rel")
-      .find(exists(spark, _))
-      .map { p =>
-        spark.read.option("wholetext", "true").text(p)
-          .head().getString(0)
-      }
+    index(spark, root).forRel(rel).headOption
+      .map { case (_, p) => readWhole(spark, p) }
 
-  /** Content of one specific file, if present. */
-  private def fileContent(spark: SparkSession, path: String): Option[String] =
-    if (!exists(spark, path)) None
-    else Some(spark.read.option("wholetext", "true").text(path).head().getString(0))
+  /** Content of a node's `<rel>` file, if the index saw one. */
+  private def fileContent(spark: SparkSession, root: String, node: String,
+      rel: String): Option[String] =
+    index(spark, root).files.get((node, rel)).map(readWhole(spark, _))
 
   /** node_dir → ip: the dot-normalized dir name when it matches a status
     * ip ('_'/'-' → '.', explore.py:606-608); otherwise the reference's
@@ -91,7 +167,7 @@ object DiagSource {
         else if (statusIps.contains(norm)) Some(norm)
         else None
       val ip = direct.orElse {
-        fileContent(spark, s"$root/nodes/$n/nodetool/gossipinfo").flatMap { c =>
+        fileContent(spark, root, n, "nodetool/gossipinfo").flatMap { c =>
           c.linesIterator.find(l => l.contains(n) && l.contains("/"))
             .map(l => Parsers.extractIp(l.split("/").last))
             .filter(_.nonEmpty)
@@ -151,11 +227,9 @@ object DiagSource {
     * long-format TableMetric relation — the fact table (S5). */
   def cfstats(spark: SparkSession, root: String): Dataset[TableMetric] = {
     import spark.implicits._
-    // which nodes have cfstats is driver-side metadata (existence checks),
-    // NOT a collect over file contents — the fact files are read exactly
-    // once, in the union below
-    val haveCf = nodeDirs(spark, root)
-      .filter(n => exists(spark, s"$root/nodes/$n/nodetool/cfstats")).toSet
+    // which nodes have cfstats is index metadata (no FS probes) — the
+    // fact files are read exactly once, in the union below
+    val haveCf = index(spark, root).forRel("nodetool/cfstats").map(_._1).toSet
     val cf = wholeFiles(spark, root, "nodetool/cfstats")
     val ts = wholeFiles(spark, root, "nodetool/tablestats")
       .filter(!col("node_dir").isInCollection(haveCf.toSeq :+ ""))
@@ -190,21 +264,8 @@ object DiagSource {
   def logEvents(spark: SparkSession, root: String, tpTs: Long)
       : (Dataset[GcEvent], Dataset[TombstoneEvent]) = {
     import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
-    // enumerate (node, path, isZip) for all system* log files
-    val files: Seq[(String, String, Boolean)] = nodeDirs(spark, root).flatMap { n =>
-      val dirs = Seq(
-        s"$root/nodes/$n/logs/cassandra",
-        s"$root/AdditionalLogs/$n/var/log/cassandra")
-      dirs.flatMap { d =>
-        val p = new Path(d)
-        val fs = p.getFileSystem(conf)
-        if (!fs.exists(p)) Nil
-        else fs.listStatus(p).filter(_.isFile).map(_.getPath)
-          .filter(_.getName.split("\\.")(0) == "system")
-          .map(pp => (n, pp.toString, pp.getName.endsWith(".zip"))).toSeq
-      }
-    }
+    // (node, path, isZip) for all system* log files — from the one sweep
+    val files: Seq[(String, String, Boolean)] = index(spark, root).logFiles
     if (files.isEmpty)
       return (spark.emptyDataset[GcEvent], spark.emptyDataset[TombstoneEvent])
 
@@ -214,10 +275,9 @@ object DiagSource {
     val plainEvents: Dataset[(Seq[GcEvent], Seq[TombstoneEvent])] =
       if (plain.isEmpty) spark.emptyDataset[(Seq[GcEvent], Seq[TombstoneEvent])]
       else {
-        val byPath = plain.map { case (n, p) => (p, n) }.toMap
-        val toNode = udf((p: String) =>
-          byPath.find { case (k, _) => p.endsWith(k.replaceFirst("^file:", "")) || k.endsWith(p.replaceFirst("^file:/+", "/")) }
-            .map(_._2).getOrElse(""))
+        val bc = spark.sparkContext.broadcast(
+          plain.map { case (n, p) => (uriPath(p), n) }.toMap)
+        val toNode = udf((p: String) => bc.value.getOrElse(uriPath(p), ""))
         spark.read.option("wholetext", "true").text(plain.map(_._2): _*)
           .select(toNode(input_file_name()).as("node"), col("value"))
           .as[(String, String)]
@@ -230,14 +290,13 @@ object DiagSource {
     val zipEvents: Dataset[(Seq[GcEvent], Seq[TombstoneEvent])] =
       if (zipped.isEmpty) spark.emptyDataset[(Seq[GcEvent], Seq[TombstoneEvent])]
       else {
-        val byPath = zipped.map { case (n, p) => (p, n) }.toMap
+        val bc = spark.sparkContext.broadcast(
+          zipped.map { case (n, p) => (uriPath(p), n) }.toMap)
         spark.read.format("binaryFile").load(zipped.map(_._2): _*)
           .select(col("path"), col("content"))
           .as[(String, Array[Byte])]
           .map { case (path, bytes) =>
-            val node = byPath.find { case (k, _) =>
-              path.endsWith(k.replaceFirst("^file:", "")) || k.endsWith(path.replaceFirst("^file:/+", "/"))
-            }.map(_._2).getOrElse("")
+            val node = bc.value.getOrElse(uriPath(path), "")
             // first zip member only, like the reference (explore.py:313)
             val zis = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
             val entry = zis.getNextEntry
