@@ -314,36 +314,58 @@ object Parsers {
     } catch { case _: Exception => None }
   }
 
+  /** S10 as a line-level parse: tombstone-warning lines are
+    * self-contained, so the streaming twin can parse them statelessly.
+    * Returns the event plus the line's timestamp when one parses (the
+    * batch relation never carried it; the stream watermarks on it —
+    * a ts-less line still yields `(None, event)` so batch semantics
+    * don't change). Skip-not-throw like the rest of the log parsers.
+    */
+  def parseTombstoneLine(node: String, line: String, tpTs: Long)
+      : Option[(Option[Timestamp], TombstoneEvent)] = {
+    if (!line.contains("tombstone cells")) return None
+    // whole branch guarded: a line truncated right after "live rows and"
+    // (rotation/copy boundary) must skip, not kill the task
+    try {
+      val tombstones: Long =
+        if (line.contains("live rows and"))
+          line.split("live rows and")(1).trim.split("\\s+")(0).toLong
+        else if (line.contains("live and"))
+          line.split("live and")(1).trim.split("\\s+")(0).toLong
+        else 0L
+      if (tombstones < tpTs) return None
+      val reads = line.split("- Read")(1).trim.split("\\s+")(0).toLong
+      val query =
+        if (line.contains("cells for query")) line.split("cells for query")(1).trim
+        else if (line.contains("tombstone cells in")) line.split("tombstone cells in")(1).trim
+        else ""
+      if (!query.contains(".")) return None
+      val beforeDot = query.split("\\.")(0).split("\\s+")
+      val ksName = beforeDot(beforeDot.length - 1)
+      val tblName = query.split("\\.")(1).split("\\s+")(0)
+      // same two date positions as GC lines (levels/thread tags shift it)
+      val ts: Option[Timestamp] = try {
+        val toks = line.split("\\s+").filter(_.nonEmpty)
+        val datePos = if (toks.length > 2 && toks(2).count(_ == '-') == 2) 2 else 3
+        if (toks.length <= datePos + 1) None
+        else {
+          val ldt = LocalDateTime.parse(
+            toks(datePos) + " " + toks(datePos + 1).split(",")(0), LogTsFmt)
+          Some(Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC)))
+        }
+      } catch { case _: Exception => None }
+      Some((ts, TombstoneEvent(node, ksName, tblName, reads, tombstones)))
+    } catch { case _: Exception => None }
+  }
+
   def parseLog(node: String, lines: Iterator[String], tpTs: Long = 1000L): LogEvents = {
     val gc = scala.collection.mutable.ArrayBuffer.empty[GcEvent]
     val ts = scala.collection.mutable.ArrayBuffer.empty[TombstoneEvent]
     lines.foreach { line =>
       if (line.contains("GCInspector.java:")) {
         parseGcLine(node, line).foreach(gc += _)
-      } else if (line.contains("tombstone cells")) {
-        // whole branch guarded: a line truncated right after "live rows and"
-        // (rotation/copy boundary) must skip, not kill the task
-        try {
-          val tombstones: Long =
-            if (line.contains("live rows and"))
-              line.split("live rows and")(1).trim.split("\\s+")(0).toLong
-            else if (line.contains("live and"))
-              line.split("live and")(1).trim.split("\\s+")(0).toLong
-            else 0L
-          if (tombstones >= tpTs) {
-            val reads = line.split("- Read")(1).trim.split("\\s+")(0).toLong
-            val query =
-              if (line.contains("cells for query")) line.split("cells for query")(1).trim
-              else if (line.contains("tombstone cells in")) line.split("tombstone cells in")(1).trim
-              else ""
-            if (query.contains(".")) {
-              val beforeDot = query.split("\\.")(0).split("\\s+")
-              val ksName = beforeDot(beforeDot.length - 1)
-              val tblName = query.split("\\.")(1).split("\\s+")(0)
-              ts += TombstoneEvent(node, ksName, tblName, reads, tombstones)
-            }
-          }
-        } catch { case _: Exception => () }
+      } else {
+        parseTombstoneLine(node, line, tpTs).foreach(ts += _._2)
       }
     }
     LogEvents(gc.toSeq, ts.toSeq)

@@ -129,17 +129,23 @@ object EventStreams {
   /** Streaming exact dedup — the incremental twin of the batch dd01
     * content-hash dedup, composed from built-ins (the preference order:
     * existing operators before custom state): md5 the normalized text,
-    * then watermarked `dropDuplicates` keeps the first arrival per
-    * signature and drops re-arrivals. State per signature is evicted
-    * once the watermark passes its event time — the horizon is the
-    * dedup window; cross-horizon dupes are the batch job's business.
+    * then `dropDuplicatesWithinWatermark` keeps the first arrival per
+    * signature and drops re-arrivals whose event time lands within the
+    * watermark delay of it. Plain `dropDuplicates("sig")` would NEVER
+    * evict: Spark only removes dedup state when the watermark column is
+    * part of the keys, so per-signature state grows unboundedly — the
+    * WithinWatermark variant is the keys-only form with watermark-bounded
+    * state. The guarantee is correspondingly bounded: duplicates are
+    * dropped with certainty only inside the 1-hour horizon; a re-arrival
+    * after its signature's state was evicted is re-emitted. Cross-horizon
+    * dupes are the batch job's business.
     */
   def dedupStream(docs: DataFrame): DataFrame =
     docs
       .withColumn("sig",
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("sig")
+      .dropDuplicatesWithinWatermark("sig")
 
   /** One user's open session. */
   final case class SessionState(start: java.sql.Timestamp,
@@ -256,5 +262,37 @@ object EventStreams {
     hourlyRollup(events.toDF()
       .select(col("ts"), col("node").as("event_type"),
         col("pauseMs").cast("double").as("value")))
+  }
+
+  /** Incremental tombstone ingest — the streaming twin of the batch
+    * tombstone tab (S10), same shape as [[gcLogStream]]: tombstone
+    * warning lines are self-contained, so a line-level text stream
+    * parses statelessly (Parsers.parseTombstoneLine, which also yields
+    * the line's timestamp for the watermark; ts-less lines are dropped
+    * here — the stream can't place them in time) and feeds a watermarked
+    * per-(keyspace, table) hourly rollup: worst (max) tombstone count,
+    * the live-rows read on that worst line (max_by on the same struct
+    * ordering the batch dedup-keep-max uses), and the warning count.
+    * State per key is one window aggregate; the watermark closes windows.
+    */
+  def tombstoneLogStream(lines: Dataset[(String, String)],
+      tpTs: Long = 1000L): DataFrame = {
+    import lines.sparkSession.implicits._
+    val events = lines.flatMap { case (node, line) =>
+      graft.parse.Parsers.parseTombstoneLine(node, line, tpTs)
+        .collect { case (Some(ts), ev) =>
+          (ts, ev.keyspace, ev.table, ev.reads, ev.tombstones)
+        }
+    }.toDF("ts", "keyspace", "table", "reads", "tombstones")
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("keyspace"), col("table"))
+      .agg(
+        count(lit(1)).as("n_warnings"),
+        max(col("tombstones")).as("tombstones"),
+        max_by(col("reads"), struct(col("tombstones"), col("reads")))
+          .as("reads"))
+      .select(col("window.start").as("hour_start"), col("keyspace"),
+        col("table"), col("n_warnings"), col("tombstones"), col("reads"))
   }
 }

@@ -233,6 +233,52 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(k._2 == 6L && k._3 == 100.0 && k._7 == 999.0) // n, min, max
   }
 
+  test("tombstone log stream: warning lines → per-(ks,tbl) hourly rollup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = EventStreams.tombstoneLogStream(mem.toDS())
+      .writeStream.format("memory").queryName("tss").outputMode("update").start()
+    mem.addData(
+      ("n1", "WARN  [ReadStage-2] 2023-03-01 10:15:00,123 ReadCommand.java:567 - Read 100 live rows and 2000 tombstone cells for query SELECT * FROM ks1.users WHERE id=1"),
+      ("n1", "WARN  [ReadStage-1] 2023-03-01 10:40:00,000 ReadCommand.java:567 - Read 70 live rows and 5000 tombstone cells for query SELECT * FROM ks1.users WHERE id=2"),
+      ("n2", "WARN  [ReadStage-9] 2023-03-01 10:45:00,789 ReadCommand.java:567 - Read 10 live rows and 1500 tombstone cells for query SELECT * FROM ks2.legacy_cf LIMIT 1"),
+      // below the tpTs gate → excluded
+      ("n2", "WARN  [ReadStage-3] 2023-03-01 10:50:00,000 ReadCommand.java:567 - Read 10 live rows and 500 tombstone cells for query SELECT * FROM ks2.legacy_cf LIMIT 1"),
+      ("n3", "INFO  [main] 2023-03-01 10:31:00,000 StorageService.java:100 - not a tombstone line"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tss")
+      .select("hour_start", "keyspace", "table", "n_warnings", "tombstones", "reads")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // worst line per (ks,tbl): users max 5000 with ITS reads (70, not the
+    // max reads 100 — max_by on struct(tombstones, reads), the batch
+    // dedup-keep-max ordering)
+    assert(got == Set(
+      (ts("2023-03-01 10:00:00"), "ks1", "users", 2L, 5000L, 70L),
+      (ts("2023-03-01 10:00:00"), "ks2", "legacy_cf", 1L, 1500L, 10L)))
+  }
+
+  test("tombstone stream parity: same lines through batch parseLog agree") {
+    import spark.implicits._
+    val lines = Seq(
+      ("n1", "WARN  [ReadStage-2] 2023-03-01 10:15:00,123 ReadCommand.java:567 - Read 100 live rows and 2000 tombstone cells for query SELECT * FROM ks1.users WHERE id=1"),
+      ("n2", "WARN  [ReadStage-9] 2023-03-01 10:45:00,789 ReadCommand.java:567 - Read 10 live rows and 1500 tombstone cells for query SELECT * FROM ks2.legacy_cf LIMIT 1"))
+    // line-level parse (stream path) ≡ iterator parse (batch path)
+    val streamed = lines.flatMap { case (n, l) =>
+      graft.parse.Parsers.parseTombstoneLine(n, l, 1000L).map(_._2)
+    }
+    val batch = lines.groupBy(_._1).toSeq.flatMap { case (n, ls) =>
+      graft.parse.Parsers.parseLog(n, ls.map(_._2).iterator).tombstones
+    }
+    assert(streamed.toSet == batch.toSet)
+    // and every streamed event carries a parsed UTC timestamp
+    assert(lines.forall { case (n, l) =>
+      graft.parse.Parsers.parseTombstoneLine(n, l, 1000L).get._1.isDefined })
+  }
+
   test("pick: positional percentile definition (round, clamp, 1-based)") {
     val v = Vector(1.0, 2.0, 3.0, 4.0, 5.0)
     assert(EventStreams.pick(v, 0.5) == 3.0)   // round(2.5)=3 (half-up)
