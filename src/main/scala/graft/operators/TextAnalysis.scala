@@ -207,10 +207,14 @@ object TextAnalysis {
     // as they produced no groupable rows in the relational form.
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
-      // no-token doc ⟺ all-whitespace text: this cheap, scan-pushable
+      // no-token doc ⟺ no non-whitespace char: this cheap, scan-pushable
       // predicate replaces filter(st.isNotNull), which Catalyst pushes
-      // below the projection and therefore evaluates the kernel twice
-      .filter(trim(col("text")) =!= "")
+      // below the projection and therefore evaluates the kernel twice.
+      // NOT trim(text) != '' — SQL trim strips only spaces, so a "\t"
+      // document would pass it yet tokenize to nothing and emit a
+      // null-stats row the oracle doesn't have (caught by
+      // AdversarialScaleSpec's whitespace block)
+      .filter(col("text").rlike("\\S"))
       .select(col("doc_id"), expr("token_stats(text)").as("st"))
       .select(col("doc_id"), col("st.vocab").as("vocab"),
         col("st.n_hapax").as("n_hapax"), col("st.top_token").as("top_token"),

@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, DedupPrepare, Similarity, TextAnalysis}
+
+/** Skew-adversarial soak (r2 verdict "Next round" #4): a corpus built to
+  * break the pair-forming joins —
+  *   (a) one boilerplate 3-gram shared by 1300 docs (hot inverted-index
+  *       shingle),
+  *   (b) one exact-duplicate cluster LARGER than [[Dedup.BucketCap]]
+  *       (1150 identical docs → every LSH band bucket, SimHash chunk
+  *       bucket and embedding label cell is degenerate),
+  *   (c) an empty/whitespace-text block (degenerate tokenization).
+  * The assertions are on CANDIDATE COUNTS and retained-member semantics,
+  * not wall time: the caps must bound every pair join at C(cap, 2) with
+  * the lowest-id members retained, the stop-shingle cut must remove the
+  * hot shingles entirely, and the no-token block must vanish from the
+  * shingle family while still deduping exactly.
+  */
+class AdversarialScaleSpec extends AnyFunSuite with SparkTestBase {
+
+  private val Cap = Dedup.BucketCap // 1000
+  private val ClusterN = 1150      // > Cap
+  private val pairsOfCap = Cap.toLong * (Cap - 1) / 2
+
+  /** One-time adversarial corpus in a temp dir (documents + embeddings
+    * parquet with the TESTDATA schemas). */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_adv").toString
+    val cluster = (0 until ClusterN).map { i =>
+      (i.toLong, "alpha beta gamma delta epsilon", "en", "cluster", 29L)
+    }
+    val unique = (0 until 1300).map { i =>
+      (2000L + i,
+        s"u${i}x u${i}y u${i}z common boilerplate phrase u${i}w u${i}v",
+        "en", "unique", 40L)
+    }
+    val empty = (0 until 200).map { i =>
+      (5000L + i, if (i % 2 == 0) "" else "   \t ", "en", "empty", 0L)
+    }
+    (cluster ++ unique ++ empty).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(8).write.parquet(s"$d/documents.parquet")
+
+    val hotVec = Array.fill(8)(0.5f).toSeq
+    val hotCell = (0 until 1100).map(i => (i.toLong, hotVec, 0))
+    val rest = (0 until 100).map { i =>
+      // pseudo-random, pairwise non-proportional (a modular pattern here
+      // once produced exact duplicates whose cosine TIED the hot cell's)
+      (2000L + i,
+        (0 until 8).map(j => 0.1f + (((i * 2654435761L + j * 40503L) % 997L) / 997.0f)),
+        1 + i % 4)
+    }
+    (hotCell ++ rest).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .repartition(4).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("lshBands: every degenerate band bucket capped, lowest ids retained") {
+    val bands = DedupPrepare.lshBands(spark, dir)
+    val perBucket = bands.groupBy("b", "bh").count()
+    assert(perBucket.agg(max("count")).head.getLong(0) <= Cap)
+    // the cluster's buckets hit the cap exactly, and the retained members
+    // are the 1000 LOWEST cluster ids (0..999 of 0..1149)
+    val hot = perBucket.filter(col("count") === Cap)
+    assert(hot.count() == 4) // all 4 bands of the identical-doc cluster
+    val kept = bands.join(hot.select("b", "bh"), Seq("b", "bh"))
+      .agg(max("doc_id"), min("doc_id"), countDistinct("doc_id"))
+      .head()
+    assert(kept.getLong(0) == Cap - 1 && kept.getLong(1) == 0L)
+    assert(kept.getLong(2) == Cap)
+  }
+
+  test("dd03: degenerate cluster emits exactly C(cap,2) verified pairs") {
+    val pairs = Dedup.dd03(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded: C(1000,2), NOT C(1150,2) — the cap held under degeneracy;
+    // stray band collisions among unique docs die at the Jaccard verify
+    assert(pairs.count() == pairsOfCap)
+    val ids = pairs.agg(max("d1"), max("d2"), min(col("jaccard"))).head()
+    assert(ids.getLong(0) == Cap - 2 && ids.getLong(1) == Cap - 1)
+    assert(ids.getDouble(2) == 1.0) // identical docs: exact Jaccard 1
+    pairs.unpersist()
+  }
+
+  test("dd08: the capped clique resolves to ONE cluster of cap members") {
+    val cl = Dedup.dd08(spark, dir)
+    val agg = cl.agg(countDistinct("cluster_id"), count(lit(1)),
+      max("cluster_size")).head()
+    assert(agg.getLong(0) == 1L)      // one component
+    assert(agg.getLong(1) == Cap.toLong)
+    assert(agg.getLong(2) == Cap.toLong)
+  }
+
+  test("dd04: boilerplate and cluster shingles die at the df cut — zero pairs") {
+    // the shared 3-grams have df 1300 (boilerplate) and 1150 (cluster),
+    // both > 100; what remains is per-doc-unique → the inverted index
+    // CANNOT form a single pair, instead of exploding quadratically
+    assert(Dedup.dd04(spark, dir).count() == 0)
+  }
+
+  test("dd06: top-20 all Hamming-0 pairs from the capped retained set") {
+    val top = Dedup.dd06(spark, dir).collect()
+    assert(top.length == 20)
+    assert(top.forall(_.getAs[Int]("hamming") == 0))
+    // ordering (hamming, d1, d2) ⇒ the 20 lowest retained cluster pairs
+    assert(top.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (1 to 20).map(j => (0L, j.toLong)))
+  }
+
+  test("dd07: hot label cell capped; top-20 are exact-tie lowest retained ids") {
+    val top = Dedup.dd07(spark, dir).collect()
+    assert(top.length == 20)
+    assert(top.forall(r => math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9))
+    // identical hot vectors → identical cosine doubles → exact ties →
+    // (v1, v2) ascending; and every id ≤ 999 proves the 1100-member cell
+    // was capped to its lowest 1000 vec_ids
+    assert(top.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (1 to 20).map(j => (0L, j.toLong)))
+  }
+
+  test("ss02: IVF completes against the degenerate cell, k×queries shape") {
+    val r = Similarity.ss02(spark, dir)
+    assert(r.count() == 50) // 10 queries × top-5
+    // query 0 lives in the hot cell; its neighbors are exact ties at 1.0
+    val q0 = r.filter(col("query_id") === 0).collect()
+    assert(q0.forall(x => math.abs(x.getAs[Double]("cosine") - 1.0) < 1e-12))
+  }
+
+  test("empty-text block: absent from the shingle family, exact-deduped by dd01") {
+    // no-token docs never reach the materialized shingle layer
+    assert(DedupPrepare.shingles3(spark, dir)
+      .filter(col("doc_id") >= 5000).count() == 0)
+    // and ta05 drops them (no groupable tokens)
+    assert(TextAnalysis.ta05(spark, dir)
+      .filter(col("doc_id") >= 5000).count() == 0)
+    // but exact dedup still sees them. SQL trim strips only spaces (both
+    // engines), so "" normalizes to "" and "   \t " to " " — TWO content
+    // groups of 100, keepers = each group's lowest id
+    val g = Dedup.dd01(spark, dir).filter(col("doc_id") >= 5000)
+    val agg = g.agg(countDistinct("sig"), max("group_n"), min("keeper_id")).head()
+    assert(agg.getLong(0) == 2L && agg.getLong(1) == 100L && agg.getLong(2) == 5000L)
+    assert(g.filter(col("is_dup") === 0).count() == 2) // one keeper per group
+  }
+}
