@@ -19,6 +19,7 @@ object DiagWorkbook {
 
   private def csvCell(v: Any): String = v match {
     case null => ""
+    case DiagXlsx.Styled(inner, _) => csvCell(inner) // CSV carries no formats
     case s: String if s.contains(",") || s.contains("\"") ||
         s.contains("\n") || s.contains("\r") =>
       "\"" + s.replace("\"", "\"\"") + "\""
@@ -34,6 +35,12 @@ object DiagWorkbook {
 
   private def num(r: Row, name: String): Double =
     Option(get(r, name)).map(_.toString.toDouble).getOrElse(0.0)
+
+  // number-format shorthands (xlsx only; the CSV writer unwraps)
+  private def i0(v: Any) = DiagXlsx.Styled(v, DiagXlsx.Styles.Int0)
+  private def d2(v: Any) = DiagXlsx.Styled(v, DiagXlsx.Styles.Dec2)
+  private def pc(v: Any) = DiagXlsx.Styled(v, DiagXlsx.Styles.Pct2)
+  private def d4(v: Any) = DiagXlsx.Styled(v, DiagXlsx.Styles.Dec4)
 
   /** The reference's cfstats threshold tabs: engine tab key →
     * (workbook tab name, headers) — explore.py:445-450. */
@@ -58,8 +65,15 @@ object DiagWorkbook {
     val s = sheets(tabs)
     s.foreach { case (name, rows) => writeCsv(s"$dir/$name.csv", rows) }
     // the reference's primary artifact: <db>_astra_chart.xlsx
-    // (explore.py:1124) — same sheets, written as a real workbook
-    DiagXlsx.write(s"$outDir/${tabs.clusterName}_astra_chart.xlsx", s)
+    // (explore.py:1124) — same sheets, written as a real workbook with
+    // frozen header panes (the reference's freeze_panes/freeze_row,
+    // explore.py:443-450, 1129-1131; its 2-3-row freezes cover its
+    // title+subheader rows — this layout has exactly one header row per
+    // tab, so the pane framing maps to ySplit=1 everywhere)
+    val freeze = (Seq("Workload", "Data Size", "Node Data", "Proxihistogram",
+      "Tombstones", "GC Pauses") ++ ThresholdTabs.map(_._2._1))
+      .map(_ -> 1).toMap
+    DiagXlsx.write(s"$outDir/${tabs.clusterName}_astra_chart.xlsx", s, freeze)
   }
 
   /** Build every workbook tab as (name, rows), in the reference's sheet
@@ -77,26 +91,30 @@ object DiagWorkbook {
     // ---- Node Data (explore.py:443, 1545-1559: + Avg Uptime footer)
     val nodeData = nodeRows.toSeq.map(r => Seq(
       get(r, "dc"), get(r, "node"), get(r, "load"), get(r, "tokens"),
-      get(r, "rack"), get(r, "uptime_sec"), get(r, "uptime_human"),
+      get(r, "rack"), i0(get(r, "uptime_sec")), get(r, "uptime_human"),
       get(r, "workload"), get(r, "version")))
     if (nodeRows.nonEmpty) // exclude_tab parity: no status data, no tab
       sheet("Node Data",
         Seq(Seq("Datacenter", "Node", "Load", "Tokens", "Rack", "Uptime (sec)",
           "Uptime", "Workload", "Version")) ++ nodeData ++
-          Seq(Seq("", "", "", "", "Avg Uptime", am.avgUptimeSec, "", "", "")))
+          Seq(Seq("", "", "", "", "Avg Uptime", d2(am.avgUptimeSec), "", "", "")))
 
     // ---- Workload: read block ∥ write block (explore.py:1684-1789)
     val readSide = wl.sortBy(r => (-num(r, "reads"), r.getAs[String]("keyspace"),
       r.getAs[String]("table"))).map(r => Seq(
-      get(r, "keyspace"), get(r, "table"), num(r, "reads"), num(r, "read_tps"),
-      num(r, "perc_read"), num(r, "read_perc_rw")))
+      get(r, "keyspace"), get(r, "table"), i0(num(r, "reads")), d4(num(r, "read_tps")),
+      pc(num(r, "perc_read")), pc(num(r, "read_perc_rw"))))
     val writeSide = wl.sortBy(r => (-num(r, "writes"), r.getAs[String]("keyspace"),
       r.getAs[String]("table"))).map(r => Seq(
-      get(r, "keyspace"), get(r, "table"), num(r, "writes"), num(r, "write_tps"),
-      num(r, "perc_write"), num(r, "write_perc_rw")))
-    def tot(side: Seq[Seq[Any]], i: Int) = side.map(_(i).toString.toDouble).sum
-    val readTotal = Seq("Total", "", tot(readSide, 2), tot(readSide, 3), "", tot(readSide, 5))
-    val writeTotal = Seq("Total", "", tot(writeSide, 2), tot(writeSide, 3), "", tot(writeSide, 5))
+      get(r, "keyspace"), get(r, "table"), i0(num(r, "writes")), d4(num(r, "write_tps")),
+      pc(num(r, "perc_write")), pc(num(r, "write_perc_rw"))))
+    def cellNum(v: Any): Double = v match {
+      case DiagXlsx.Styled(inner, _) => cellNum(inner)
+      case other => other.toString.toDouble
+    }
+    def tot(side: Seq[Seq[Any]], i: Int) = side.map(r => cellNum(r(i))).sum
+    val readTotal = Seq("Total", "", i0(tot(readSide, 2)), d4(tot(readSide, 3)), "", pc(tot(readSide, 5)))
+    val writeTotal = Seq("Total", "", i0(tot(writeSide, 2)), d4(tot(writeSide, 3)), "", pc(tot(writeSide, 5)))
     val blockHdr = Seq("Keyspace", "Table")
     val wlRows =
       Seq(blockHdr ++ Seq("Read Requests", "Average TPS", "% Reads", "R % RW", "") ++
@@ -108,24 +126,28 @@ object DiagWorkbook {
     // ---- Data Size (explore.py:1130, 1710-1716) + Total footer
     val dsRows = wl.sortBy(r => (-num(r, "size_bytes"), r.getAs[String]("keyspace"),
       r.getAs[String]("table"))).map(r =>
-      Seq(get(r, "keyspace"), get(r, "table"), num(r, "size_bytes")))
+      Seq(get(r, "keyspace"), get(r, "table"), i0(num(r, "size_bytes"))))
     sheet("Data Size",
       Seq(Seq("Keyspace", "Table", "Size (Bytes)")) ++ dsRows ++
-        Seq(Seq("Total", "", wl.map(num(_, "size_bytes")).sum)))
+        Seq(Seq("Total", "", i0(wl.map(num(_, "size_bytes")).sum))))
 
     // ---- threshold tabs (explore.py:445-450)
     val th = tabs.thresholds.collect().groupBy(_.getAs[String]("tab"))
     ThresholdTabs.foreach { case (key, (tabName, headers)) =>
+      // 2-dp for ms/MB values, thousands format for counts
+      val fmt: Any => Any =
+        if (key == "read_latency" || key == "write_latency" || key == "large_partition") d2
+        else i0
       val rows = th.getOrElse(key, Array.empty[Row]).toSeq.map(r => Seq(
         get(r, "node"), get(r, "dc"), get(r, "keyspace"), get(r, "table"),
-        num(r, "value")))
+        fmt(num(r, "value"))))
       sheet(tabName, headers.map(_.asInstanceOf[Any]) +: rows)
     }
 
     // ---- Tombstones (explore.py:1575-1600; ts_cols order)
     val tsRows = tabs.tombstones.collect().toSeq.map(r => Seq(
       get(r, "dc"), get(r, "node"), get(r, "keyspace"), get(r, "table"),
-      get(r, "reads"), get(r, "tombstones")))
+      i0(get(r, "reads")), i0(get(r, "tombstones"))))
     sheet("Tombstones",
       Seq(Seq("Sample DC", "Sample Node", "Keyspace", "Table",
         "Live Rows Read", "Tombstones")) ++ tsRows)
@@ -146,8 +168,8 @@ object DiagWorkbook {
     val phLabels = Seq("Max", "99", "98", "95", "75", "50", "Min")
     val phRows = tabs.proxyHist.collect().toSeq.map { r =>
       val ids = Seq(get(r, "dc"), get(r, "node"))
-      ids ++ phLabels.map(l => get(r, s"r_$l")) ++ Seq("") ++
-        ids ++ phLabels.map(l => get(r, s"w_$l"))
+      ids ++ phLabels.map(l => d2(get(r, s"r_$l"))) ++ Seq("") ++
+        ids ++ phLabels.map(l => d2(get(r, s"w_$l")))
     }
     val phHdr = Seq("Datacenter", "Node", "Max", "P99", "P98", "P95", "P75", "P50", "Min")
     sheet("Proxihistogram", (phHdr ++ Seq("") ++ phHdr) +: phRows)
@@ -170,12 +192,12 @@ object DiagWorkbook {
       Seq(
         Seq(s"Astra Metrics Data for ${tabs.clusterName}"),
         Seq("Workload Summary"),
-        Seq("Read TPS", am.readTps),
-        Seq("Read TPMo", am.readTpmo),
-        Seq("Write TPS", am.writeTps),
-        Seq("Write TPMo", am.writeTpmo),
-        Seq("Data Size (GB)", am.dataSizeGb),
-        Seq("Average Uptime", am.avgUptimeSec)) ++ warnSection)
+        Seq("Read TPS", d4(am.readTps)),
+        Seq("Read TPMo", i0(am.readTpmo)),
+        Seq("Write TPS", d4(am.writeTps)),
+        Seq("Write TPMo", i0(am.writeTpmo)),
+        Seq("Data Size (GB)", d2(am.dataSizeGb)),
+        Seq("Average Uptime", d2(am.avgUptimeSec))) ++ warnSection)
 
     // reference sheet order: Astra Metrics, Workload, Data Size, the
     // sheets_data tabs, Tombstones, GC Pauses (explore.py:1127-1138)

@@ -4,14 +4,29 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 
 /** Minimal dependency-free .xlsx writer (SpreadsheetML): an xlsx is a
   * zip of XML parts — [Content_Types], the root rels, the workbook with
-  * its sheet list, and one worksheet XML per tab. Strings are written as
-  * inline strings (`t="inlineStr"`), numbers as native numeric cells, so
-  * no sharedStrings part is needed. Covers exactly what the report sink
-  * requires (typed cells, many sheets); no styling/formulas — the engine
+  * its sheet list, a styles part, and one worksheet XML per tab. Strings
+  * are written as inline strings (`t="inlineStr"`), numbers as native
+  * numeric cells, so no sharedStrings part is needed. Covers what the
+  * report sink requires: typed cells, many sheets, the reference's
+  * number formats (counts/bytes, 2-dp ms/MB, percents, 4-dp TPS —
+  * explore.py:1221-1296) via [[DiagXlsx.Styled]], and frozen header
+  * panes (explore.py sheets_data freeze_row). No formulas — the engine
   * computes formula VALUES (see [[DiagReport.astraMetrics]]), which is
   * the whole point of moving the reference's Excel formulas server-side.
   */
 object DiagXlsx {
+
+  /** A cell value with one of the [[Styles]] format indices. */
+  final case class Styled(v: Any, style: Int)
+
+  /** cellXfs indices (position in the styles part below). */
+  object Styles {
+    val Default = 0
+    val Int0 = 1    // #,##0       — counts, bytes, uptime
+    val Dec2 = 2    // #,##0.00    — ms latencies, MB partition sizes
+    val Pct2 = 3    // 0.00%       — ratio-of-total columns
+    val Dec4 = 4    // #,##0.0000  — TPS/TPMo
+  }
 
   private def esc(s: String): String =
     s.flatMap {
@@ -19,7 +34,10 @@ object DiagXlsx {
       case '<' => "&lt;"
       case '>' => "&gt;"
       case '"' => "&quot;"
-      case c if c < ' ' && c != '\t' => "" // control chars are invalid in XML 1.0
+      // XML 1.0 allows #x9/#xA/#xD only; dropping \n/\r would silently
+      // flatten multi-line warning messages (the inline strings carry
+      // xml:space="preserve" precisely so they survive)
+      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => ""
       case c => c.toString
     }
 
@@ -31,26 +49,59 @@ object DiagXlsx {
     sb.toString
   }
 
-  private def cellXml(ref: String, v: Any): String = v match {
-    case null | "" => ""
-    case n: Int => s"""<c r="$ref"><v>$n</v></c>"""
-    case n: Long => s"""<c r="$ref"><v>$n</v></c>"""
-    case n: Double if !n.isNaN && !n.isInfinite => s"""<c r="$ref"><v>$n</v></c>"""
-    case other =>
-      s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(other.toString)}</t></is></c>"""
+  private def cellXml(ref: String, v: Any, style: Int = 0): String = {
+    val s = if (style == 0) "" else s""" s="$style""""
+    v match {
+      case null | "" => ""
+      case Styled(inner, st) => cellXml(ref, inner, st)
+      case n: Int => s"""<c r="$ref"$s><v>$n</v></c>"""
+      case n: Long => s"""<c r="$ref"$s><v>$n</v></c>"""
+      case n: Double if !n.isNaN && !n.isInfinite => s"""<c r="$ref"$s><v>$n</v></c>"""
+      case other =>
+        s"""<c r="$ref"$s t="inlineStr"><is><t xml:space="preserve">${esc(other.toString)}</t></is></c>"""
+    }
   }
 
-  private def sheetXml(rows: Seq[Seq[Any]]): String = {
+  private def sheetXml(rows: Seq[Seq[Any]], freezeRows: Int): String = {
     val body = rows.zipWithIndex.map { case (cells, r) =>
       val cs = cells.zipWithIndex.map { case (v, c) => cellXml(s"${colRef(c)}${r + 1}", v) }
       s"""<row r="${r + 1}">${cs.mkString}</row>"""
     }.mkString
+    // frozen header panes (the reference's freeze_panes/freeze_row)
+    val views =
+      if (freezeRows <= 0) ""
+      else s"""<sheetViews><sheetView workbookViewId="0"><pane ySplit="$freezeRows" topLeftCell="A${freezeRows + 1}" activePane="bottomLeft" state="frozen"/></sheetView></sheetViews>"""
     s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-       |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$body</sheetData></worksheet>""".stripMargin
+       |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">$views<sheetData>$body</sheetData></worksheet>""".stripMargin
   }
 
-  /** Write `sheets` (name → rows of cells) as a valid .xlsx at `path`. */
-  def write(path: String, sheets: Seq[(String, Seq[Seq[Any]])]): Unit = {
+  /** The styles part: number formats for counts, 2-dp, percent, 4-dp TPS
+    * (reference formats at explore.py:1221-1296). Indices = [[Styles]]. */
+  private val stylesXml: String =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+      |<numFmts count="3">
+      |<numFmt numFmtId="164" formatCode="#,##0"/>
+      |<numFmt numFmtId="165" formatCode="#,##0.00"/>
+      |<numFmt numFmtId="166" formatCode="#,##0.0000"/>
+      |</numFmts>
+      |<fonts count="1"><font><sz val="11"/><name val="Calibri"/></font></fonts>
+      |<fills count="2"><fill><patternFill patternType="none"/></fill><fill><patternFill patternType="gray125"/></fill></fills>
+      |<borders count="1"><border/></borders>
+      |<cellStyleXfs count="1"><xf/></cellStyleXfs>
+      |<cellXfs count="5">
+      |<xf numFmtId="0" applyNumberFormat="0"/>
+      |<xf numFmtId="164" applyNumberFormat="1"/>
+      |<xf numFmtId="165" applyNumberFormat="1"/>
+      |<xf numFmtId="10" applyNumberFormat="1"/>
+      |<xf numFmtId="166" applyNumberFormat="1"/>
+      |</cellXfs>
+      |</styleSheet>""".stripMargin
+
+  /** Write `sheets` (name → rows of cells) as a valid .xlsx at `path`.
+    * `freeze` maps a sheet name to its frozen header row count. */
+  def write(path: String, sheets: Seq[(String, Seq[Seq[Any]])],
+      freeze: Map[String, Int] = Map.empty): Unit = {
     val zip = new ZipOutputStream(new java.io.FileOutputStream(path))
     def part(name: String, content: String): Unit = {
       zip.putNextEntry(new ZipEntry(name))
@@ -64,6 +115,7 @@ object DiagXlsx {
          |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
          |<Default Extension="xml" ContentType="application/xml"/>
          |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+         |<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
          |${(1 to n).map(i => s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""").mkString("\n")}
          |</Types>""".stripMargin)
     part("_rels/.rels",
@@ -82,9 +134,11 @@ object DiagXlsx {
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
          |${(1 to n).map(i => s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""").mkString("\n")}
+         |<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
          |</Relationships>""".stripMargin)
-    sheets.zipWithIndex.foreach { case ((_, rows), i) =>
-      part(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(rows))
+    part("xl/styles.xml", stylesXml)
+    sheets.zipWithIndex.foreach { case ((name, rows), i) =>
+      part(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(rows, freeze.getOrElse(name, 0)))
     }
     zip.close()
   }

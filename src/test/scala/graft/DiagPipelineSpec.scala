@@ -210,8 +210,15 @@ class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(wb.contains("""<sheet name="GC Pauses" sheetId="13""""))
       assert(part("xl/worksheets/sheet1.xml")
         .contains("Astra Metrics Data for TestCluster"))
-      // numeric cells are native numbers, not strings
-      assert(part("xl/worksheets/sheet4.xml").contains("<c r=\"F2\"><v>86400</v></c>"))
+      // numeric cells are native numbers (with the #,##0 uptime format)
+      assert(part("xl/worksheets/sheet4.xml").contains("<c r=\"F2\" s=\"1\"><v>86400</v></c>"))
+      // styles part present: number formats for counts/ms/percent/TPS
+      val styles = part("xl/styles.xml")
+      assert(styles.contains("formatCode=\"#,##0\""))
+      assert(styles.contains("formatCode=\"#,##0.0000\""))
+      // frozen header panes: Workload freezes its header row
+      assert(part("xl/worksheets/sheet2.xml")
+        .contains("<pane ySplit=\"1\" topLeftCell=\"A2\" activePane=\"bottomLeft\" state=\"frozen\""))
     } finally xlsx.close()
   }
 
