@@ -81,19 +81,23 @@ object Relational {
     */
   def q01(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    // exact decimal partial sums; window totals computed on the 6-row agg
+    // exact decimal partial sums; grand totals as a 1-row aggregate
+    // broadcast back (the q15/workload pattern) — an empty-partition
+    // window would drag even this 6-row relation through one task and
+    // is the wrong shape to copy at scale
     val agg = li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
       sum(col("l_quantity").cast(D18_2)).as("qty_d"),
       sum(col("l_extendedprice").cast(D18_2)).as("price_d"),
       count(lit(1)).as("n_rows"))
-    val w = Window.partitionBy()
-    agg
+    val tot = agg.agg(sum(col("price_d")).as("tot_price"),
+      sum(col("n_rows")).as("tot_rows"))
+    agg.crossJoin(broadcast(tot))
       .withColumn("sum_qty", col("qty_d").cast("double"))
       .withColumn("sum_price", col("price_d").cast("double"))
       .withColumn("share_price",
-        col("price_d").cast("double") / sum(col("price_d")).over(w).cast("double"))
+        col("price_d").cast("double") / col("tot_price").cast("double"))
       .withColumn("share_rows",
-        col("n_rows").cast("double") / sum(col("n_rows")).over(w).cast("double"))
+        col("n_rows").cast("double") / col("tot_rows").cast("double"))
       .select("l_returnflag", "l_linestatus", "sum_qty", "sum_price",
         "n_rows", "share_price", "share_rows")
       .orderBy("l_returnflag", "l_linestatus")
