@@ -94,7 +94,7 @@ object Dedup {
   }
 
   /** Oracle CTE mirroring [[wordShingles]] (expects a `documents` view). */
-  private def shinglesSqlCte(n: Int): String = {
+  private[operators] def shinglesSqlCte(n: Int): String = {
     val parts = (0 until n).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
     s"""w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
        |       FROM documents),

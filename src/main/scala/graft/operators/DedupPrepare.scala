@@ -46,6 +46,14 @@ object DedupPrepare {
   private def ensure(s: SparkSession, name: String, build: () => DataFrame,
       bucketCols: Seq[String], sortCols: Seq[String]): DataFrame = synchronized {
     if (!s.catalog.tableExists(name)) {
+      // the in-memory catalog forgets tables across JVMs but the
+      // warehouse directory survives — saveAsTable refuses to create a
+      // managed table over a leftover location (LOCATION_ALREADY_EXISTS),
+      // so drop the stale dir of OUR prep table before rebuilding
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
       build().write.mode("overwrite").format("parquet")
         .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(sortCols.head, sortCols.tail: _*)

@@ -126,10 +126,67 @@ object Sampling {
        |WHERE bucket >= 90
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- sp04
+  /** Fuzzy decontamination by n-gram overlap — the standard eval-set
+    * hygiene check when exact match ([[sp03]]) is too blunt (GPT-3/PaLM
+    * style: an eval doc is contaminated when a large share of its
+    * n-grams also occur anywhere in the train split; word 3-grams here,
+    * matching the corpus' dd-family shingle size). One row per eval doc
+    * with ≥1 colliding gram: gram counts, overlap ratio, and the
+    * contaminated flag at ≥ 0.5 overlap.
+    *
+    * Scale posture: reads the materialized shingle layer
+    * ([[DedupPrepare.shingles3]] — no re-shingling), aggregates the
+    * train side to DISTINCT gram hashes first (a duplicated train gram
+    * cannot fan out the join), then one shuffle on the gram hash and a
+    * per-eval-doc aggregate. The split assignment is the same salted
+    * doc_id hash as sp01 — map-side, no join against the split table.
+    */
+  def sp04(s: SparkSession, dir: String): DataFrame = {
+    val sh = DedupPrepare.shingles3(s, dir)
+      .withColumn("bucket", bucket)
+      .withColumn("g", Dedup.h60(col("s")))
+    val trainG = sh.filter(col("bucket") < 90).select(col("g")).distinct()
+    val evalG = sh.filter(col("bucket") >= 90)
+      .select(col("doc_id"),
+        when(col("bucket") < 95, "val").otherwise("test").as("split"), col("g"))
+    val totals = evalG.groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = evalG.join(trainG, Seq("g"))
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id", "split"))
+      .withColumn("overlap_ratio",
+        col("n_hit").cast("double") / col("n_grams").cast("double"))
+      .withColumn("contaminated",
+        (col("overlap_ratio") >= 0.5).cast("int"))
+      .select("doc_id", "split", "n_grams", "n_hit", "overlap_ratio", "contaminated")
+      .orderBy("doc_id")
+  }
+
+  val sp04Sql: String =
+    s"""WITH ${Dedup.shinglesSqlCte(3)},
+       |gr AS (SELECT doc_id, $bucketSql AS bucket,
+       |             ${Dedup.h60Sql("s")} AS g
+       |      FROM sh),
+       |train AS (SELECT DISTINCT g FROM gr WHERE bucket < 90),
+       |ev AS (SELECT doc_id,
+       |              CASE WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, g
+       |       FROM gr WHERE bucket >= 90),
+       |totals AS (SELECT doc_id, split, COUNT(*) AS n_grams FROM ev GROUP BY 1, 2),
+       |hits AS (SELECT doc_id, split, COUNT(*) AS n_hit
+       |         FROM ev JOIN train USING (g) GROUP BY 1, 2)
+       |SELECT doc_id, split, n_grams, n_hit,
+       |       CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS overlap_ratio,
+       |       CAST(CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.5 AS INT) AS contaminated
+       |FROM totals JOIN hits USING (doc_id, split)
+       |ORDER BY doc_id""".stripMargin
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("sp01_split_assign", "deterministic hash 90/5/5 train/val/test split", sp01, Some(sp01Sql)),
     Q("sp02_stratified_sample", "stratified 20% hash sample + audit counts", sp02, Some(sp02Sql)),
     Q("sp03_contamination_exact", "test/val docs whose content occurs in train", sp03, Some(sp03Sql)),
+    Q("sp04_contamination_ngram", "eval docs by train n-gram overlap ratio", sp04, Some(sp04Sql)),
   )
 }
