@@ -401,7 +401,7 @@ object Dedup {
     * bit j is set iff Σ_tokens (±1 by bit j of H(token)) > 0.
     * Also emits 4 × 15-bit chunks (the banding key for Hamming search).
     */
-  private def simhashSig(docs: DataFrame): DataFrame = {
+  private[operators] def simhashSig(docs: DataFrame): DataFrame = {
     // Entirely map-side, no explode/shuffle, two fused native kernels:
     // tokens_h60 tokenizes + distincts + md5-hashes the doc in one pass
     // (the HOF form ran an interpreted Cast→Md5→Substring→Conv tree per
@@ -451,16 +451,10 @@ object Dedup {
     * bit_count(xor) with unique-key tie-break.
     */
   def dd06(s: SparkSession, dir: String): DataFrame = {
-    // self-joined below — without persist the whole simhash kernel runs
-    // once per join branch
-    val sig = simhashSig(Tables.documents(s, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunksLong = capPerKey(
-      sig.select(col("doc_id"), col("simhash"),
-        explode(map_from_arrays(
-          array((0 to 3).map(lit): _*),
-          array((0 to 3).map(j => col(s"c$j")): _*))).as(Seq("j", "c"))),
-      Seq("j", "c"), "doc_id", BucketCap)
+    // the capped chunk relation is materialized bucketed by (j, c)
+    // (DedupPrepare.simhashChunks) — both sides of this self-join read
+    // the same buckets, no exchange and no per-branch recompute
+    val chunksLong = DedupPrepare.simhashChunks(s, dir)
     chunksLong.as("x").join(chunksLong.as("y"),
         col("x.j") === col("y.j") && col("x.c") === col("y.c") &&
           col("x.doc_id") < col("y.doc_id"))

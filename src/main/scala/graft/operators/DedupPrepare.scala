@@ -76,6 +76,23 @@ object DedupPrepare {
       () => Dedup.minhashSigFromShingles(shingles3(s, dir)),
       Seq("doc_id"), Seq("doc_id"))
 
+  /** Capped SimHash chunk relation (j, c, doc_id, simhash), bucketed by
+    * (j, c) — dd06's Hamming-banding self-join reads co-bucketed data
+    * with no exchange, same shape as [[lshBands]]. The signature itself
+    * is map-side cheap (fused native kernels), so only the join-keyed
+    * relation is worth materializing. */
+  def simhashChunks(s: SparkSession, dir: String): DataFrame =
+    ensure(s, s"graft_prep_simchunks_${tag(dir)}",
+      () => Dedup.capPerKey(
+        Dedup.simhashSig(Tables.documents(s, dir))
+          .select(col("doc_id"), col("simhash"),
+            explode(map_from_arrays(
+              array((0 to 3).map(lit): _*),
+              array((0 to 3).map(j => col(s"c$j")): _*))).as(Seq("j", "c"))),
+        Seq("j", "c"), "doc_id", Dedup.BucketCap)
+        .select(col("j"), col("c"), col("doc_id"), col("simhash")),
+      Seq("j", "c"), Seq("j", "c", "doc_id"))
+
   /** Capped LSH band relation (b, bh, doc_id), bucketed by (b, bh): both
     * sides of the candidate self-join read the same buckets — no
     * exchange. The [[Dedup.BucketCap]] is applied before writing (it is
