@@ -223,6 +223,69 @@ object TokensH60 {
   private[functions] val Ws = java.util.regex.Pattern.compile("\\s+")
 }
 
+/** Native Catalyst expression: per-document stopword OCCURRENCE counts
+  * for several word lists in ONE tokenize pass —
+  * `stop_hits(text, 'the,of,...|der,die,...|...')` returns `array<int>`
+  * with one count per `|`-separated list.
+  *
+  * Replaces N higher-order `size(filter(ws, w -> array_contains(...)))`
+  * columns whose lambdas evaluate INTERPRETED per (token × list); here
+  * the text is tokenized once (same trim/lower/\s+ semantics as the
+  * `ws` column) and each token does one hash probe per list inside a
+  * compiled kernel. The second argument must be a literal (the lists
+  * are parsed once per expression instance, not per row).
+  */
+case class StopHits(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "stop_hits expects (string, foldable string list spec)")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "stop_hits"
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    right.eval(null).toString.split('|').map { l =>
+      val s = new java.util.HashSet[String]()
+      l.split(',').foreach(w => s.add(w))
+      s
+    }
+
+  /** Kernel shared by interpreted eval and codegen. */
+  def kernel(a: Any): ArrayData = {
+    val u = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val toks = TokensH60.Ws.split(u.trim().toLowerCase().toString, -1)
+    val counts = new Array[Int](sets.length)
+    var i = 0
+    while (i < toks.length) {
+      var j = 0
+      while (j < sets.length) {
+        if (sets(j).contains(toks(i))) counts(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(counts)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = kernel(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("stopHits", this, classOf[StopHits].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $self.kernel($a);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native Catalyst expression: per-document lexical statistics in one
   * compiled pass — struct(vocab, n_hapax, top_token, top_count) over the
   * whitespace tokens of lower(trim(text)), empty tokens dropped.
@@ -326,6 +389,8 @@ object GraftFunctions {
         "tokens_h60", exprs => TokensH60(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction(
         "token_stats", exprs => TokenStats(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "stop_hits", exprs => StopHits(exprs(0), exprs(1)), "built-in")
     }
   }
 }
@@ -356,5 +421,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[TokenStats].getName, "token_stats"),
       (exprs: Seq[Expression]) => TokenStats(exprs(0))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("stop_hits"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[StopHits].getName, "stop_hits"),
+      (exprs: Seq[Expression]) => StopHits(exprs(0), exprs(1))))
   }
 }

@@ -21,17 +21,27 @@ object TextAnalysis {
 
   private def ws: Column = split(lower(trim(col("text"))), "\\s+")
 
-  private val stop = Map(
+  private[graft] val stop = Map(
     "en" -> Seq("the", "of", "and", "to", "in", "is", "a"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
     "fr" -> Seq("le", "la", "et", "les", "des", "est"),
     "es" -> Seq("el", "los", "las", "es", "y", "por"))
 
-  /** Count of tokens that appear in `list` — array filter, no explode. */
-  private def hits(list: Seq[String]): Column = {
+  /** Count of tokens that appear in `list` — array filter, no explode.
+    * (Kept as the semantic definition; the hot paths use the compiled
+    * `stop_hits` kernel, spec-pinned equal to this form.) */
+  private[graft] def hits(list: Seq[String]): Column = {
     val arr = array(list.map(lit): _*)
     size(filter(ws, w => array_contains(arr, w)))
   }
+
+  /** One `|`-separated literal of the 4 stopword lists, the compiled
+    * `stop_hits` argument (GridDot.StopHits: one tokenize pass, one hash
+    * probe per (token, list) — the HOF form runs an interpreted lambda
+    * per token per language). */
+  private[graft] val LangOrder = Seq("en", "de", "fr", "es")
+  private[graft] val stopSpec: String =
+    LangOrder.map(l => stop(l).mkString(",")).mkString("|")
 
   private def hitsSql(list: Seq[String]): String = {
     val lits = list.map(w => s"'$w'").mkString(", ")
@@ -50,11 +60,13 @@ object TextAnalysis {
     * the prediction, and whether it matches the labeled `lang`.
     */
   def ta01(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val scored = Tables.documents(s, dir)
-      .withColumn("s_en", hits(stop("en")))
-      .withColumn("s_de", hits(stop("de")))
-      .withColumn("s_fr", hits(stop("fr")))
-      .withColumn("s_es", hits(stop("es")))
+      .withColumn("sh", call_function("stop_hits", col("text"), lit(stopSpec)))
+      .withColumn("s_en", col("sh").getItem(0))
+      .withColumn("s_de", col("sh").getItem(1))
+      .withColumn("s_fr", col("sh").getItem(2))
+      .withColumn("s_es", col("sh").getItem(3))
     scored
       .withColumn("predicted",
         when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
@@ -92,12 +104,14 @@ object TextAnalysis {
     * into one score with a fixed expression tree; flags low quality.
     */
   def ta02(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val nTok = size(ws).cast("double")
     val punct = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double")
     // zero-length docs: Spark x/0.0 is NULL, DuckDB IEEE gives inf — guard
     val punctRatio =
       when(col("n_chars") > 0, punct / col("n_chars").cast("double")).otherwise(0.0)
-    val stopRatio = hits(stop("en")).cast("double") / nTok
+    val stopRatio = call_function("stop_hits", col("text"),
+      lit(stop("en").mkString(","))).getItem(0).cast("double") / nTok
     val lenScore = least(nTok / 100.0, lit(1.0))
     val score = lenScore * 0.4 +
       (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.3 +

@@ -93,6 +93,34 @@ class GridDotSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stop_hits: equals the HOF filter form, per language, codegen on/off") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      "The quick brown fox is a fox of the woods",
+      "der hund und die katze ist nicht da",
+      "  LE chat ET la   souris est\tla  ", // case, multi-ws, repeats
+      "", "   \t ", "y el es la the in").toDF("text")
+    for (cg <- Seq(true, false)) {
+      val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.codegen.wholeStage", cg.toString)
+      try {
+        val r = docs.select(
+          call_function("stop_hits", col("text"), lit(TextAnalysis.stopSpec)).as("k"),
+          TextAnalysis.hits(TextAnalysis.stop("en")).as("en"),
+          TextAnalysis.hits(TextAnalysis.stop("de")).as("de"),
+          TextAnalysis.hits(TextAnalysis.stop("fr")).as("fr"),
+          TextAnalysis.hits(TextAnalysis.stop("es")).as("es")).collect()
+        r.foreach { row =>
+          val k = row.getSeq[Int](0)
+          assert(k == Seq(row.getInt(1), row.getInt(2), row.getInt(3), row.getInt(4)),
+            s"cg=$cg row=$row")
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
+  }
+
   test("token_stats: equals the relational explode/window form on real docs") {
     import spark.implicits._
     val docs = Seq(
