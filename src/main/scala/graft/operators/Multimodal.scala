@@ -206,9 +206,111 @@ object Multimodal {
       |       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)), 1, 15)) AS BIGINT) AS frame_hash
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- mm03
+  /** Resize planning — the vision-preprocessing step after decode: scale
+    * the short side to 224 preserving aspect ratio. Runs as a SECOND
+    * batched executor-side stage chained after the decode (the
+    * decode→transform pipeline shape); all arithmetic is integer
+    * (out = dim·224 ÷ min-side, exact in both engines), and the actual
+    * pixel resample is the stubbed codec step — the plumbing (batch
+    * shape, chaining, metadata math) is real.
+    */
+  private val ShortSide = 224
+
+  final case class ResizePlan(
+      doc_id: Long, width: Int, height: Int, out_w: Int, out_h: Int,
+      out_pixels: Long, upscaled: Int)
+
+  def mm03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .as[(Long, String, String, Long)]
+      .map { case (id, src, text, n) => MediaIn(id, src, synthPayload(id, text, n)) }
+    media.mapPartitions { it =>
+      decodeBatches(it).map { m =>
+        val minSide = math.min(m.width, m.height)
+        val ow = (m.width.toLong * ShortSide / minSide).toInt
+        val oh = (m.height.toLong * ShortSide / minSide).toInt
+        ResizePlan(m.doc_id, m.width, m.height, ow, oh,
+          ow.toLong * oh, if (minSide < ShortSide) 1 else 0)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  val mm03Sql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(n_chars * 7 % 1920 + 1 AS INT) AS width,
+      |         CAST(n_chars * 13 % 1080 + 1 AS INT) AS height
+      |  FROM documents)
+      |SELECT doc_id, width, height,
+      |       CAST(CAST(width AS BIGINT) * $ShortSide // LEAST(width, height) AS INT) AS out_w,
+      |       CAST(CAST(height AS BIGINT) * $ShortSide // LEAST(width, height) AS INT) AS out_h,
+      |       CAST((CAST(width AS BIGINT) * $ShortSide // LEAST(width, height))
+      |          * (CAST(height AS BIGINT) * $ShortSide // LEAST(width, height)) AS BIGINT) AS out_pixels,
+      |       CAST(LEAST(width, height) < $ShortSide AS INT) AS upscaled
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- mm04
+  /** Feature extraction (stub codec, real plumbing): payload bytes →
+    * decode → an 8-dim float embedding per doc, batched executor-side.
+    * The "model" is a deterministic hash of the decoded BODY bytes (the
+    * stub for the real encoder forward pass — the prompt's contract:
+    * stub the codec, make schema/batching/UDF shape real); the oracle
+    * recomputes it in closed form from the text the synthetic payload
+    * wraps, so a body-extraction bug upstream fails the hash.
+    */
+  private val FeatureDims = 8
+
+  private def h60OfString(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars, same contract as Dedup.h60
+    var v = 0L
+    var j = 0
+    while (j < 7) { v = (v << 8) | (d(j) & 0xFFL); j += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xFL)
+  }
+
+  final case class MediaFeatures(doc_id: Long, content_md5: String,
+      f0: Float, f1: Float, f2: Float, f3: Float,
+      f4: Float, f5: Float, f6: Float, f7: Float)
+
+  def mm04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .as[(Long, String, String, Long)]
+      .map { case (id, src, text, n) => MediaIn(id, src, synthPayload(id, text, n)) }
+    media.mapPartitions { it =>
+      decodeBatches(it).map { m =>
+        // fixed-dim feature row (flat floats, not list<float>: the
+        // arrow-level list element name/nullability differs between the
+        // engines and the driver's compare is type-sensitive)
+        val f = Array.tabulate(FeatureDims) { j =>
+          ((h60OfString(s"${m.content_md5}:$j") % 1000L) / 1000.0).toFloat
+        }
+        MediaFeatures(m.doc_id, m.content_md5,
+          f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  val mm04Sql: String = {
+    val dims = (0 until FeatureDims).map { j =>
+      s"CAST(CAST(concat('0x', substr(md5(md5(text) || ':' || '$j'), 1, 15)) AS BIGINT) % 1000 / 1000.0 AS REAL) AS f$j"
+    }.mkString(",\n       ")
+    s"""SELECT doc_id, md5(text) AS content_md5,
+       |       $dims
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("mm01_media_decode_meta", "binary payload → batched typed decode (stub codec)", mm01, Some(mm01Sql)),
     Q("mm02_frame_sample", "every-10th-frame sampling with per-frame hash", mm02, Some(mm02Sql)),
+    Q("mm03_resize_plan", "aspect-preserving short-side-224 resize planning", mm03, Some(mm03Sql)),
+    Q("mm04_feature_extract", "batched stub-encoder 8-dim feature embedding", mm04, Some(mm04Sql)),
   )
 }
