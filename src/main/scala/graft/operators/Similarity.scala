@@ -281,11 +281,63 @@ object Similarity {
        |SELECT query_id, bucket, CAST(rank AS INT) AS rank, neighbor_id, cosine
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- ss05
+  /** Recall audit: every ANN variant measured against the exact
+    * brute-force baseline — recall@5 per query for IVF nprobe=1,
+    * IVF nprobe=2 and sign-bucket LSH. This is the evaluation query an
+    * ANN deployment runs before trusting an index; it also pins the
+    * nprobe dial's monotonicity in data (ivf2 ⊇ ivf1 candidates).
+    * Cost is the four underlying pipelines; the audit itself is three
+    * 50-row joins.
+    */
+  def ss05(s: SparkSession, dir: String): DataFrame = {
+    val exact = ss01(s, dir).select(col("query_id"), col("neighbor_id"))
+    def hit(df: DataFrame, name: String) =
+      df.select(col("query_id"), col("neighbor_id"), lit(1L).as(name))
+    exact
+      .join(hit(ss02(s, dir), "h1"), Seq("query_id", "neighbor_id"), "left")
+      .join(hit(ss04(s, dir), "h2"), Seq("query_id", "neighbor_id"), "left")
+      .join(hit(ss03(s, dir), "h3"), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("h1"), lit(0L))).cast("long").as("hit_ivf1"),
+        sum(coalesce(col("h2"), lit(0L))).cast("long").as("hit_ivf2"),
+        sum(coalesce(col("h3"), lit(0L))).cast("long").as("hit_lsh"))
+      .withColumn("recall_ivf1",
+        col("hit_ivf1").cast("double") / col("n_exact").cast("double"))
+      .withColumn("recall_ivf2",
+        col("hit_ivf2").cast("double") / col("n_exact").cast("double"))
+      .withColumn("recall_lsh",
+        col("hit_lsh").cast("double") / col("n_exact").cast("double"))
+      .orderBy("query_id")
+  }
+
+  val ss05Sql: String =
+    s"""WITH ex AS (SELECT query_id, neighbor_id FROM (${ss01Sql})),
+       |a1 AS (SELECT query_id, neighbor_id FROM (${ss02Sql})),
+       |a2 AS (SELECT query_id, neighbor_id FROM (${ss04Sql})),
+       |a3 AS (SELECT query_id, neighbor_id FROM (${ss03Sql}))
+       |SELECT ex.query_id,
+       |       COUNT(*) AS n_exact,
+       |       CAST(SUM(CASE WHEN a1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_ivf1,
+       |       CAST(SUM(CASE WHEN a2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_ivf2,
+       |       CAST(SUM(CASE WHEN a3.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_lsh,
+       |       CAST(SUM(CASE WHEN a1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_ivf1,
+       |       CAST(SUM(CASE WHEN a2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_ivf2,
+       |       CAST(SUM(CASE WHEN a3.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_lsh
+       |FROM ex
+       |LEFT JOIN a1 ON ex.query_id = a1.query_id AND ex.neighbor_id = a1.neighbor_id
+       |LEFT JOIN a2 ON ex.query_id = a2.query_id AND ex.neighbor_id = a2.neighbor_id
+       |LEFT JOIN a3 ON ex.query_id = a3.query_id AND ex.neighbor_id = a3.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("ss01_knn_bruteforce", "broadcast brute-force cosine top-5", ss01, Some(ss01Sql)),
     Q("ss02_knn_ivf", "IVF: label-cell centroids, probe best cell", ss02, Some(ss02Sql)),
     Q("ss03_knn_lsh", "random-hyperplane LSH sign-bucket ANN", ss03, Some(ss03Sql)),
     Q("ss04_knn_ivf_multiprobe", "IVF with nprobe=2 (recall/cost dial)", ss04, Some(ss04Sql)),
+    Q("ss05_knn_recall_audit", "recall@5 of each ANN variant vs exact baseline", ss05, Some(ss05Sql)),
   )
 }
