@@ -46,6 +46,19 @@ class FunctionRegistrationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("tokens_h60, token_stats and stop_hits resolve from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT size(tokens_h60('a b a')) AS nt, " +
+        "token_stats('a b a').vocab AS v, token_stats('a b a').top_token AS t, " +
+        "stop_hits('the cat the', 'the,a|der')[0] AS h0, " +
+        "stop_hits('the cat the', 'the,a|der')[1] AS h1").head()
+    assert(r.getInt(0) == 2)     // distinct tokens a, b
+    assert(r.getLong(1) == 2L)   // vocab
+    assert(r.getString(2) == "a") // count 2 beats b's 1
+    assert(r.getInt(3) == 2 && r.getInt(4) == 0)
+  }
+
   test("grid_dot rejects wrong input types with the custom message") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
