@@ -233,6 +233,38 @@ class GoldenReferenceSpec extends AnyFunSuite with SparkTestBase {
     DiagReport.analyze(spark, "src/test/resources/diag_mini").gc
       .filter("level = 'Database'").head()
 
+  test("workbook: reference Workload-tab data cells equal the engine's workload tab") {
+    val (_, cells, _) = golden
+    val wlSheet = cells.get("Workload")
+    // reference layout: title row 0, block header row 1, column header
+    // row 2, data from row 3 (read block cols 0-5); rows sorted by read
+    // count desc (distinct counts in this fixture → total order)
+    def cell(r: Int, c: Int): Option[JsonNode] = Option(wlSheet.get(s"$r,$c"))
+    val refRows = Iterator.from(3)
+      .map(r => (r, cell(r, 0)))
+      .takeWhile { case (_, v) => v.exists(v => v.asText != "Total" && v.asText.nonEmpty) }
+      .map { case (r, _) =>
+        (cell(r, 0).get.asText, cell(r, 1).get.asText, cell(r, 2).get.asDouble,
+          cell(r, 3).get.asDouble, cell(r, 4).get.asDouble, cell(r, 5).get.asDouble)
+      }.toSeq
+    assert(refRows.nonEmpty)
+    val ours = DiagReport.analyze(spark, "src/test/resources/diag_mini")
+      .workload.collect()
+      .filter(r => Option(r.getAs[Any]("reads")).isDefined)
+      .sortBy(r => -r.getAs[Double]("reads"))
+      .map(r => (r.getAs[String]("keyspace"), r.getAs[String]("table"),
+        r.getAs[Double]("reads"), r.getAs[Double]("read_tps"),
+        r.getAs[Double]("perc_read"), r.getAs[Double]("read_perc_rw"))).toSeq
+    assert(refRows.length == ours.length,
+      s"row count: ref=${refRows.length} ours=${ours.length}")
+    refRows.zip(ours).foreach { case (a, b) =>
+      assert(a._1 == b._1 && a._2 == b._2, s"key order: $a vs $b")
+      Seq((a._3, b._3), (a._4, b._4), (a._5, b._5), (a._6, b._6)).foreach {
+        case (x, y) => assert(math.abs(x - y) < 1e-9, s"value: $a vs $b")
+      }
+    }
+  }
+
   test("pinned: tablestats-only node crashes the reference, not the engine") {
     val py = requireEnv()
     val raw = Files.createTempDirectory("graft_golden_raw")
