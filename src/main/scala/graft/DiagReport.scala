@@ -290,11 +290,20 @@ object DiagReport {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    runRoots(spark, roots, outDir, tp, inclSys)
+    spark.stop()
+  }
+
+  /** The multi-cluster loop (E2, ref explore.py:526: repeated `-p`
+    * roots, fresh state per cluster): single root writes to `outDir`
+    * directly; multiple roots write to `<outDir>/<clusterName>`, with
+    * duplicate names suffixed `-2`, `-3`, … instead of silently
+    * overwriting. Returns each root's destination. */
+  def runRoots(spark: SparkSession, roots: Seq[String], outDir: String,
+      tp: Thresholds = Thresholds(), inclSys: Boolean = false): Seq[String] = {
     val used = scala.collection.mutable.Set.empty[String]
-    roots.foreach { root =>
+    roots.map { root =>
       val tabs = analyze(spark, root, tp, inclSys)
-      // two roots can share a clusterName (or both fall back to
-      // "cluster") — suffix duplicates instead of silently overwriting
       val dest =
         if (roots.length == 1) outDir
         else {
@@ -307,7 +316,7 @@ object DiagReport {
       write(tabs, dest)
       // release the per-root persisted metrics before the next cluster
       spark.catalog.clearCache()
+      dest
     }
-    spark.stop()
   }
 }

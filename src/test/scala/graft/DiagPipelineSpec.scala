@@ -247,6 +247,25 @@ class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(t2.workload.collect().length == tabs.workload.collect().length)
   }
 
+  test("multi-cluster run (E2): per-cluster output dirs, duplicate names suffixed") {
+    // the same fixture twice = two clusters with the same name — the
+    // second must land in TestCluster-2, not overwrite (ref repeated -p,
+    // explore.py:526, where a shared name WOULD silently overwrite)
+    val out = Files.createTempDirectory("graft_multi").toString
+    val dests = DiagReport.runRoots(spark,
+      Seq("src/test/resources/diag_mini", "src/test/resources/diag_mini"), out)
+    assert(dests == Seq(s"$out/TestCluster", s"$out/TestCluster-2"))
+    dests.foreach { d =>
+      assert(Files.exists(Paths.get(s"$d/summary.json")), s"missing summary in $d")
+      assert(Files.exists(Paths.get(s"$d/TestCluster_astra_chart.xlsx")))
+    }
+    // single root keeps the flat layout
+    val out1 = Files.createTempDirectory("graft_single").toString
+    assert(DiagReport.runRoots(spark,
+      Seq("src/test/resources/diag_mini"), out1) == Seq(out1))
+    assert(Files.exists(Paths.get(s"$out1/summary.json")))
+  }
+
   test("summary.json: valid JSON, reference keys, totals") {
     val json = DiagReport.summaryJson(tabs)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
