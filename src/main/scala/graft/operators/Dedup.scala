@@ -349,6 +349,53 @@ object Dedup {
        |SELECT doc_id, cluster_id, cluster_size
        |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- dd09
+  /** Canonical-document selection — the step a dedup pipeline runs AFTER
+    * clustering: per near-dup cluster (dd08), keep the highest-quality
+    * member by the ta02 score, ties broken by the LOWEST doc_id (near-dup
+    * clusters are full of identical texts, so exact score ties are the
+    * common case, not the edge case). Two-pass argmax (max score per
+    * cluster, then min doc_id among the max-score members) — the same
+    * collision-free shape as the q05/q20 oracle, and what a retention
+    * job actually materializes: (cluster, keeper, size, score).
+    */
+  def dd09(s: SparkSession, dir: String): DataFrame = {
+    val clusters = connectedComponents(dd03Pairs(s, dir).select(col("d1"), col("d2")))
+    val quality = TextAnalysis.ta02(s, dir).select(col("doc_id"), col("score"))
+    val scored = clusters.join(quality, Seq("doc_id"))
+    val best = scored.groupBy(col("cluster_id"))
+      .agg(max(col("score")).as("keeper_score"))
+    scored.join(best, Seq("cluster_id"))
+      .filter(col("score") === col("keeper_score"))
+      .groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        max(col("cluster_size")).as("cluster_size"),
+        max(col("keeper_score")).as("keeper_score"))
+      .select("cluster_id", "keeper_id", "cluster_size", "keeper_score")
+      .orderBy("cluster_id")
+  }
+
+  val dd09Sql: String =
+    s"""WITH RECURSIVE $dd03PairsCte,
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |          UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a),
+       |lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id),
+       |q AS (SELECT doc_id, score FROM (${TextAnalysis.ta02Sql}) t),
+       |scored AS (SELECT lab.doc_id, lab.cluster_id, sz.cluster_size, q.score
+       |           FROM lab JOIN sz USING (cluster_id) JOIN q USING (doc_id)),
+       |best AS (SELECT cluster_id, MAX(score) AS keeper_score
+       |         FROM scored GROUP BY cluster_id)
+       |SELECT cluster_id, MIN(doc_id) AS keeper_id,
+       |       MAX(cluster_size) AS cluster_size, MAX(keeper_score) AS keeper_score
+       |FROM scored JOIN best USING (cluster_id)
+       |WHERE score = keeper_score
+       |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   // ---------------------------------------------------------------- dd04
   /** N-gram Jaccard top-k: the 20 most similar doc pairs by word-3-gram
     * Jaccard, found via an inverted shingle index. Stop-shingles (document
@@ -536,6 +583,7 @@ object Dedup {
     Q("dd02_minhash_sig", "16-fn MinHash signatures + 4 LSH band hashes", dd02, Some(dd02Sql)),
     Q("dd03_minhash_lsh_pairs", "LSH band candidates verified by exact Jaccard", dd03, Some(dd03Sql)),
     Q("dd08_neardup_clusters", "connected-component cluster ids over LSH pairs", dd08, Some(dd08Sql)),
+    Q("dd09_cluster_keeper", "per-cluster canonical doc by quality score", dd09, Some(dd09Sql)),
     Q("dd04_ngram_jaccard_topk", "top-20 word-3-gram Jaccard pairs (inverted index)", dd04, Some(dd04Sql)),
     Q("dd05_simhash_sig", "60-bit SimHash + 15-bit banding chunks", dd05, Some(dd05Sql)),
     Q("dd06_simhash_hamming", "SimHash banded Hamming near-dup top-20", dd06, Some(dd06Sql)),
