@@ -404,12 +404,12 @@ object Dedup {
     * the pruned shingle universe (both engines agree on the definition).
     */
   def dd04(s: SparkSession, dir: String): DataFrame = {
-    val sh = DedupPrepare.shingles3(s, dir)
-    // document-frequency cut as hash-aggregate + join, not a window: the
-    // window form sorts every (s)-partition; the aggregate does map-side
-    // partial counting and the join back is on the same key (r2 verdict
-    // "What's wrong" #4). Used by the self-join AND the per-doc counts —
-    // persist the pruned relation once.
+    // inverted-index orientation: the by-shingle bucketed twin of the
+    // shingle layer — the df-cut aggregate, the cut join and the pair
+    // self-join below are all keyed on s and read co-bucketed data, so
+    // candidate generation runs with no exchange. The cut itself is a
+    // hash-aggregate + join, not a window (r2 verdict "What's wrong" #4).
+    val sh = DedupPrepare.shinglesByShingle(s, dir)
     val dfCut = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 100).select(col("s"))
     val kept = sh.join(dfCut, Seq("s"))

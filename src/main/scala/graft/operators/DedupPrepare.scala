@@ -76,6 +76,18 @@ object DedupPrepare {
       () => Dedup.minhashSigFromShingles(shingles3(s, dir)),
       Seq("doc_id"), Seq("doc_id"))
 
+  /** The same shingle relation bucketed by the SHINGLE instead — the
+    * inverted-index orientation: dd04's document-frequency cut
+    * (groupBy s), its cut join (on s) and its pair self-join (on s) all
+    * read co-bucketed data, so the whole candidate-generation chain runs
+    * without an exchange. Storage duplicates [[shingles3]] by design:
+    * at scale the two access patterns (by doc, by shingle) are both hot
+    * and re-clustering per query IS the cost being removed. */
+  def shinglesByShingle(s: SparkSession, dir: String): DataFrame =
+    ensure(s, s"graft_prep_shbys_${tag(dir)}",
+      () => shingles3(s, dir),
+      Seq("s"), Seq("s"))
+
   /** Capped SimHash chunk relation (j, c, doc_id, simhash), bucketed by
     * (j, c) — dd06's Hamming-banding self-join reads co-bucketed data
     * with no exchange, same shape as [[lshBands]]. The signature itself
