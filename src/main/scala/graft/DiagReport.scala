@@ -303,6 +303,9 @@ object DiagReport {
       tp: Thresholds = Thresholds(), inclSys: Boolean = false): Seq[String] = {
     val used = scala.collection.mutable.Set.empty[String]
     roots.map { root =>
+      // re-sweep the tree: a prior run (or test) may have rewritten the
+      // same root path, and the file index assumes a static snapshot
+      graft.sources.DiagSource.invalidate(root)
       val tabs = analyze(spark, root, tp, inclSys)
       val dest =
         if (roots.length == 1) outDir

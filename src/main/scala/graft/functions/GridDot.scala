@@ -240,19 +240,37 @@ case class StopHits(left: Expression, right: Expression)
 
   import org.apache.spark.sql.types.{IntegerType, StringType}
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == StringType && right.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      "stop_hits expects (string, foldable string list spec)")
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType != StringType || right.dataType != StringType ||
+      !right.foldable)
+      return TypeCheckResult.TypeCheckFailure(
+        "stop_hits expects (string, foldable string list spec)")
+    // validate the spec at analysis time: a NULL spec would NPE in the
+    // lazy `sets` initializer, and an empty list segment (e.g. a
+    // trailing '|') would silently misalign every later language's
+    // counts — fail loud here instead of misreporting at runtime
+    val spec = right.eval(null)
+    if (spec == null)
+      return TypeCheckResult.TypeCheckFailure(
+        "stop_hits list spec must not be NULL")
+    val lists = spec.toString.split("\\|", -1)
+    if (lists.exists(_.isEmpty))
+      return TypeCheckResult.TypeCheckFailure(
+        "stop_hits list spec contains an empty list " +
+          "(leading/trailing/doubled '|')")
+    TypeCheckResult.TypeCheckSuccess
+  }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "stop_hits"
 
+  // split with an explicit -1 limit: String.split's default drops
+  // TRAILING empty segments, which would shorten `sets` relative to the
+  // caller's list indexing (getItem(i) reading the wrong language)
   @transient private lazy val sets: Array[java.util.HashSet[String]] =
-    right.eval(null).toString.split('|').map { l =>
+    right.eval(null).toString.split("\\|", -1).map { l =>
       val s = new java.util.HashSet[String]()
-      l.split(',').foreach(w => s.add(w))
+      l.split(",", -1).foreach(w => s.add(w))
       s
     }
 
@@ -358,10 +376,16 @@ case class TokenStats(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("tokenStats", this, classOf[TokenStats].getName)
+    // fresh name for the temporary: with a non-nullable child,
+    // nullSafeExec emits this snippet WITHOUT an enclosing block, so a
+    // fixed name would collide when two instances of the expression land
+    // in one whole-stage-codegen scope (Janino compile failure → silent
+    // interpreted fallback)
+    val r = ctx.freshName("tokenStatsRes")
     nullSafeCodeGen(ctx, ev, a => s"""
-      |Object r = $self.kernel($a);
-      |if (r == null) { ${ev.isNull} = true; }
-      |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }
+      |Object $r = $self.kernel($a);
+      |if ($r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r; }
     """.stripMargin)
   }
 

@@ -37,10 +37,36 @@ object DedupPrepare {
     * sized to corpus-bytes / target-partition-bytes. */
   val Buckets = 32
 
-  private def tag(dir: String): String = {
+  /** Corpus fingerprint: hash of every data file's (path, length,
+    * mtime) under `<dir>/documents.parquet`. Folded into the prep-table
+    * tag so a corpus REWRITTEN at the same path gets fresh prep tables —
+    * without it, prepared queries (dd02/dd03/...) would serve stale
+    * materializations while non-prepared ones (dd01, ta01) read the new
+    * data (r3 ADVICE). One shallow FS listing per accessor call; diag
+    * corpora are immutable snapshots in production, so in the common
+    * case this only re-derives the same tag. */
+  private def fingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entries =
+      if (!fs.exists(p)) Seq("absent")
+      else {
+        val it = fs.listFiles(p, true)
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val st = it.next()
+          b += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+        }
+        b.result().sorted
+      }
+    Integer.toHexString(
+      scala.util.hashing.MurmurHash3.orderedHash(entries))
+  }
+
+  private def tag(s: SparkSession, dir: String): String = {
     val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
-    s"${safe}_$h".toLowerCase
+    s"${safe}_${h}_${fingerprint(s, dir)}".toLowerCase
   }
 
   private def ensure(s: SparkSession, name: String, build: () => DataFrame,
@@ -64,7 +90,7 @@ object DedupPrepare {
 
   /** Distinct word-3-shingles (doc_id, s), bucketed+sorted by doc_id. */
   def shingles3(s: SparkSession, dir: String): DataFrame =
-    ensure(s, s"graft_prep_shingles3_${tag(dir)}",
+    ensure(s, s"graft_prep_shingles3_${tag(s, dir)}",
       () => Dedup.wordShingles(Tables.documents(s, dir), 3),
       Seq("doc_id"), Seq("doc_id"))
 
@@ -72,7 +98,7 @@ object DedupPrepare {
     * doc_id — built FROM the shingle table, so the explode+distinct runs
     * once for the whole family. */
   def minhashSig(s: SparkSession, dir: String): DataFrame =
-    ensure(s, s"graft_prep_minhash_${tag(dir)}",
+    ensure(s, s"graft_prep_minhash_${tag(s, dir)}",
       () => Dedup.minhashSigFromShingles(shingles3(s, dir)),
       Seq("doc_id"), Seq("doc_id"))
 
@@ -84,7 +110,7 @@ object DedupPrepare {
     * at scale the two access patterns (by doc, by shingle) are both hot
     * and re-clustering per query IS the cost being removed. */
   def shinglesByShingle(s: SparkSession, dir: String): DataFrame =
-    ensure(s, s"graft_prep_shbys_${tag(dir)}",
+    ensure(s, s"graft_prep_shbys_${tag(s, dir)}",
       () => shingles3(s, dir),
       Seq("s"), Seq("s"))
 
@@ -94,7 +120,7 @@ object DedupPrepare {
     * is map-side cheap (fused native kernels), so only the join-keyed
     * relation is worth materializing. */
   def simhashChunks(s: SparkSession, dir: String): DataFrame =
-    ensure(s, s"graft_prep_simchunks_${tag(dir)}",
+    ensure(s, s"graft_prep_simchunks_${tag(s, dir)}",
       () => Dedup.capPerKey(
         Dedup.simhashSig(Tables.documents(s, dir))
           .select(col("doc_id"), col("simhash"),
@@ -110,7 +136,7 @@ object DedupPrepare {
     * exchange. The [[Dedup.BucketCap]] is applied before writing (it is
     * part of the operator's semantics, not a per-query choice). */
   def lshBands(s: SparkSession, dir: String): DataFrame =
-    ensure(s, s"graft_prep_lshbands_${tag(dir)}",
+    ensure(s, s"graft_prep_lshbands_${tag(s, dir)}",
       () => {
         val sig = minhashSig(s, dir)
         Dedup.capPerKey(

@@ -239,15 +239,21 @@ object Relational {
         count(lit(1)).as("n_events"),
         min(col("ts")).as("oldest"),
         max(col("ts")).as("newest"),
-        max_by(col("ts"), struct(col("value"), col("event_id"))).as("ts_of_max"))
-      .withColumn("level", coalesce(col("event_type"), lit("__ALL__")))
+        max_by(col("ts"), struct(col("value"), col("event_id"))).as("ts_of_max"),
+        // grouping() distinguishes the rollup total from a genuine NULL
+        // event_type group: a bare coalesce(event_type, '__ALL__') would
+        // label both '__ALL__' (engine collision) while the oracle's
+        // equi-join on level silently DROPPED the NULL group (r3 ADVICE)
+        grouping(col("event_type")).as("g"))
+      .withColumn("level", when(col("g") === 1, lit("__ALL__"))
+        .otherwise(coalesce(col("event_type"), lit("__NULL__"))))
       .select("level", "n_events", "oldest", "newest", "ts_of_max")
       .orderBy("level")
   }
 
   val q05Sql: String =
     """WITH lvls AS (
-      |  SELECT event_type AS level, ts, value, event_id FROM events
+      |  SELECT COALESCE(event_type, '__NULL__') AS level, ts, value, event_id FROM events
       |  UNION ALL
       |  SELECT '__ALL__', ts, value, event_id FROM events),
       |agg AS (
@@ -581,8 +587,11 @@ object Relational {
     */
   def q20(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-      .withColumn("grp", col("event_type"))
-      .withColumn("sub", concat(col("event_type"), lit("#"), (col("user_id") % 4).cast("string")))
+      // '__NULL__' sentinel: a NULL event_type must form its own group,
+      // not a NULL name that every equi-join downstream (pcts ⋈ base
+      // here, lvls ⋈ agg in the oracle) silently drops (r3 ADVICE)
+      .withColumn("grp", coalesce(col("event_type"), lit("__NULL__")))
+      .withColumn("sub", concat(col("grp"), lit("#"), (col("user_id") % 4).cast("string")))
     val lvls = ev.select(col("ts"), col("value"), col("event_id"),
       explode(array(
         struct(lit("all").as("level"), lit("__ALL__").as("name")),
@@ -610,9 +619,9 @@ object Relational {
     s"""WITH lvls AS (
        |  SELECT 'all' AS level, '__ALL__' AS name, ts, value, event_id FROM events
        |  UNION ALL
-       |  SELECT 'grp', event_type, ts, value, event_id FROM events
+       |  SELECT 'grp', COALESCE(event_type, '__NULL__'), ts, value, event_id FROM events
        |  UNION ALL
-       |  SELECT 'sub', event_type || '#' || CAST(user_id % 4 AS VARCHAR), ts, value, event_id FROM events),
+       |  SELECT 'sub', COALESCE(event_type, '__NULL__') || '#' || CAST(user_id % 4 AS VARCHAR), ts, value, event_id FROM events),
        |ranked AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY level, name ORDER BY value, event_id) AS rn,
        |         COUNT(*) OVER (PARTITION BY level, name) AS n

@@ -83,8 +83,18 @@ object DiagSource {
     }
   }
 
-  /** The per-root index, swept once per session (diag trees are static
-    * snapshots; the cache is keyed by the root string). */
+  /** Drop a cached index (or all of them): the cache assumes a diag
+    * tree is a static snapshot, so a caller that regenerates a tree at
+    * the same path (fixture churn in tests, a re-pulled tarball) must
+    * invalidate before re-analyzing or it reads the stale file list
+    * (r3 ADVICE). `DiagReport.runRoots` does this per root. */
+  def invalidate(root: String): Unit = indexCache.remove(root)
+  def invalidateAll(): Unit = indexCache.clear()
+
+  /** The per-root index, swept once per process (diag trees are assumed
+    * STATIC SNAPSHOTS for the life of the cache entry; the cache is
+    * keyed by the root string — see [[invalidate]] for trees that are
+    * rewritten in place). */
   def index(spark: SparkSession, root: String): DiagIndex =
     indexCache.getOrElseUpdate(root, {
       val nodeFiles = sweep(spark, new Path(root, "nodes"))

@@ -247,6 +247,23 @@ class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(t2.workload.collect().length == tabs.workload.collect().length)
   }
 
+  test("index cache invalidation: a rewritten tree at the same path is re-swept") {
+    import graft.sources.DiagSource
+    val root = Files.createTempDirectory("graft_inval").toString
+    val n1 = Paths.get(root, "nodes", "10.0.0.1", "nodetool")
+    Files.createDirectories(n1)
+    Files.write(n1.resolve("status"), "x".getBytes)
+    assert(DiagSource.index(spark, root).nodes == Seq("10.0.0.1"))
+    // grow the tree in place: the static-snapshot cache misses it...
+    val n2 = Paths.get(root, "nodes", "10.0.0.2", "nodetool")
+    Files.createDirectories(n2)
+    Files.write(n2.resolve("status"), "y".getBytes)
+    assert(DiagSource.index(spark, root).nodes == Seq("10.0.0.1"))
+    // ...until invalidated (DiagReport.runRoots does this per root)
+    DiagSource.invalidate(root)
+    assert(DiagSource.index(spark, root).nodes == Seq("10.0.0.1", "10.0.0.2"))
+  }
+
   test("multi-cluster run (E2): per-cluster output dirs, duplicate names suffixed") {
     // the same fixture twice = two clusters with the same name — the
     // second must land in TestCluster-2, not overwrite (ref repeated -p,

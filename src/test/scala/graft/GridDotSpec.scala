@@ -147,4 +147,55 @@ class GridDotSpec extends AnyFunSuite with SparkTestBase {
         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin).collect().toSeq
     assert(native.map(_.toString) == relational.map(_.toString))
   }
+
+  test("stop_hits: malformed list specs fail at analysis time, not misalign at runtime") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("hello world").toDF("text")
+    // trailing '|' = an empty language list: before the r3 ADVICE fix,
+    // String.split dropped the trailing empty segment and every later
+    // getItem(i) silently read the wrong language's count
+    val trailing = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("stop_hits", col("text"), lit("a,b|c,d|"))).collect()
+    }
+    assert(trailing.getMessage.contains("empty list"))
+    val doubled = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("stop_hits", col("text"), lit("a||b"))).collect()
+    }
+    assert(doubled.getMessage.contains("empty list"))
+    // a foldable-but-NULL spec used to pass checkInputDataTypes and NPE
+    // in the lazy `sets` initializer at runtime
+    val nul = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("stop_hits", col("text"),
+        lit(null).cast("string"))).collect()
+    }
+    assert(nul.getMessage.contains("NULL"))
+  }
+
+  test("token_stats: two instances in one codegen scope compile (fresh temp name)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // non-nullable child (coalesce with a literal) ⇒ nullSafeExec emits
+    // the snippet with NO enclosing block; subexpression elimination off
+    // ⇒ both instances land in the same codegen scope. Before the r3
+    // ADVICE fix the fixed-name `Object r` declared twice was a Janino
+    // compile failure (masked as a silent interpreted fallback —
+    // codegen.fallback=false makes it throw instead).
+    val prevFb = spark.conf.get("spark.sql.codegen.fallback")
+    val prevSe = spark.conf.get("spark.sql.subexpressionElimination.enabled")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.subexpressionElimination.enabled", "false")
+    try {
+      val r = Seq(("b a b", 1)).toDF("text", "k")
+        .select(
+          expr("token_stats(coalesce(text, ''))").getField("vocab").as("v"),
+          expr("token_stats(coalesce(text, ''))").getField("top_token").as("t"))
+        .head()
+      assert(r.getLong(0) == 2L)
+      assert(r.getString(1) == "b")
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFb)
+      spark.conf.set("spark.sql.subexpressionElimination.enabled", prevSe)
+    }
+  }
 }

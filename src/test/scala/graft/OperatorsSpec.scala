@@ -259,4 +259,48 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       assert(new String(p.drop(off), "UTF-8") == "hello media world")
     }
   }
+
+  test("q05/q20: NULL event_type is its own __NULL__ group — not dropped, not merged with __ALL__") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullgrp").toString
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2026-01-01 01:00:00")
+    Seq(
+      (1L, ts0, 1L, Option("click"), 10.0, "{}"),
+      (2L, ts1, 2L, Option.empty[String], 99.0, "{}"),
+      (3L, ts1, 3L, Option("view"), 30.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val q5 = graft.operators.Relational.q05(spark, dir).collect()
+    assert(q5.map(_.getString(0)).toSeq ==
+      Seq("__ALL__", "__NULL__", "click", "view"))
+    assert(q5.find(_.getString(0) == "__ALL__").get.getLong(1) == 3L)
+    val nul = q5.find(_.getString(0) == "__NULL__").get
+    assert(nul.getLong(1) == 1L)
+    assert(nul.getTimestamp(4) == ts1) // argmax sees the NULL group's own max
+    val q20 = graft.operators.Relational.q20(spark, dir).collect()
+    val grpNames = q20.filter(_.getString(0) == "grp").map(_.getString(1)).toSeq
+    assert(grpNames.sorted == Seq("__NULL__", "click", "view"))
+    assert(q20.exists(r => r.getString(0) == "sub" &&
+      r.getString(1).startsWith("__NULL__#")))
+    // the 'all' level still counts every event exactly once
+    assert(q20.find(_.getString(0) == "all").get.getLong(2) == 3L)
+  }
+
+  test("DedupPrepare: rewriting the corpus at the same path invalidates the prep layer") {
+    import spark.implicits._
+    import graft.operators.DedupPrepare
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpr").toString
+    def writeDocs(texts: Seq[String]): Unit =
+      texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "unit", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeDocs(Seq("one two three four"))
+    assert(DedupPrepare.shingles3(spark, dir).count() == 2L) // 4 words → 2 3-shingles
+    // rewrite IN PLACE with a different corpus: before the fingerprint
+    // tag the table name was path-only, so this served the stale layer
+    writeDocs(Seq("a b c d e f", "a b c d e f g"))
+    assert(DedupPrepare.shingles3(spark, dir).count() == 4L + 5L)
+  }
 }
