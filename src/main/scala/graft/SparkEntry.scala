@@ -12,6 +12,7 @@ object SparkEntry {
   /** All registered engine queries, one per implemented operator family. */
   def registry: Seq[Q] =
     graft.operators.Relational.qs ++
+      graft.operators.AsOfJoin.qs ++
       graft.operators.Dedup.qs ++
       graft.operators.Similarity.qs ++
       graft.operators.TextAnalysis.qs ++

@@ -393,6 +393,106 @@ case class TokenStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Native Catalyst expression: per-document word-n-gram statistics in
+  * one compiled pass — struct(n_grams, n_distinct, top_gram, top_count)
+  * over consecutive non-empty whitespace tokens of lower(trim(text)),
+  * grams joined by a single space. The Gopher/C4-style repetition
+  * signals (duplicate-gram fraction, top-gram share) are single exact
+  * divisions over these counts — computed in the query, not here, so
+  * the kernel stays integer-exact and oracle-hashable.
+  *
+  * Same design as [[TokenStats]]: the stats depend only on the row's own
+  * token sequence, so the relational form (explode → self-join on
+  * position → two groupBys) would shuffle the exploded gram corpus for
+  * per-doc answers. Map-side, zero exchanges. Ties on top_gram break to
+  * the LOWEST gram in binary order (≡ ROW_NUMBER OVER (cnt DESC, gram)
+  * in both Spark and DuckDB). NULL when the document has fewer than n
+  * non-empty tokens (no grams to describe).
+  */
+case class NgramStats(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType != StringType || right.dataType != IntegerType ||
+      !right.foldable)
+      return TypeCheckResult.TypeCheckFailure(
+        "ngram_stats expects (string, foldable int n)")
+    val n = right.eval(null)
+    if (n == null || n.asInstanceOf[Int] < 1)
+      return TypeCheckResult.TypeCheckFailure(
+        "ngram_stats n must be a non-NULL positive int")
+    TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_gram", StringType, nullable = false),
+    StructField("top_count", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+  override def prettyName: String = "ngram_stats"
+
+  @transient private lazy val n: Int = right.eval(null).asInstanceOf[Int]
+
+  /** Kernel shared by interpreted eval and codegen (called per row). */
+  def kernel(s: Any): Any = {
+    val u = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val toks = TokensH60.Ws.split(u.trim().toLowerCase().toString, -1)
+      .filter(_.nonEmpty)
+    if (toks.length < n) return null
+    val counts = new java.util.HashMap[String, Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      counts.merge(sb.toString, 1L, java.lang.Long.sum _)
+      i += 1
+    }
+    var topTok: org.apache.spark.unsafe.types.UTF8String = null
+    var topCnt = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cnt = e.getValue.longValue()
+      if (cnt > topCnt) {
+        topCnt = cnt
+        topTok = org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey)
+      } else if (cnt == topCnt) {
+        val tok = org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey)
+        if (tok.compareTo(topTok) < 0) topTok = tok
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any]((toks.length - n + 1).toLong, counts.size.toLong, topTok, topCnt))
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = kernel(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ngramStats", this, classOf[NgramStats].getName)
+    // fresh temp name — same duplicate-instance hazard as TokenStats
+    val r = ctx.freshName("ngramStatsRes")
+    nullSafeCodeGen(ctx, ev, (a, _) => s"""
+      |Object $r = $self.kernel($a);
+      |if ($r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r; }
+    """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration for the engine's native functions. Call once per session
   * (idempotent); afterwards `expr("grid_dot(a, b)")` resolves. Also
   * injectable via `spark.sql.extensions=graft.functions.GraftExtensions`.
@@ -415,6 +515,8 @@ object GraftFunctions {
         "token_stats", exprs => TokenStats(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction(
         "stop_hits", exprs => StopHits(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "ngram_stats", exprs => NgramStats(exprs(0), exprs(1)), "built-in")
     }
   }
 }

@@ -555,8 +555,10 @@ object Dedup {
       .limit(20)
   }
 
-  val dd07Sql: String =
-    s"""WITH capped AS (
+  /** dd07's pair pipeline as a reusable CTE chain ending in `top20` —
+    * shared with dd10's cluster closure. */
+  private val dd07TopCte: String =
+    s"""capped AS (
       |  SELECT vec_id, label, embedding FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
       |    FROM embeddings)
@@ -571,11 +573,42 @@ object Dedup {
       |               SUM(${gridSql("a.x * b.x")}) AS dot
       |        FROM el a JOIN el b ON a.label = b.label AND a.pos = b.pos
       |                          AND a.vec_id < b.vec_id
-      |        GROUP BY 1, 2)
-      |SELECT v1, v2,
-      |       CAST(dot AS DOUBLE) / (sqrt(CAST(q1.n2 AS DOUBLE)) * sqrt(CAST(q2.n2 AS DOUBLE))) AS cosine
-      |FROM dot JOIN nrm q1 ON v1 = q1.vec_id JOIN nrm q2 ON v2 = q2.vec_id
-      |ORDER BY cosine DESC, v1, v2 LIMIT 20""".stripMargin
+      |        GROUP BY 1, 2),
+      |top20 AS (
+      |  SELECT v1, v2,
+      |         CAST(dot AS DOUBLE) / (sqrt(CAST(q1.n2 AS DOUBLE)) * sqrt(CAST(q2.n2 AS DOUBLE))) AS cosine
+      |  FROM dot JOIN nrm q1 ON v1 = q1.vec_id JOIN nrm q2 ON v2 = q2.vec_id
+      |  ORDER BY cosine DESC, v1, v2 LIMIT 20)""".stripMargin
+
+  val dd07Sql: String =
+    s"""WITH $dd07TopCte
+      |SELECT v1, v2, cosine FROM top20 ORDER BY cosine DESC, v1, v2""".stripMargin
+
+  // ---------------------------------------------------------------- dd10
+  /** Semantic (embedding-space) cluster assignment: connected components
+    * over the dd07 top-cosine pair graph — the embedding twin of dd08's
+    * shingle-based clusters, completing the pairs → clusters progression
+    * for the second dedup modality. Same distributed BSP label
+    * propagation ([[connectedComponents]]), same oracle shape (recursive
+    * closure), vec_id instead of doc_id.
+    */
+  def dd10(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(dd07(s, dir).select(col("v1").as("d1"), col("v2").as("d2")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("vec_id")
+
+  val dd10Sql: String =
+    s"""WITH RECURSIVE $dd07TopCte,
+       |edges AS (SELECT v1 AS a, v2 AS b FROM top20
+       |          UNION ALL SELECT v2, v1 FROM top20),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a),
+       |lab AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+       |SELECT vec_id, cluster_id, cluster_size
+       |FROM lab JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin
 
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
@@ -588,5 +621,6 @@ object Dedup {
     Q("dd05_simhash_sig", "60-bit SimHash + 15-bit banding chunks", dd05, Some(dd05Sql)),
     Q("dd06_simhash_hamming", "SimHash banded Hamming near-dup top-20", dd06, Some(dd06Sql)),
     Q("dd07_embedding_neardup", "label-blocked exact-cosine near-dup top-20", dd07, Some(dd07Sql)),
+    Q("dd10_semantic_clusters", "connected components over top-cosine pairs", dd10, Some(dd10Sql)),
   )
 }

@@ -248,6 +248,52 @@ object TextAnalysis {
       |       MAX(CASE WHEN rn = 1 THEN cnt END) AS top_count
       |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- ta06
+  /** Repetition statistics per doc — the Gopher/C4-style quality
+    * signals built on word 2-grams: duplicate-gram fraction (how much of
+    * the doc is re-used phrasing) and top-gram share (is one phrase
+    * dominating). Counts come integer-exact from the compiled
+    * `ngram_stats` kernel (one map-side pass, same design as ta05's
+    * token_stats — the relational form would shuffle the exploded gram
+    * corpus twice for per-doc answers); each ratio is ONE IEEE division
+    * of two exact longs, so the oracle hash can't drift.
+    */
+  def ta06(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr("ngram_stats(text, 2)").as("st"))
+      // docs with <2 tokens have no bigrams: NULL kernel result here ⟺
+      // zero gram rows to group in the oracle — drop them on both sides
+      .filter(col("st").isNotNull)
+      .select(col("doc_id"),
+        col("st.n_grams").as("n_grams"),
+        col("st.n_distinct").as("n_distinct"),
+        ((col("st.n_grams") - col("st.n_distinct")).cast("double") /
+          col("st.n_grams").cast("double")).as("dup_frac"),
+        col("st.top_gram").as("top_gram"),
+        (col("st.top_count").cast("double") /
+          col("st.n_grams").cast("double")).as("top_share"))
+      .orderBy("doc_id")
+  }
+
+  val ta06Sql: String =
+    s"""WITH $wsSqlCte,
+      |tok AS (SELECT doc_id, tok,
+      |               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS j
+      |        FROM (SELECT doc_id, unnest(ws) AS tok,
+      |                     generate_subscripts(ws, 1) AS i FROM w)
+      |        WHERE tok <> ''),
+      |bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+      |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.j = a.j + 1),
+      |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+      |       FROM cnt)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, COUNT(*) AS n_distinct,
+      |       CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_frac,
+      |       MAX(CASE WHEN rn = 1 THEN g END) AS top_gram,
+      |       CAST(MAX(CASE WHEN rn = 1 THEN c END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share
+      |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("ta01_langid", "stopword-heuristic language ID + accuracy flag", ta01, Some(ta01Sql)),
@@ -255,5 +301,6 @@ object TextAnalysis {
     Q("ta03_token_counts", "whitespace + BPE-ish regex token counts", ta03, Some(ta03Sql)),
     Q("ta04_fingerprint", "order-independent shingle-hash fingerprint", ta04, Some(ta04Sql)),
     Q("ta05_lexical_stats", "vocab / hapax / top-token integer stats", ta05, Some(ta05Sql)),
+    Q("ta06_repetition_stats", "Gopher-style 2-gram duplication / top-share", ta06, Some(ta06Sql)),
   )
 }

@@ -172,6 +172,44 @@ class GridDotSpec extends AnyFunSuite with SparkTestBase {
     assert(nul.getMessage.contains("NULL"))
   }
 
+  test("ngram_stats: equals the relational position-join form; NULL under n tokens") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      ("d1", "a b a b a"),          // bigrams: "a b"×2, "b a"×2 → tie, binary-lowest wins
+      ("d2", "x y  z"),             // double space: tokens stay consecutive
+      ("d3", "solo"),               // < 2 tokens → NULL
+      ("d4", "  lead trail  "),     // trim + empty-token filtering
+      ("d5", "w w w w")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ngs_docs")
+    val native = docs
+      .select(col("doc_id"), expr("ngram_stats(text, 2)").as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("doc_id"), col("st.n_grams"), col("st.n_distinct"),
+        col("st.top_gram"), col("st.top_count"))
+      .orderBy("doc_id").collect().toSeq
+    val relational = spark.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, t, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS j
+        |  FROM (SELECT doc_id, posexplode(split(lower(trim(text)), '\\s+')) AS (i, t)
+        |        FROM ngs_docs) WHERE t <> ''),
+        |bg AS (SELECT a.doc_id, concat(a.t, ' ', b.t) AS g
+        |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.j = a.j + 1),
+        |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) rn FROM cnt)
+        |SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct,
+        |       MAX(CASE WHEN rn = 1 THEN g END) AS top_gram,
+        |       MAX(CASE WHEN rn = 1 THEN c END) AS top_count
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin).collect().toSeq
+    assert(native.map(_.toString) == relational.map(_.toString))
+    assert(!native.exists(_.getString(0) == "d3")) // below n → NULL → dropped
+    // trigram sanity: "a b a b a" has 3 trigrams, 2 distinct
+    val tri = docs.filter(col("doc_id") === "d1")
+      .select(expr("ngram_stats(text, 3)").as("st")).head()
+    val st = tri.getStruct(0)
+    assert(st.getLong(0) == 3L && st.getLong(1) == 2L && st.getString(2) == "a b a")
+  }
+
   test("token_stats: two instances in one codegen scope compile (fresh temp name)") {
     GraftFunctions.register(spark)
     import spark.implicits._
