@@ -183,10 +183,55 @@ object Sampling {
        |ORDER BY doc_id""".stripMargin
 
   /** Registry of this family. */
+  // ---------------------------------------------------------------- sp05
+  /** Temporal split + leakage audit — the OTHER standard split for
+    * sequential data (hash splits like sp01 leak the future into
+    * training when rows are events): train = before the cutoff, eval =
+    * at/after it, audited per event_type with the count of users whose
+    * history STRADDLES the boundary (`users_both`) — exactly the users a
+    * per-user model would leak through. Cutoff = 2024-01-22, ~70% of the
+    * testdata's event month.
+    *
+    * Scale posture: one shuffle to (event_type, user_id) with map-side
+    * partial sums, then a second aggregate on the tiny event_type key
+    * space; never a distinct over raw events.
+    */
+  def sp05(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00"))
+    Tables.events(s, dir)
+      .withColumn("is_train", (col("ts") < cutoff).cast("int"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("is_train")).as("n_tr"),
+        (count(lit(1)) - sum(col("is_train"))).as("n_ev"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n_tr")).cast("long").as("n_train"),
+        sum(col("n_ev")).cast("long").as("n_eval"),
+        count(when(col("n_tr") > 0, 1)).as("users_train"),
+        count(when(col("n_ev") > 0, 1)).as("users_eval"),
+        count(when(col("n_tr") > 0 && col("n_ev") > 0, 1)).as("users_both"))
+      .orderBy("event_type")
+  }
+
+  val sp05Sql: String =
+    """WITH pu AS (
+      |  SELECT event_type, user_id,
+      |         SUM(CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END) AS n_tr,
+      |         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END) AS n_ev
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type,
+      |       CAST(SUM(n_tr) AS BIGINT) AS n_train,
+      |       CAST(SUM(n_ev) AS BIGINT) AS n_eval,
+      |       COUNT(CASE WHEN n_tr > 0 THEN 1 END) AS users_train,
+      |       COUNT(CASE WHEN n_ev > 0 THEN 1 END) AS users_eval,
+      |       COUNT(CASE WHEN n_tr > 0 AND n_ev > 0 THEN 1 END) AS users_both
+      |FROM pu GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("sp01_split_assign", "deterministic hash 90/5/5 train/val/test split", sp01, Some(sp01Sql)),
     Q("sp02_stratified_sample", "stratified 20% hash sample + audit counts", sp02, Some(sp02Sql)),
     Q("sp03_contamination_exact", "test/val docs whose content occurs in train", sp03, Some(sp03Sql)),
     Q("sp04_contamination_ngram", "eval docs by train n-gram overlap ratio", sp04, Some(sp04Sql)),
+    Q("sp05_temporal_split_audit", "time-cutoff split + straddling-user leakage audit", sp05, Some(sp05Sql)),
   )
 }

@@ -234,6 +234,65 @@ object EventStreams {
       }
   }
 
+  /** The latest purchase seen for one user. */
+  final case class PurchaseState(id: Long, ts: java.sql.Timestamp, value: Double)
+
+  final case class AsOfOut(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, value: Double,
+      p_event_id: Option[Long], p_ts: Option[java.sql.Timestamp],
+      p_value: Option[Double], gap_sec: Option[Long])
+
+  /** Streaming twin of the batch q22 as-of join (purchase attribution):
+    * clicks and purchases arrive in ONE stream; per user the operator
+    * keeps only the latest purchase (O(1) state — the as-of lookback is
+    * unbounded, so state never expires, but it is one row per user:
+    * cardinality-bounded, not volume-bounded) and emits each click
+    * attributed to it. Within a micro-batch, rows are time-ordered with
+    * purchases before clicks at equal timestamps and equal-time
+    * purchases by ascending id — exactly the batch operator's total
+    * order, so in-order streams reproduce q22 row-for-row (parity spec).
+    *
+    * Single-pass semantics for late data (the deviation, same contract
+    * style as [[sessionize]]): a late PURCHASE older than the stored one
+    * is ignored (the stored one is still "the latest at or before" any
+    * future click); a late CLICK whose timestamp precedes the stored
+    * purchase gets NULL attribution rather than a WRONG future purchase
+    * — for a training pipeline, no-lookahead beats completeness
+    * (append-mode output can't be retracted, so the conservative answer
+    * is the only safe one).
+    */
+  def asOfStream(events: DataFrame): Dataset[AsOfOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .filter(r => r._4 == "click" || r._4 == "purchase")
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[PurchaseState, AsOfOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[PurchaseState]) =>
+          val sorted = rows.toVector.sortBy(r =>
+            (r._2.getTime, if (r._4 == "purchase") 0 else 1, r._1))
+          val out = Vector.newBuilder[AsOfOut]
+          var cur = state.getOption
+          sorted.foreach { case (id, t, _, typ, v) =>
+            if (typ == "purchase") {
+              if (cur.forall(c => c.ts.getTime < t.getTime ||
+                  (c.ts.getTime == t.getTime && c.id < id)))
+                cur = Some(PurchaseState(id, t, v))
+            } else {
+              val m = cur.filter(c => !c.ts.after(t))
+              out += AsOfOut(id, user, t, v, m.map(_.id), m.map(_.ts),
+                m.map(_.value),
+                m.map(c => Math.floorDiv(t.getTime, 1000L) -
+                  Math.floorDiv(c.ts.getTime, 1000L)))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** File-source entry: stream a parquet events directory with the batch
     * schema (TESTDATA events) into [[hourlyRollup]]. Handles the
     * TIMESTAMP(NANOS) encoding of the testdata events table the same way

@@ -204,6 +204,70 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 3L)) // first arrival per content survives
   }
 
+  test("as-of stream parity: in-order rows reproduce the batch q22 attribution") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 10L, "click", 1.0),    // no prior → NULL
+      (101L, ts("2026-01-01 11:00:00"), 10L, "purchase", 10.0),
+      (102L, ts("2026-01-01 11:00:00"), 10L, "purchase", 20.0), // equal-ts: 102 wins
+      (2L, ts("2026-01-01 11:00:00"), 10L, "click", 2.0),    // inclusive at equal ts
+      (3L, ts("2026-01-01 12:00:00"), 10L, "click", 3.0),
+      (201L, ts("2026-01-01 09:00:00"), 20L, "purchase", 30.0),
+      (4L, ts("2026-01-01 11:00:00"), 20L, "click", 4.0),
+      (5L, ts("2026-01-01 12:00:00"), 30L, "view", 5.0))     // other types ignored
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = EventStreams.asOfStream(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("asof").outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch twin on the same rows
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = graft.operators.AsOfJoin.asOf(
+        ev.filter($"event_type" === "click").select("event_id", "user_id", "ts", "value"),
+        ev.filter($"event_type" === "purchase").select($"user_id",
+          $"event_id".as("p_event_id"), $"ts".as("p_ts"), $"value".as("p_value")),
+        Seq("user_id"), "ts", "p_ts",
+        Seq("p_event_id", "p_ts", "p_value"), "p_event_id")
+    val got = spark.table("asof").collect()
+      .map(r => (r.getLong(0), Option(r.get(4)), Option(r.get(6))))
+      .sortBy(_._1).toSeq
+    val want = batch.collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.get(r.fieldIndex("asof_p_event_id"))),
+        Option(r.get(r.fieldIndex("asof_p_value")))))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L)) // clicks only, 'view' ignored
+    assert(got(1)._2.contains(102L)) // equal-ts inclusive, max-id tie-break
+  }
+
+  test("as-of stream late data: old purchase ignored, pre-purchase click gets NULL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = EventStreams.asOfStream(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("asof_late").outputMode("append").start()
+    mem.addData((300L, ts("2026-01-01 12:00:00"), 1L, "purchase", 1.0))
+    q.processAllAvailable()
+    // batch 2, all LATE relative to the stored 12:00 purchase:
+    mem.addData(
+      (299L, ts("2026-01-01 11:00:00"), 1L, "purchase", 2.0), // older → ignored
+      (30L, ts("2026-01-01 11:30:00"), 1L, "click", 3.0),     // pre-purchase → NULL
+      (31L, ts("2026-01-01 13:00:00"), 1L, "click", 4.0))     // after → attributed to 300
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_late").collect()
+      .map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    // no-lookahead contract: the 11:30 click must NOT see the 12:00
+    // purchase, and the evicted 11:00 purchase cannot resurface
+    assert(got(30L).isEmpty)
+    assert(got(31L).contains(300L))
+  }
+
   test("histogram-state percentiles equal the vector-state operator across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
