@@ -261,10 +261,15 @@ object TextAnalysis {
   def ta06(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
+      // docs with <2 tokens have no bigrams (NULL kernel result ⟺ zero
+      // gram rows to group in the oracle). Dropping them via
+      // filter(st.isNotNull) would be pushed below the projection and
+      // evaluate the kernel TWICE per row (the ta05 lesson) — this
+      // scan-pushable predicate is exactly equivalent: ≥2 non-empty
+      // whitespace tokens ⟺ some whitespace run between two non-space
+      // chars
+      .filter(col("text").rlike("\\S\\s+\\S"))
       .select(col("doc_id"), expr("ngram_stats(text, 2)").as("st"))
-      // docs with <2 tokens have no bigrams: NULL kernel result here ⟺
-      // zero gram rows to group in the oracle — drop them on both sides
-      .filter(col("st").isNotNull)
       .select(col("doc_id"),
         col("st.n_grams").as("n_grams"),
         col("st.n_distinct").as("n_distinct"),

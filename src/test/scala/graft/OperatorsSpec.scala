@@ -287,6 +287,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(q20.find(_.getString(0) == "all").get.getLong(2) == 3L)
   }
 
+  test("ta06: scan predicate ⟺ kernel-null on whitespace/one-token edge docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ta06").toString
+    Seq(
+      (1L, "a b a", "en", "u", 5L),
+      (2L, "solo", "en", "u", 4L),        // one token → no bigrams
+      (3L, " \t \n ", "en", "u", 6L),     // whitespace only → no tokens
+      (4L, "x\ty", "en", "u", 3L),        // tab separator still two tokens
+      (5L, "", "en", "u", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.ta06(spark, dir).collect()
+    // the cheap rlike("\\S\\s+\\S") predicate must drop EXACTLY the docs
+    // whose ngram_stats would be NULL — 2, 3, 5 here
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    val d1 = out(0)
+    assert(d1.getLong(1) == 2L && d1.getLong(2) == 2L) // "a b","b a"
+    assert(d1.getString(4) == "a b")
+  }
+
   test("DedupPrepare: rewriting the corpus at the same path invalidates the prep layer") {
     import spark.implicits._
     import graft.operators.DedupPrepare
