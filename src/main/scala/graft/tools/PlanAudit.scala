@@ -12,7 +12,16 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    for (name <- args) {
+    if (args.sameElements(Array("-counts"))) {
+      // exchange census over every registered query (pre-AQE initial
+      // plans — deterministic), the input to PlanBudgetSpec's budgets
+      for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+        val plan = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        val ex = "Exchange ".r.findAllIn(plan).length
+        println(s"COUNT $name $ex")
+      }
+    } else for (name <- args) {
       println(s"========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }

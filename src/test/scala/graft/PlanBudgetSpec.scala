@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape budgets: the exchange (shuffle) count of every registered
+  * query's initial physical plan, pinned exactly. A shuffle that creeps
+  * into a map-side operator — or a broadcast that silently degrades to a
+  * shuffle join — is a 100 TB regression long before it is a local bench
+  * regression; this spec catches it at plan-build time. Budgets are the
+  * measured census (`runMain graft.PlanAudit -counts`) at sf0.001 with
+  * the test session's 4 shuffle partitions; an intentional plan change
+  * updates the budget here alongside the operator.
+  */
+class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** name → exact exchange count of the pre-AQE plan. The interesting
+    * tiers: 1 = map-side + presentation sort only (the whole ta/mm
+    * family); 2-5 = shuffle-on-key aggregates and joins; the teens =
+    * multi-stage pipelines (histogram percentiles, k-NN probe chains);
+    * ss05 = sum of its four audited pipelines by construction. */
+  private val budget = Map(
+    "dd01_exact_dedup" -> 2, "dd02_minhash_sig" -> 1,
+    "dd03_minhash_lsh_pairs" -> 7, "dd04_ngram_jaccard_topk" -> 10,
+    "dd05_simhash_sig" -> 1, "dd06_simhash_hamming" -> 2,
+    "dd07_embedding_neardup" -> 3, "dd08_neardup_clusters" -> 3,
+    "dd09_cluster_keeper" -> 11, "dd10_semantic_clusters" -> 3,
+    "mm01_media_decode_meta" -> 1, "mm02_frame_sample" -> 1,
+    "mm03_resize_plan" -> 1, "mm04_feature_extract" -> 1,
+    "q01_workload_share" -> 5, "q02_dim_join_revenue" -> 5,
+    "q03_rf_normalize" -> 4, "q04_percentiles_positional" -> 12,
+    "q05_rollup_minmax_argmax" -> 2, "q06_threshold_severity" -> 1,
+    "q07_top1_per_group" -> 2, "q08_dedup_keep_max" -> 2,
+    "q09_distinct_sorted" -> 2, "q10_warnings_collect" -> 2,
+    "q11_union_anti_blocklist" -> 4, "q12_scalar_text" -> 1,
+    "q13_json_extract" -> 1, "q14_date_arithmetic" -> 2,
+    "q15_ratio_window_partitioned" -> 5, "q16_avg_exact" -> 3,
+    "q17_shape_counts" -> 3, "q18_semi_anti_join" -> 5,
+    "q19_window_hourly" -> 2, "q20_rollup_percentiles_3level" -> 14,
+    "q21_sessionize" -> 2, "q22_asof_join" -> 2,
+    "sp01_split_assign" -> 1, "sp02_stratified_sample" -> 2,
+    "sp03_contamination_exact" -> 3, "sp04_contamination_ngram" -> 4,
+    "sp05_temporal_split_audit" -> 3,
+    "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 14,
+    "ss03_knn_lsh" -> 13, "ss04_knn_ivf_multiprobe" -> 14,
+    "ss05_knn_recall_audit" -> 46,
+    "ta01_langid" -> 1, "ta02_quality_score" -> 1,
+    "ta03_token_counts" -> 1, "ta04_fingerprint" -> 1,
+    "ta05_lexical_stats" -> 1, "ta06_repetition_stats" -> 1)
+
+  test("every registered query has a budget (new queries must be budgeted)") {
+    assert(SparkEntry.queries.keySet == budget.keySet)
+  }
+
+  test("exchange counts match the pinned budgets") {
+    val plans = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      name -> SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+    }
+    val off = plans.flatMap { case (name, plan) =>
+      val ex = "Exchange ".r.findAllIn(plan).length
+      if (ex == budget(name)) None else Some(s"$name: $ex != ${budget(name)}")
+    }
+    assert(off.isEmpty, s"plan-shape drift:\n${off.mkString("\n")}")
+  }
+
+  test("no cartesian products; nested-loop joins only where broadcast-by-design") {
+    // a BroadcastNestedLoop is legitimate in exactly three shapes here:
+    // the ss01/ss05 exact baseline (10-row broadcast query set × scan),
+    // q01's ratio-of-total crossJoin of a broadcast 1-ROW aggregate
+    // (q15's totals join has a partition equi-key, so it hash-joins),
+    // and ss03's 8×64 hyperplane constant relation (a crossJoin of two
+    // tiny ranges). Anywhere else a nested loop means an equi-key was
+    // lost — the set is pinned so a new one must be justified here.
+    val allowedNl = Set(
+      "ss01_knn_bruteforce", "ss05_knn_recall_audit", // 10-row broadcast
+      "q01_workload_share",                           // 1-row totals
+      "ss03_knn_lsh")                                 // 512-row plane constants
+    val nl = Set.newBuilder[String]
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
+      if (plan.contains("BroadcastNestedLoop")) nl += name
+    }
+    assert(nl.result() == allowedNl,
+      "nested-loop joins outside the documented broadcast-by-design set")
+  }
+}
