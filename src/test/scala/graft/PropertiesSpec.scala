@@ -69,6 +69,37 @@ class PropertiesSpec extends AnyFunSuite {
     assert(counts.map(_.toSet).distinct.size == 1)
   }
 
+  test("ngram_stats kernel equals a naive Scala model on random texts") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    // random texts over a tiny vocab + whitespace noise → dense gram
+    // collisions, the regime where count/tie bugs live
+    val word = Gen.oneOf("a", "b", "ab", "Ba", "", " ", "\t", "x y")
+    val textGen = Gen.listOfN(12, word).map(_.mkString(" "))
+    def model(text: String, n: Int): Option[(Long, Long, String, Long)] = {
+      val toks = text.trim.toLowerCase.split("\\s+", -1).filter(_.nonEmpty).toSeq
+      if (toks.length < n) None
+      else {
+        val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+        val cnt = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val top = cnt.toSeq.minBy { case (g, c) => (-c, g) }
+        Some((grams.size.toLong, cnt.size.toLong, top._1, top._2))
+      }
+    }
+    for (i <- 0 until 300; n <- Seq(2, 3)) {
+      val text = sample(textGen, 9000L + i)
+      val e = graft.functions.NgramStats(
+        BoundReference(0, StringType, nullable = false), Literal(n, IntegerType))
+      val row = org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(text))
+      val got = Option(e.eval(row)).map { r =>
+        val s = r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        (s.getLong(0), s.getLong(1), s.getUTF8String(2).toString, s.getLong(3))
+      }
+      assert(got == model(text, n), s"n=$n text=<$text>")
+    }
+  }
+
   test("minhash-style modular hash family stays in [0, P)") {
     val P = 2147483647L
     val gen = Gen.chooseNum(0L, (1L << 60) - 1)
