@@ -265,6 +265,75 @@ class GoldenReferenceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("workbook: reference Tombstones-tab cells equal the engine's tab (node-dir pinned)") {
+    val (_, cells, _) = golden
+    val sheet = cells.get("Tombstones")
+    // layout (explore.py:1575-1600): header row 0, data rows from 1 —
+    // (Sample DC, Sample Node, Keyspace, Table, Live Rows Read, Tombstones)
+    def cell(r: Int, c: Int): Option[JsonNode] = Option(sheet.get(s"$r,$c"))
+    val refRows = Iterator.from(1)
+      .map(r => (r, cell(r, 0)))
+      .takeWhile(_._2.exists(_.asText.nonEmpty))
+      .map { case (r, _) =>
+        (cell(r, 0).get.asText, cell(r, 1).get.asText, cell(r, 2).get.asText,
+          cell(r, 3).get.asText, cell(r, 4).get.asLong, cell(r, 5).get.asLong)
+      }.toSeq
+    assert(refRows.nonEmpty)
+    val ours = DiagReport.analyze(spark, "src/test/resources/diag_mini")
+      .tombstones.collect().map(r =>
+        (r.getAs[String]("dc"),
+          // pinned difference: the reference prints the raw node DIR
+          // ("10_0_0_1", explore.py:357 keeps n as read from disk); the
+          // engine resolves dirs to the status IP (J1) — same identity
+          r.getAs[String]("node").replace('.', '_'),
+          r.getAs[String]("keyspace"), r.getAs[String]("table"),
+          r.getAs[Long]("reads"), r.getAs[Long]("tombstones"))).toSeq
+    // pinned reference bug, now artifact-level: explore.py:343 matches
+    // 'lives rows and' (typo) — the standard "live rows and" phrasing
+    // parses as ts_tombstones=0 and is dropped by the tp_ts gate, so the
+    // reference keeps ONLY the "live and" phrasing (ks2.legacy_cf here).
+    // The engine reads both phrasings (Parsers.scala parseLog, S10), so
+    // it additionally reports ks1.users (2000 > 1000); ks1.orders (500)
+    // is below the gate on both sides.
+    assert(refRows == Seq(("dc1", "10_0_0_1", "ks2", "legacy_cf", 55L, 5000L)))
+    assert(ours == refRows :+ ("dc1", "10_0_0_1", "ks1", "users", 10L, 2000L))
+  }
+
+  test("workbook: reference Proxihistogram cells equal the engine's pivot (µs→ms)") {
+    val (_, cells, _) = golden
+    val sheet = cells.get("Proxihistogram")
+    def cell(r: Int, c: Int): Option[JsonNode] = Option(sheet.get(s"$r,$c"))
+    // the 10_0_0_1 dir goes through int() → the NUMBER 10001 (the same
+    // pinned rendering bug as the GC tab); other nodes stay strings.
+    // Normalize both separators: the engine's proxy tab keeps the raw
+    // dir form ("10_0_0_1") where the reference also starts from dirs
+    def nodeKey(n: JsonNode): String =
+      if (n.isNumber) n.asLong.toString else n.asText.replace(".", "").replace("_", "")
+    // layout: title 0, header 1, data from 2; read block cols 0-8,
+    // empty separator col 9, write block cols 10-18
+    val refRows = Iterator.from(2).map(r => (r, cell(r, 0)))
+      .takeWhile(_._2.exists(_.asText.nonEmpty))
+      .map { case (r, _) =>
+        ((cell(r, 0).get.asText, nodeKey(cell(r, 1).get)),
+          ((2 to 8).map(c => cell(r, c).get.asDouble),
+            (12 to 18).map(c => cell(r, c).get.asDouble)))
+      }.toMap
+    assert(refRows.size == 4)
+    val labels = Seq("Max", "99", "98", "95", "75", "50", "Min")
+    val ours = DiagReport.analyze(spark, "src/test/resources/diag_mini")
+      .proxyHist.collect().map { r =>
+        ((r.getAs[String]("dc"), r.getAs[String]("node").replace(".", "").replace("_", "")),
+          (labels.map(l => r.getAs[Double](s"r_$l")),
+            labels.map(l => r.getAs[Double](s"w_$l"))))
+      }.toMap
+    assert(ours.keySet == refRows.keySet)
+    for (k <- refRows.keySet) {
+      val ((rr, rw), (or, ow)) = (refRows(k), ours(k))
+      rr.zip(or).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9, s"$k read") }
+      rw.zip(ow).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9, s"$k write") }
+    }
+  }
+
   test("pinned: tablestats-only node crashes the reference, not the engine") {
     val py = requireEnv()
     val raw = Files.createTempDirectory("graft_golden_raw")
