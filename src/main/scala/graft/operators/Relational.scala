@@ -686,6 +686,70 @@ object Relational {
       |       CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec
       |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q23
+  /** Broadcast range join — histogram bucket assignment against a
+    * DATA-DERIVED bin table: per event_type, the positional percentiles
+    * (p50/p95/p99 from [[histPercentiles]]) define four half-open value
+    * bins [min,p50) [p50,p95) [p95,p99) [p99,∞), and every event is
+    * range-joined into its bin. The bin table is 4 rows per event_type —
+    * broadcast it and the "range join" is a broadcast hash join on
+    * event_type with the range predicate evaluated map-side: no shuffle
+    * of the fact table, no O(N·bins) nested loop. This is the scalable
+    * shape for every value-bucketing / SLA-banding query; a naive
+    * value-theta join would be the cross-product trap.
+    *
+    * Determinism: bin edges are PICKED data values (exact doubles both
+    * engines), bins are half-open so every value lands in exactly one,
+    * and empty bins drop on both sides (inner join).
+    */
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val pct = histPercentiles(ev, Seq("event_type"), "value", floor, idxHalfUp,
+      Seq(0.50 -> "p50", 0.95 -> "p95", 0.99 -> "p99"))
+    val bins = pct.select(col("event_type"), explode(array(
+        struct(lit(1).as("bin_id"), col("min_v").as("lo"), col("p50").as("hi")),
+        struct(lit(2).as("bin_id"), col("p50").as("lo"), col("p95").as("hi")),
+        struct(lit(3).as("bin_id"), col("p95").as("lo"), col("p99").as("hi")),
+        struct(lit(4).as("bin_id"), col("p99").as("lo"),
+          lit(null).cast("double").as("hi")))).as("b"))
+      // "bt", not "event_type": bins share the events scan lineage, so
+      // an identically-named join key is an ambiguous self-join column
+      .select(col("event_type").as("bt"), col("b.bin_id").as("bin_id"),
+        col("b.lo").as("lo"), col("b.hi").as("hi"))
+    ev.join(broadcast(bins),
+        col("event_type") === col("bt") &&
+          col("value") >= col("lo") &&
+          (col("hi").isNull || col("value") < col("hi")))
+      .groupBy(col("event_type"), col("bin_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("bin_id"), col("n_events"),
+        col("lo"), col("hi"))
+      .orderBy("event_type", "bin_id")
+  }
+
+  val q23Sql: String = {
+    def pick(q: String, name: String) =
+      s"MAX(CASE WHEN rn = LEAST(GREATEST(CAST(FLOOR(n * $q + 0.5) AS BIGINT), 1), n) THEN value END) AS $name"
+    s"""WITH ranked AS (
+       |  SELECT event_type, event_id, value,
+       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events),
+       |pct AS (
+       |  SELECT event_type, MIN(value) AS min_v,
+       |         ${pick("0.50", "p50")}, ${pick("0.95", "p95")}, ${pick("0.99", "p99")}
+       |  FROM ranked GROUP BY event_type, n),
+       |bins AS (
+       |  SELECT event_type, 1 AS bin_id, min_v AS lo, p50 AS hi FROM pct
+       |  UNION ALL SELECT event_type, 2, p50, p95 FROM pct
+       |  UNION ALL SELECT event_type, 3, p95, p99 FROM pct
+       |  UNION ALL SELECT event_type, 4, p99, NULL FROM pct)
+       |SELECT e.event_type, b.bin_id, COUNT(*) AS n_events, b.lo, b.hi
+       |FROM events e JOIN bins b ON e.event_type = b.event_type
+       |  AND e.value >= b.lo AND (b.hi IS NULL OR e.value < b.hi)
+       |GROUP BY 1, 2, 4, 5 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("q01_workload_share", "A1–A5/W1/O1 grouped sums + ratio-of-total", q01, Some(q01Sql)),
@@ -709,5 +773,6 @@ object Relational {
     Q("q19_window_hourly", "§2.9 tumbling event-time window (batch twin)", q19, Some(q19Sql)),
     Q("q20_rollup_percentiles_3level", "A6–A9 3-level percentile rollup + argmax", q20, Some(q20Sql)),
     Q("q21_sessionize", "gap-based sessionization (lag + running-sum windows)", q21, Some(q21Sql)),
+    Q("q23_range_join_bins", "broadcast range join into percentile-derived bins", q23, Some(q23Sql)),
   )
 }
