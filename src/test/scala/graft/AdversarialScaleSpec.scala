@@ -129,6 +129,47 @@ class AdversarialScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(q0.forall(x => math.abs(x.getAs[Double]("cosine") - 1.0) < 1e-12))
   }
 
+  test("as-of join: one hot user owning every event still attributes correctly") {
+    import spark.implicits._
+    // the as-of union-tag plan sorts WITHIN the key's partition — a hot
+    // key means one big per-partition sort, never a cross product; pin
+    // that the carry stays correct across a long single-user history
+    val n = 50000
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val clicks = (0 until n).map(i =>
+      (i.toLong, 7L, new java.sql.Timestamp(base + i * 1000L), i.toDouble))
+      .toDF("event_id", "user_id", "ts", "value")
+    // a purchase every 100 s: click i matches purchase floor(i/100)*100
+    val purchases = (0 until n by 100).map(i =>
+      (7L, 100000L + i, new java.sql.Timestamp(base + i * 1000L), 1.0))
+      .toDF("user_id", "p_event_id", "p_ts", "p_value")
+    val out = graft.operators.AsOfJoin.asOf(clicks, purchases, Seq("user_id"),
+      "ts", "p_ts", Seq("p_event_id", "p_ts", "p_value"), "p_event_id")
+    val bad = out.filter(
+      col("asof_p_event_id") =!= lit(100000L) + (col("event_id") - col("event_id") % 100))
+    assert(bad.count() == 0)
+    assert(out.count() == n.toLong)
+  }
+
+  test("q23 bins: degenerate all-equal values land in exactly one bin") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_q23").toString
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // all values identical → min=p50=p95=p99 → bins 1-3 are empty
+    // half-open ranges and ONLY bin 4 [p99, ∞) matches
+    val rows = (0 until 1000).map(i => (i.toLong, ts0, i.toLong, "burst", 42.0, "{}")) ++
+      Seq((9999L, ts0, 1L, "normal", 1.0, "{}"), (9998L, ts0, 2L, "normal", 2.0, "{}"),
+        (9997L, ts0, 3L, "normal", 3.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = graft.operators.Relational.q23(spark, d).collect()
+    val burst = out.filter(_.getString(0) == "burst")
+    assert(burst.length == 1 && burst.head.getInt(1) == 4 &&
+      burst.head.getLong(2) == 1000L)
+    // and the bins always partition the events exactly (no double count)
+    assert(out.map(_.getLong(2)).sum == rows.length.toLong)
+  }
+
   test("empty-text block: absent from the shingle family, exact-deduped by dd01") {
     // no-token docs never reach the materialized shingle layer
     assert(DedupPrepare.shingles3(spark, dir)

@@ -334,6 +334,33 @@ class GoldenReferenceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("workbook: reference Data Size cells equal the engine's size tab") {
+    val (_, cells, _) = golden
+    val sheet = cells.get("Data Size")
+    // layout (explore.py:1710-1716): title 0, header 1, data from 2,
+    // 'Total' footer with an Excel SUM formula (engine computes the row)
+    def cell(r: Int, c: Int): Option[JsonNode] = Option(sheet.get(s"$r,$c"))
+    val refRows = Iterator.from(2).map(r => (r, cell(r, 0)))
+      .takeWhile(_._2.exists(v => v.asText.nonEmpty && v.asText != "Total"))
+      .map { case (r, _) =>
+        (cell(r, 0).get.asText, cell(r, 1).get.asText, cell(r, 2).get.asDouble)
+      }.toSeq
+    assert(refRows.nonEmpty)
+    // the engine's size sheet is the workload tab re-sorted by size desc
+    val ours = DiagReport.analyze(spark, "src/test/resources/diag_mini")
+      .workload.collect()
+      .sortBy(r => (-r.getAs[Double]("size_bytes"),
+        r.getAs[String]("keyspace"), r.getAs[String]("table")))
+      .map(r => (r.getAs[String]("keyspace"), r.getAs[String]("table"),
+        r.getAs[Double]("size_bytes"))).toSeq
+    assert(refRows.length == ours.length,
+      s"row count ref=${refRows.length} ours=${ours.length}")
+    refRows.zip(ours).foreach { case (a, b) =>
+      assert(a._1 == b._1 && a._2 == b._2, s"key order: $a vs $b")
+      assert(math.abs(a._3 - b._3) < 1e-6, s"size: $a vs $b")
+    }
+  }
+
   test("pinned: tablestats-only node crashes the reference, not the engine") {
     val py = requireEnv()
     val raw = Files.createTempDirectory("graft_golden_raw")
