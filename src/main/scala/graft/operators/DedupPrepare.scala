@@ -63,23 +63,31 @@ object DedupPrepare {
       scala.util.hashing.MurmurHash3.orderedHash(entries))
   }
 
-  private def tag(s: SparkSession, dir: String): String = {
+  private def dirTag(dir: String): String = {
     val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
-    s"${safe}_${h}_${fingerprint(s, dir)}".toLowerCase
+    s"${safe}_$h".toLowerCase
   }
 
-  private def ensure(s: SparkSession, name: String, build: () => DataFrame,
+  private def ensure(s: SparkSession, family: String, dir: String,
+      build: () => DataFrame,
       bucketCols: Seq[String], sortCols: Seq[String]): DataFrame = synchronized {
+    val base = s"graft_prep_${family}_${dirTag(dir)}"
+    val name = s"${base}_${fingerprint(s, dir)}"
     if (!s.catalog.tableExists(name)) {
-      // the in-memory catalog forgets tables across JVMs but the
-      // warehouse directory survives — saveAsTable refuses to create a
-      // managed table over a leftover location (LOCATION_ALREADY_EXISTS),
-      // so drop the stale dir of OUR prep table before rebuilding
-      val wh = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), name)
-      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(wh)) fs.delete(wh, true)
+      // the in-memory catalog forgets tables across JVMs but warehouse
+      // directories survive — and every corpus rewrite mints a NEW
+      // fingerprinted name, so without GC the warehouse accrues one dead
+      // layer per rewrite forever. Sweep every sibling of this corpus
+      // (same family + dir tag, any fingerprint — includes this name's
+      // own stale cross-JVM dir, which saveAsTable would refuse to
+      // overwrite with LOCATION_ALREADY_EXISTS).
+      val whRoot = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"))
+      val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stale = fs.globStatus(
+        new org.apache.hadoop.fs.Path(whRoot, base + "*"))
+      if (stale != null) stale.foreach(f => fs.delete(f.getPath, true))
       build().write.mode("overwrite").format("parquet")
         .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(sortCols.head, sortCols.tail: _*)
@@ -90,7 +98,7 @@ object DedupPrepare {
 
   /** Distinct word-3-shingles (doc_id, s), bucketed+sorted by doc_id. */
   def shingles3(s: SparkSession, dir: String): DataFrame =
-    ensure(s, s"graft_prep_shingles3_${tag(s, dir)}",
+    ensure(s, "shingles3", dir,
       () => Dedup.wordShingles(Tables.documents(s, dir), 3),
       Seq("doc_id"), Seq("doc_id"))
 
@@ -98,7 +106,7 @@ object DedupPrepare {
     * doc_id — built FROM the shingle table, so the explode+distinct runs
     * once for the whole family. */
   def minhashSig(s: SparkSession, dir: String): DataFrame =
-    ensure(s, s"graft_prep_minhash_${tag(s, dir)}",
+    ensure(s, "minhash", dir,
       () => Dedup.minhashSigFromShingles(shingles3(s, dir)),
       Seq("doc_id"), Seq("doc_id"))
 
@@ -110,7 +118,7 @@ object DedupPrepare {
     * at scale the two access patterns (by doc, by shingle) are both hot
     * and re-clustering per query IS the cost being removed. */
   def shinglesByShingle(s: SparkSession, dir: String): DataFrame =
-    ensure(s, s"graft_prep_shbys_${tag(s, dir)}",
+    ensure(s, "shbys", dir,
       () => shingles3(s, dir),
       Seq("s"), Seq("s"))
 
@@ -120,7 +128,7 @@ object DedupPrepare {
     * is map-side cheap (fused native kernels), so only the join-keyed
     * relation is worth materializing. */
   def simhashChunks(s: SparkSession, dir: String): DataFrame =
-    ensure(s, s"graft_prep_simchunks_${tag(s, dir)}",
+    ensure(s, "simchunks", dir,
       () => Dedup.capPerKey(
         Dedup.simhashSig(Tables.documents(s, dir))
           .select(col("doc_id"), col("simhash"),
@@ -136,7 +144,7 @@ object DedupPrepare {
     * exchange. The [[Dedup.BucketCap]] is applied before writing (it is
     * part of the operator's semantics, not a per-query choice). */
   def lshBands(s: SparkSession, dir: String): DataFrame =
-    ensure(s, s"graft_prep_lshbands_${tag(s, dir)}",
+    ensure(s, "lshbands", dir,
       () => {
         val sig = minhashSig(s, dir)
         Dedup.capPerKey(

@@ -322,5 +322,13 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     // tag the table name was path-only, so this served the stale layer
     writeDocs(Seq("a b c d e f", "a b c d e f g"))
     assert(DedupPrepare.shingles3(spark, dir).count() == 4L + 5L)
+    // and the superseded fingerprint's warehouse dir is GC'd — exactly
+    // one shingles3 layer remains for this corpus
+    val wh = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24).toLowerCase
+    val layers = wh.listFiles().map(_.getName)
+      .filter(n => n.startsWith("graft_prep_shingles3_") && n.contains(safe))
+    assert(layers.length == 1, layers.mkString(", "))
   }
 }
