@@ -47,10 +47,23 @@ object Relational {
     */
   def histPercentiles(rows: DataFrame, keys: Seq[String], valueCol: String,
       bucketOf: Column => Column, idxOf: (Column, Double) => Column,
+      qs: Seq[(Double, String)]): DataFrame =
+    histPercentilesFromHist(
+      rows.groupBy(keys.map(col) :+ col(valueCol): _*)
+        .agg(count(lit(1)).as("__c")),
+      keys, valueCol, bucketOf, idxOf, qs)
+
+  /** [[histPercentiles]] over a PRE-AGGREGATED histogram (keys + value +
+    * `__c` count) — the entry point for hierarchical rollups (q20): the
+    * raw rows shuffle once to the finest level's histogram, and coarser
+    * levels re-aggregate that small relation instead of re-shuffling the
+    * events once per level. */
+  def histPercentilesFromHist(hist0: DataFrame, keys: Seq[String],
+      valueCol: String, bucketOf: Column => Column,
+      idxOf: (Column, Double) => Column,
       qs: Seq[(Double, String)]): DataFrame = {
     val k = keys.map(col)
-    val hist = rows.groupBy(k :+ col(valueCol): _*).agg(count(lit(1)).as("__c"))
-      .withColumn("__b", bucketOf(col(valueCol)))
+    val hist = hist0.withColumn("__b", bucketOf(col(valueCol)))
     val bstats = hist.groupBy(k :+ col("__b"): _*).agg(sum(col("__c")).as("__bc"))
     val wb = Window.partitionBy(k: _*).orderBy(col("__b"))
     val boff = bstats
@@ -592,6 +605,16 @@ object Relational {
       // here, lvls ⋈ agg in the oracle) silently drops (r3 ADVICE)
       .withColumn("grp", coalesce(col("event_type"), lit("__NULL__")))
       .withColumn("sub", concat(col("grp"), lit("#"), (col("user_id") % 4).cast("string")))
+    // Explode-to-levels, NOT a hierarchical partial-merge: a rewrite
+    // that shuffled the raw events once to a per-(grp,sub,value) hist
+    // and re-aggregated upward was MEASURED SLOWER (4.7 s vs 2.5 s warm
+    // at sf0.1) — `value` is a continuous double, so the "histogram" is
+    // ~one row per event and nothing collapses, while the cache
+    // materialization it required is pure overhead. The explode's 3N
+    // shuffle already runs map-side partial aggregation, which is the
+    // intrinsic cost of 3-level positional percentiles on a continuous
+    // domain. Use [[histPercentilesFromHist]] hierarchically only when
+    // the value domain is BOUNDED (ints, ms buckets — the GC case).
     val lvls = ev.select(col("ts"), col("value"), col("event_id"),
       explode(array(
         struct(lit("all").as("level"), lit("__ALL__").as("name")),
