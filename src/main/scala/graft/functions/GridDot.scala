@@ -517,6 +517,8 @@ object GraftFunctions {
         "stop_hits", exprs => StopHits(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction(
         "ngram_stats", exprs => NgramStats(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "kmv_kth", exprs => KmvKth(exprs(0), exprs(1)), "built-in")
     }
   }
 }

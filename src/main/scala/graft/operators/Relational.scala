@@ -773,6 +773,57 @@ object Relational {
        |GROUP BY 1, 2, 4, 5 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q24
+  /** KMV distinct-count sketch vs exact — the custom MERGEABLE AGGREGATE
+    * (north-star "novel sketch"; graft.functions.KmvKth, a
+    * TypedImperativeAggregate): per event_type, the k=64 smallest
+    * distinct 60-bit user hashes travel as the partial state (≤ k longs
+    * per partition vs exact distinct shuffling every value), and the
+    * estimate is ONE exact division over the k-th hash. KMV is fully
+    * deterministic, so the oracle reproduces the sketch itself with a
+    * rank window — estimate and all — bit-for-bit.
+    */
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val K = 64
+    val ev = Tables.events(s, dir)
+    ev.select(col("event_type"), col("user_id"),
+        Dedup.h60(concat(lit("u"), col("user_id").cast("string"))).as("h"))
+      .groupBy(col("event_type"))
+      .agg(call_function("kmv_kth", col("h"), lit(K)).as("kmv"),
+        countDistinct(col("user_id")).as("exact_distinct"))
+      .select(col("event_type"),
+        col("kmv.n_kept").as("n_kept"), col("kmv.kth").as("kth"),
+        when(col("kmv.kth").isNull, col("kmv.n_kept").cast("double"))
+          // (k-1)·2^60: 6 significant bits — the double product is exact
+          .otherwise(lit((K - 1).toDouble * 1152921504606846976.0) /
+            col("kmv.kth").cast("double")).as("est_distinct"),
+        col("exact_distinct"))
+      .orderBy("event_type")
+  }
+
+  val q24Sql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |         CAST(concat('0x', substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, h,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS nd
+      |  FROM h),
+      |k AS (
+      |  SELECT event_type, CAST(LEAST(nd, 64) AS BIGINT) AS n_kept,
+      |         MAX(CASE WHEN rn = 64 THEN h END) AS kth
+      |  FROM r GROUP BY event_type, nd),
+      |x AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      |      FROM events GROUP BY 1)
+      |SELECT k.event_type, n_kept, kth,
+      |       CASE WHEN kth IS NULL THEN CAST(n_kept AS DOUBLE)
+      |            ELSE (63.0 * 1152921504606846976.0) / CAST(kth AS DOUBLE) END AS est_distinct,
+      |       exact_distinct
+      |FROM k JOIN x USING (event_type) ORDER BY event_type""".stripMargin
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("q01_workload_share", "A1–A5/W1/O1 grouped sums + ratio-of-total", q01, Some(q01Sql)),
@@ -797,5 +848,6 @@ object Relational {
     Q("q20_rollup_percentiles_3level", "A6–A9 3-level percentile rollup + argmax", q20, Some(q20Sql)),
     Q("q21_sessionize", "gap-based sessionization (lag + running-sum windows)", q21, Some(q21Sql)),
     Q("q23_range_join_bins", "broadcast range join into percentile-derived bins", q23, Some(q23Sql)),
+    Q("q24_kmv_distinct", "KMV sketch distinct-count vs exact (custom aggregate)", q24, Some(q24Sql)),
   )
 }

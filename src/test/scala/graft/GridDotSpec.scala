@@ -210,6 +210,29 @@ class GridDotSpec extends AnyFunSuite with SparkTestBase {
     assert(st.getLong(0) == 3L && st.getLong(1) == 2L && st.getString(2) == "a b a")
   }
 
+  test("kmv_kth: partition-count invariant, NULL kth below k, sane estimate") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = (0 until 5000).map(i => ("t", s"u$i")).toDF("k", "u")
+      .withColumn("h", graft.operators.Dedup.h60(col("u")))
+    // the k-smallest-distinct set is partition-order free, so the
+    // map-side partial + merge path must equal the single-buffer path
+    def run(parts: Int) = df.repartition(parts).groupBy("k")
+      .agg(call_function("kmv_kth", col("h"), lit(64)).as("s"))
+      .select("s.*").head()
+    val (r1, r8) = (run(1), run(8))
+    assert(r1 == r8)
+    assert(r1.getLong(0) == 64)
+    val est = 63.0 * 1152921504606846976.0 / r1.getLong(1).toDouble
+    assert(est > 2500 && est < 10000, s"est=$est") // 5000 ± sketch error (k=64 ⇒ ~12.5%)
+    // fewer distinct values than k: everything kept, kth stays NULL
+    val small = (0 until 10).map(i => ("t", s"u${i % 5}")).toDF("k", "u")
+      .withColumn("h", graft.operators.Dedup.h60(col("u")))
+      .groupBy("k").agg(call_function("kmv_kth", col("h"), lit(64)).as("s"))
+      .select("s.*").head()
+    assert(small.getLong(0) == 5 && small.isNullAt(1)) // dedup'd, below k
+  }
+
   test("token_stats: two instances in one codegen scope compile (fresh temp name)") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -39,7 +39,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "q17_shape_counts" -> 3, "q18_semi_anti_join" -> 5,
     "q19_window_hourly" -> 2, "q20_rollup_percentiles_3level" -> 14,
     "q21_sessionize" -> 2, "q22_asof_join" -> 2,
-    "q23_range_join_bins" -> 14,
+    "q23_range_join_bins" -> 14, "q24_kmv_distinct" -> 3,
     "sp01_split_assign" -> 1, "sp02_stratified_sample" -> 2,
     "sp03_contamination_exact" -> 3, "sp04_contamination_ngram" -> 4,
     "sp05_temporal_split_audit" -> 3,
