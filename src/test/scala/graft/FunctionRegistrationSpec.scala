@@ -59,6 +59,21 @@ class FunctionRegistrationSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getInt(3) == 2 && r.getInt(4) == 0)
   }
 
+  test("ngram_stats and kmv_kth resolve from SQL (scalar + aggregate paths)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT ngram_stats('a b a b', 2).n_grams AS g, " +
+        "ngram_stats('a b a b', 2).top_gram AS tg").head()
+    assert(r.getLong(0) == 3L && r.getString(1) == "a b")
+    // the aggregate resolves through the same registry and the analyzer
+    // wraps the AggregateFunction itself
+    val a = spark.sql(
+      "SELECT kmv_kth(h, 2).n_kept AS nk, kmv_kth(h, 2).kth AS kth FROM " +
+        "(SELECT CAST(id * 10 AS BIGINT) AS h FROM range(5))").head()
+    assert(a.getLong(0) == 2L)
+    assert(a.getLong(1) == 10L) // 2nd smallest of 0,10,20,30,40
+  }
+
   test("grid_dot rejects wrong input types with the custom message") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
