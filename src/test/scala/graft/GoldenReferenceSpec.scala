@@ -361,6 +361,51 @@ class GoldenReferenceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("workbook: reference Node Data cells equal the engine's node table") {
+    val (_, cells, _) = golden
+    val sheet = cells.get("Node Data")
+    def cell(r: Int, c: Int): Option[JsonNode] = Option(sheet.get(s"$r,$c"))
+    def nodeKey(n: JsonNode): String =
+      if (n.isNumber) n.asLong.toString
+      else n.asText.replace(".", "").replace("_", "")
+    // header row 0, data from 1: (DC, Node, Load, Tokens, Rack,
+    // Uptime(sec), Uptime, Workload, Version)
+    val refRows = Iterator.from(1).map(r => (r, cell(r, 0)))
+      .takeWhile(_._2.exists(_.asText.nonEmpty))
+      .map { case (r, _) =>
+        (cell(r, 0).get.asText, nodeKey(cell(r, 1).get), cell(r, 2).get.asText,
+          cell(r, 3).get.asInt, cell(r, 4).get.asText, cell(r, 5).get.asLong,
+          cell(r, 7).get.asText, cell(r, 8).get.asText)
+      }.toSeq
+    assert(refRows.length == 4)
+    val ours = DiagReport.analyze(spark, "src/test/resources/diag_mini")
+      .nodeTable.collect().map(r =>
+        (r.getAs[String]("dc"),
+          r.getAs[String]("node").replace(".", "").replace("_", ""),
+          r.getAs[String]("load"), r.getAs[Int]("tokens"),
+          r.getAs[String]("rack"), r.getAs[Long]("uptime_sec"),
+          r.getAs[String]("workload"), r.getAs[String]("version"))).toSeq
+    // two pinned intent deviations, asserted on both sides:
+    //  (1) DSE Core version — the reference sets nd_version from
+    //      dse_version ONLY inside the graph=='true' branch
+    //      (explore.py:699-704), so a non-graph DSE node renders a
+    //      blank Version; the engine reads dse_version for every DSE
+    //      node (10.0.0.3 → "6.0.0").
+    //  (2) the DOWN node 10.0.0.9 exists in status but has no node dir,
+    //      so the reference (which iterates node dirs) never rows it;
+    //      the engine keeps every status node (uptime 0) — the same
+    //      asymmetry pinned on avg_uptime.
+    val refFixed = refRows.map {
+      case row @ (dc, node, load, tok, rack, up, wl, v) =>
+        if (node == "10003") { assert(v == ""); (dc, node, load, tok, rack, up, wl, "6.0.0") }
+        else row
+    }
+    val (down, present) = ours.partition(_._2 == "10009")
+    assert(down == Seq(("dc2", "10009", "10.0 GiB", 256, "rack2", 0L,
+      "OSS Cassandra", "4.0.11")))
+    assert(refFixed.sorted == present.sorted, s"ref=$refFixed ours=$present")
+  }
+
   test("pinned: tablestats-only node crashes the reference, not the engine") {
     val py = requireEnv()
     val raw = Files.createTempDirectory("graft_golden_raw")
