@@ -406,6 +406,58 @@ class GoldenReferenceSpec extends AnyFunSuite with SparkTestBase {
     assert(refFixed.sorted == present.sorted, s"ref=$refFixed ours=$present")
   }
 
+  test("workbook: threshold tabs equal the engine's rows, write bugs pinned") {
+    val (_, cells, _) = golden
+    // extra=0 sheets (explore.py:445-450) write per-node rows through a
+    // ROW COUNTER THAT RESETS PER NODE — every node overwrites the
+    // previous node's cells, so the final sheet holds only the LAST
+    // listdir node's rows (a reference rendering bug; the engine keeps
+    // every node's qualifying row). extra=1 sheets collapse per
+    // (ks,tbl), intent max-per-table, actual LAST-WINS via the hasattr
+    // bug (explore.py:1487) — so their representative node/dc may
+    // differ from the engine's documented max+lowest-node tie-break,
+    // while (ks, tbl, value) must agree.
+    val perNodeTabs = Seq("dropped_mutation" -> "Dropped Mutation",
+      "large_partition" -> "Large Partitions",
+      "read_latency" -> "Read Latency", "write_latency" -> "Write Latency")
+    val collapsedTabs = Seq("num_tables" -> "Number of Tables",
+      "sstable_count" -> "SSTable Count")
+    val th = DiagReport.analyze(spark, "src/test/resources/diag_mini")
+      .thresholds.collect().groupBy(_.getAs[String]("tab"))
+    def refRowsOf(sheetName: String): Seq[(String, String, String, String, Double)] = {
+      val sheet = cells.get(sheetName)
+      assert(sheet != null, s"reference did not write $sheetName")
+      def cell(r: Int, c: Int): Option[JsonNode] = Option(sheet.get(s"$r,$c"))
+      Iterator.from(1).map(r => (r, cell(r, 0)))
+        .takeWhile(_._2.exists(_.asText.nonEmpty))
+        .map { case (r, _) =>
+          (cell(r, 0).get.asText, cell(r, 1).get.asText,
+            cell(r, 2).get.asText, cell(r, 3).get.asText,
+            cell(r, 4).get.asDouble)
+        }.toSeq
+    }
+    def oursOf(key: String): Seq[(String, String, String, String, Double)] =
+      th.getOrElse(key, Array.empty[org.apache.spark.sql.Row])
+        .toSeq.map(r => (r.getAs[String]("node"), r.getAs[String]("dc"),
+          r.getAs[String]("keyspace"), r.getAs[String]("table"),
+          r.getAs[Double]("value")))
+    for ((key, sheetName) <- perNodeTabs) {
+      val (ref, ours) = (refRowsOf(sheetName), oursOf(key))
+      val refNodes = ref.map(_._1).toSet
+      assert(refNodes.size <= 1, s"$sheetName: overwrite bug premise broke: $refNodes")
+      val oursLastNode = ours.filter(r => refNodes.contains(r._1))
+      assert(ref.sorted == oursLastNode.sorted,
+        s"$sheetName: ref=$ref oursAtNode=$oursLastNode")
+      if (ref.isEmpty) assert(ours.isEmpty, s"$sheetName: $ours")
+    }
+    for ((key, sheetName) <- collapsedTabs) {
+      val (ref, ours) = (refRowsOf(sheetName), oursOf(key))
+      assert(ref.map(t => (t._3, t._4, t._5)).sorted ==
+        ours.map(t => (t._3, t._4, t._5)).sorted,
+        s"$sheetName: ref=$ref ours=$ours")
+    }
+  }
+
   test("pinned: tablestats-only node crashes the reference, not the engine") {
     val py = requireEnv()
     val raw = Files.createTempDirectory("graft_golden_raw")
