@@ -234,6 +234,26 @@ object EventStreams {
       }
   }
 
+  /** Streaming distinct-user estimate per hour window — the KMV sketch
+    * aggregate ([[graft.functions.KmvKth]]) running INSIDE a watermarked
+    * streaming aggregation: the ≤k-long buffer is exactly what the state
+    * store checkpoints per window, so the operator's state is bounded by
+    * (windows in horizon) × k longs no matter the event volume — the
+    * streaming dual of q24's map-side-combine argument. Update mode;
+    * rows: (window_start, n_kept, kth). */
+  def hourlyKmvDistinct(events: DataFrame, k: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(call_function("kmv_kth",
+        graft.operators.Dedup.h60(
+          concat(lit("u"), col("user_id").cast("string"))),
+        lit(k)).as("s"))
+      .select(col("window.start").as("window_start"),
+        col("s.n_kept").as("n_kept"), col("s.kth").as("kth"))
+  }
+
   /** The latest purchase seen for one user. */
   final case class PurchaseState(id: Long, ts: java.sql.Timestamp, value: Double)
 

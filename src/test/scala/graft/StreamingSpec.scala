@@ -268,6 +268,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got(31L).contains(300L))
   }
 
+  test("kmv_kth aggregates in a streaming window and matches the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // the custom TypedImperativeAggregate must serialize its buffer
+    // through the streaming state store — the §2.10 sketch composing
+    // with §2.9 incremental execution, not just batch groupBy
+    val rows = (0 until 400).map(i =>
+      (ts(f"2023-03-01 10:${i % 50}%02d:00"), (i % 97).toLong))
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = EventStreams.hourlyKmvDistinct(
+        mem.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("kmvw").outputMode("update").start()
+    rows.grouped(150).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // last update per window ≡ the batch sketch over the same rows
+    val stream = spark.table("kmvw").collect()
+      .groupBy(_.getTimestamp(0)).map { case (w, rs) => w -> rs.last }
+    val batch = rows.toDF("ts", "user_id")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(call_function("kmv_kth",
+        graft.operators.Dedup.h60(concat(lit("u"), col("user_id").cast("string"))),
+        lit(64)).as("s"))
+      .select(col("window.start"), col("s.n_kept"), col("s.kth"))
+      .collect().map(r => r.getTimestamp(0) -> r).toMap
+    assert(stream.keySet == batch.keySet && stream.nonEmpty)
+    for ((w, sr) <- stream) {
+      assert(sr.getLong(1) == batch(w).getLong(1), s"n_kept @ $w")
+      assert(sr.getLong(2) == batch(w).getLong(2), s"kth @ $w")
+    }
+  }
+
   test("histogram-state percentiles equal the vector-state operator across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
