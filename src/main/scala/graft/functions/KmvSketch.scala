@@ -50,9 +50,14 @@ case class KmvKth(
       return TypeCheckResult.TypeCheckFailure(
         "kmv_kth expects (long hash, foldable int k)")
     val kv = right.eval(null)
-    if (kv == null || kv.asInstanceOf[Int] < 2)
+    // the upper bound keeps the "bounded state" contract honest: the
+    // buffer is k boxed longs PER GROUP (and per streaming window) — an
+    // absurd k would silently turn the sketch into exact-distinct with
+    // worse constants
+    if (kv == null || kv.asInstanceOf[Int] < 2 ||
+      kv.asInstanceOf[Int] > 1000000)
       return TypeCheckResult.TypeCheckFailure(
-        "kmv_kth k must be a non-NULL int >= 2")
+        "kmv_kth k must be a non-NULL int in [2, 1000000]")
     TypeCheckResult.TypeCheckSuccess
   }
 

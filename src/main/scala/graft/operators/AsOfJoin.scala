@@ -42,6 +42,10 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightCols: Seq[String], rightId: String): DataFrame = {
     require(rightCols.contains(rightId), "rightId must be in rightCols")
+    // the rewrite owns these working names; a left column reusing one
+    // would silently alias through the union projection
+    val reserved = Set("__t", "__side", "__l", "__r", "__m")
+    require(!left.columns.exists(reserved), s"left columns may not use $reserved")
     val payload = struct(rightCols.map(col): _*)
     val payloadType = right.select(payload).schema.head.dataType
     val l = left.select(
