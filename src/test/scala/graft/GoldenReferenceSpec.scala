@@ -458,6 +458,69 @@ class GoldenReferenceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // -------- fixture 2: a second tree shape through the dual-program
+  // diff — single-DC DSE cluster (pre-5.0 + Analytics nodes), SAI +
+  // secondary index + MV + UDT schema, identical 900 ms GC pauses (so
+  // the banker's-vs-HALF_UP position difference cannot change the picked
+  // value and the reference emits the GC warning too), a tombstone
+  // 'live and' line, and '***'-tier table-count / large-partition
+  // guardrails.
+  private lazy val golden2: (JsonNode, JsonNode, JsonNode) = {
+    val py = requireEnv()
+    val fixture = Files.createTempDirectory("graft_golden2")
+    copyTree(Paths.get("src/test/resources/diag_mini2"), fixture)
+    assert(runReference(py, fixture) == 0, "reference failed on fixture 2")
+    val ref = mapper.readTree(Files.readString(fixture.resolve("summary.json")))
+    val cells = mapper.readTree(Files.readString(
+      fixture.resolve("GoldenTwo_astra_chart.xlsx.celldump.json")))
+    val ours = mapper.readTree(
+      DiagReport.summaryJson(DiagReport.analyze(spark, fixture.toString)))
+    (ref, cells, ours)
+  }
+
+  test("fixture 2: workload, dataset_size and ALL warnings at exact parity") {
+    val (ref, _, ours) = golden2
+    for (key <- Seq("workload", "dataset_size"))
+      assert(diff(ref.get(key), ours.get(key), key).isEmpty,
+        diff(ref.get(key), ours.get(key), key).mkString("\n"))
+    assert(ref.get("missing_data").asInt == ours.get("missing_data").asInt)
+    // every category/check, including the ***-tier messages, the empty
+    // MV/SI/SAI lists, 'Not Supported' Analytics, and GC Pauses emitted
+    // by BOTH programs on this fixture
+    assert(diff(ref.get("warnings"), ours.get("warnings"), "warnings").isEmpty,
+      diff(ref.get("warnings"), ours.get("warnings"), "warnings").mkString("\n"))
+  }
+
+  test("fixture 2 pinned: the avg_uptime row-cursor off-by-one finally separates") {
+    val (ref, _, ours) = golden2
+    // fixture 1 could not tell the two definitions apart (its one down
+    // node has no dir); here 2 up nodes with 3600+7200 s make the
+    // reference's total/(rows+1) visible
+    assert(ref.get("avg_uptime").asDouble == 3600.0) // 10800 / 3
+    assert(ours.get("avg_uptime").asDouble == 5400.0) // 10800 / 2
+  }
+
+  test("fixture 2 pinned: stale nd_version carry-over on the non-graph DSE node") {
+    val (_, cells, _) = golden2
+    val nd = cells.get("Node Data")
+    def cell(r: Int, c: Int): JsonNode = nd.get(s"$r,$c")
+    val byNode = (1 to 2).map(r => cell(r, 1).asText ->
+      (cell(r, 7).asText, cell(r, 8).asText)).toMap
+    // node 1: no graph key, no dse_version → 'DSE pre 5.0' on BOTH sides
+    assert(byNode("172.16.0.1") == ("DSE Core", "DSE pre 5.0"))
+    // node 2: graph==false skips the dse_version assignment
+    // (explore.py:699-704) and nd_version is never reset between gossip
+    // blocks — the reference renders node 1's STALE 'DSE pre 5.0';
+    // the engine reads dse_version per node
+    assert(byNode("172.16.0.2") == ("Analytics", "DSE pre 5.0"))
+    val ours = DiagReport.analyze(spark, "src/test/resources/diag_mini2")
+      .nodeTable.collect()
+      .map(r => r.getAs[String]("node") ->
+        (r.getAs[String]("workload"), r.getAs[String]("version"))).toMap
+    assert(ours("172.16.0.1") == ("DSE Core", "DSE pre 5.0"))
+    assert(ours("172.16.0.2") == ("Analytics", "6.0.4"))
+  }
+
   test("pinned: tablestats-only node crashes the reference, not the engine") {
     val py = requireEnv()
     val raw = Files.createTempDirectory("graft_golden_raw")
