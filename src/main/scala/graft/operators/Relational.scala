@@ -725,11 +725,14 @@ object Relational {
     * engines), bins are half-open so every value lands in exactly one,
     * and empty bins drop on both sides (inner join).
     */
-  def q23(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+  /** The q23 bin table: per event_type, half-open value bins at
+    * [min,p50) [p50,p95) [p95,p99) [p99,∞) — columns (bt, bin_id, lo,
+    * hi), `hi` NULL on the last bin. Also the static side of the
+    * stream-static join twin (EventStreams.windowedBinCounts). */
+  def valueBins(ev: DataFrame): DataFrame = {
     val pct = histPercentiles(ev, Seq("event_type"), "value", floor, idxHalfUp,
       Seq(0.50 -> "p50", 0.95 -> "p95", 0.99 -> "p99"))
-    val bins = pct.select(col("event_type"), explode(array(
+    pct.select(col("event_type"), explode(array(
         struct(lit(1).as("bin_id"), col("min_v").as("lo"), col("p50").as("hi")),
         struct(lit(2).as("bin_id"), col("p50").as("lo"), col("p95").as("hi")),
         struct(lit(3).as("bin_id"), col("p95").as("lo"), col("p99").as("hi")),
@@ -739,6 +742,11 @@ object Relational {
       // an identically-named join key is an ambiguous self-join column
       .select(col("event_type").as("bt"), col("b.bin_id").as("bin_id"),
         col("b.lo").as("lo"), col("b.hi").as("hi"))
+  }
+
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val bins = valueBins(ev)
     ev.join(broadcast(bins),
         col("event_type") === col("bt") &&
           col("value") >= col("lo") &&

@@ -254,6 +254,26 @@ object EventStreams {
         col("s.n_kept").as("n_kept"), col("s.kth").as("kth"))
   }
 
+  /** Stream-static broadcast join: live events binned against a STATIC
+    * percentile-derived bin table (`Relational.valueBins`, computed
+    * batch-side — the q23 bins) and counted per (hour window, type,
+    * bin). The standard "enrich a stream with a slowly-changing
+    * dimension" shape: the tiny static side broadcasts, the stream
+    * never shuffles for the join, and only the windowed count keys
+    * shuffle. Bins are half-open, so every event lands in exactly one.
+    */
+  def windowedBinCounts(events: DataFrame, bins: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(bins),
+        col("event_type") === col("bt") &&
+          col("value") >= col("lo") &&
+          (col("hi").isNull || col("value") < col("hi")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("bin_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("bin_id"), col("n"))
+
   /** The latest purchase seen for one user. */
   final case class PurchaseState(id: Long, ts: java.sql.Timestamp, value: Double)
 

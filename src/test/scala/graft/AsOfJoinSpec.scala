@@ -42,6 +42,40 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_.getAs[Double]("value")).toSeq == Seq(1.0, 2.0, 3.0, 4.0))
   }
 
+  test("as-of equals a brute-force model on random streams (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    // dense key/time collisions: few users, coarse timestamps → equal-ts
+    // and no-match cases appear constantly
+    val clicks = (0 until 300).map { i =>
+      (i.toLong, rnd.nextInt(5).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(40) * 1000L),
+        rnd.nextDouble())
+    }
+    val purchases = (0 until 120).map { i =>
+      (rnd.nextInt(5).toLong, 1000L + i,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(40) * 1000L),
+        rnd.nextDouble())
+    }
+    val out = AsOfJoin.asOf(
+        clicks.toDF("event_id", "user_id", "ts", "value"),
+        purchases.toDF("user_id", "p_event_id", "p_ts", "p_value"),
+        Seq("user_id"), "ts", "p_ts",
+        Seq("p_event_id", "p_ts", "p_value"), "p_event_id")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("asof_p_event_id")).map(_.asInstanceOf[Long])).toMap
+    // model: latest purchase at or before the click; ties on time by
+    // highest purchase id
+    val byUser = purchases.groupBy(_._1)
+    for ((id, user, t, _) <- clicks) {
+      val want = byUser.getOrElse(user, Seq.empty)
+        .filter(!_._3.after(t))
+        .sortBy(p => (p._3.getTime, p._2))
+        .lastOption.map(_._2)
+      assert(out(id) == want, s"click $id user $user t $t")
+    }
+  }
+
   test("as-of plan: one shuffle on the key, no range-join blow-up") {
     import spark.implicits._
     val l = Seq((1L, 1L, ts("2026-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")

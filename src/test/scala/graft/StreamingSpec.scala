@@ -268,6 +268,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got(31L).contains(300L))
   }
 
+  test("stream-static bin join: windowed counts match the batch binning") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static side: bins computed batch-side from a reference slice
+    val refSlice = (0 until 200).map(i =>
+      (i.toLong, ts("2023-06-01 09:00:00"), i.toLong, "m", i % 40 * 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val bins = graft.operators.Relational.valueBins(refSlice).collect().toSeq
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        if (r.isNullAt(3)) Option.empty[Double] else Some(r.getDouble(3))))
+      .toDF("bt", "bin_id", "lo", "hi") // materialized: truly static
+    val live = (0 until 300).map(i =>
+      (ts(f"2023-06-01 ${10 + i % 2}%02d:00:00"), "m", i % 40 * 1.0))
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.windowedBinCounts(
+        mem.toDF().toDF("ts", "event_type", "value"), bins)
+      .writeStream.format("memory").queryName("binw").outputMode("update").start()
+    live.grouped(120).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val stream = spark.table("binw").collect()
+      .groupBy(r => (r.getTimestamp(0), r.getString(1), r.getInt(2)))
+      .map { case (k, rs) => k -> rs.map(_.getLong(3)).max }
+    val batch = live.toDF("ts", "event_type", "value")
+      .join(bins, col("event_type") === col("bt") &&
+        col("value") >= col("lo") && (col("hi").isNull || col("value") < col("hi")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("bin_id"))
+      .count().collect()
+      .map(r => (r.getStruct(0).getTimestamp(0), r.getString(1), r.getInt(2)) ->
+        r.getLong(3)).toMap
+    assert(stream == batch && stream.nonEmpty)
+    // every live event landed in exactly one bin
+    assert(stream.values.sum == live.length.toLong)
+  }
+
   test("kmv_kth aggregates in a streaming window and matches the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
