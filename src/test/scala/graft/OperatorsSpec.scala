@@ -323,6 +323,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(d1.getString(4) == "a b")
   }
 
+  test("sp05: cutoff boundary is exact and straddling users count once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sp05").toString
+    val cut = java.sql.Timestamp.valueOf("2024-01-22 00:00:00")
+    val before = java.sql.Timestamp.valueOf("2024-01-21 23:59:59")
+    Seq(
+      (1L, before, 1L, Option("click"), 1.0, "{}"), // train
+      (2L, cut, 1L, Option("click"), 2.0, "{}"),    // AT cutoff → eval (>=)
+      (3L, before, 2L, Option("click"), 3.0, "{}"), // train-only user
+      (4L, cut, 3L, Option("click"), 4.0, "{}"))    // eval-only user
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.operators.Sampling.sp05(spark, dir).collect()
+    assert(r.length == 1)
+    val c = r.head
+    assert(c.getLong(1) == 2L && c.getLong(2) == 2L)   // n_train, n_eval
+    assert(c.getLong(3) == 2L && c.getLong(4) == 2L)   // users each side
+    assert(c.getLong(5) == 1L)                          // only user 1 straddles
+  }
+
   test("DedupPrepare: rewriting the corpus at the same path invalidates the prep layer") {
     import spark.implicits._
     import graft.operators.DedupPrepare
