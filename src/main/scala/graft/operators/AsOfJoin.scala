@@ -93,27 +93,35 @@ object AsOfJoin {
   }
 
   /** Oracle twin: the same union-tag running carry, spelled as
-    * LAST_VALUE(... IGNORE NULLS) over the identical total order. */
+    * LAST_VALUE(... IGNORE NULLS) over the identical total order.
+    *
+    * The carry moves ONE non-null marker per purchase row (its
+    * event_id) and joins the payload back by that id, so the attributed
+    * (p_event_id, p_ts, p_value) triple is always torn-free — the
+    * engine carries the whole struct, and per-column IGNORE-NULLS
+    * carries would stitch columns from DIFFERENT purchases if a
+    * purchase ever had a NULL value (r4 ADVICE). */
   val q22Sql: String =
     """WITH u AS (
       |  SELECT user_id, ts AS t, 1 AS is_ev, event_id, value,
-      |         NULL::BIGINT AS pe, NULL::TIMESTAMP AS pt, NULL::DOUBLE AS pv
+      |         NULL::BIGINT AS pe
       |  FROM events WHERE event_type = 'click'
       |  UNION ALL
-      |  SELECT user_id, ts, 0, NULL, NULL, event_id, ts, value
+      |  SELECT user_id, ts, 0, NULL, NULL, event_id
       |  FROM events WHERE event_type = 'purchase'),
       |w AS (
       |  SELECT *,
-      |    LAST_VALUE(pe IGNORE NULLS) OVER win AS asof_p_event_id,
-      |    LAST_VALUE(pt IGNORE NULLS) OVER win AS asof_p_ts,
-      |    LAST_VALUE(pv IGNORE NULLS) OVER win AS asof_p_value
+      |    LAST_VALUE(pe IGNORE NULLS) OVER win AS m
       |  FROM u
       |  WINDOW win AS (PARTITION BY user_id ORDER BY t, is_ev, pe
       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-      |SELECT event_id, user_id, t AS ts, value,
-      |       asof_p_event_id, asof_p_ts, asof_p_value,
-      |       CAST(date_diff('second', asof_p_ts, t) AS BIGINT) AS gap_sec
-      |FROM w WHERE is_ev = 1 ORDER BY event_id""".stripMargin
+      |SELECT w.event_id, w.user_id, w.t AS ts, w.value,
+      |       p.event_id AS asof_p_event_id, p.ts AS asof_p_ts,
+      |       p.value AS asof_p_value,
+      |       CAST(date_diff('second', p.ts, w.t) AS BIGINT) AS gap_sec
+      |FROM w LEFT JOIN events p
+      |  ON p.event_type = 'purchase' AND p.event_id = w.m
+      |WHERE w.is_ev = 1 ORDER BY w.event_id""".stripMargin
 
   val qs: Seq[Q] = Seq(
     Q("q22_asof_join", "union-tag as-of join: purchase attribution", q22, Some(q22Sql)))

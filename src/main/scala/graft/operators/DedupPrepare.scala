@@ -42,10 +42,24 @@ object DedupPrepare {
     * tag so a corpus REWRITTEN at the same path gets fresh prep tables —
     * without it, prepared queries (dd02/dd03/...) would serve stale
     * materializations while non-prepared ones (dd01, ta01) read the new
-    * data (r3 ADVICE). One shallow FS listing per accessor call; diag
-    * corpora are immutable snapshots in production, so in the common
-    * case this only re-derives the same tag. */
-  private def fingerprint(s: SparkSession, dir: String): String = {
+    * data (r3 ADVICE). Memoized per corpus dir (diag corpora are
+    * immutable snapshots in production): one FS listing per corpus per
+    * JVM, not per accessor call — at a 100k-file corpus the listing is
+    * a namenode sweep. A rewritten corpus must call [[invalidate]]
+    * first, exactly the [[graft.sources.DiagSource.invalidate]]
+    * contract. */
+  private val fpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Forget the memoized corpus fingerprint for `dir` — call after
+    * rewriting a corpus in place, before the next prepared query. */
+  def invalidate(dir: String): Unit = fpCache.remove(dir)
+  def invalidateAll(): Unit = fpCache.clear()
+
+  private def fingerprint(s: SparkSession, dir: String): String =
+    fpCache.computeIfAbsent(dir, _ => fingerprintUncached(s, dir))
+
+  private def fingerprintUncached(s: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val entries =
@@ -59,12 +73,14 @@ object DedupPrepare {
         }
         b.result().sorted
       }
-    Integer.toHexString(
-      scala.util.hashing.MurmurHash3.orderedHash(entries))
+    f"${scala.util.hashing.MurmurHash3.orderedHash(entries)}%08x"
   }
 
+  // fixed-width %08x: a variable-length hex hash lets one corpus's tag
+  // be a strict prefix of another's, and the stale-layer sweep below
+  // would then glob (and delete) the LIVE sibling's prep tables
   private def dirTag(dir: String): String = {
-    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val h = f"${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x"
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
     s"${safe}_$h".toLowerCase
   }
@@ -85,8 +101,11 @@ object DedupPrepare {
       val whRoot = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"))
       val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // "_*", not "*": the fingerprint separator must follow the EXACT
+      // dir tag, so a sibling corpus whose tag extends this one can
+      // never be swept
       val stale = fs.globStatus(
-        new org.apache.hadoop.fs.Path(whRoot, base + "*"))
+        new org.apache.hadoop.fs.Path(whRoot, base + "_*"))
       if (stale != null) stale.foreach(f => fs.delete(f.getPath, true))
       build().write.mode("overwrite").format("parquet")
         .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)

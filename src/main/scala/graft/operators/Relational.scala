@@ -812,9 +812,12 @@ object Relational {
 
   val q24Sql: String =
     """WITH h AS (
+      |  -- user_id IS NOT NULL mirrors the aggregate's null-skipping
+      |  -- contract: KmvKth.update ignores NULL inputs, while
+      |  -- 'u' || NULL would keep a NULL hash row here and inflate nd
       |  SELECT DISTINCT event_type,
       |         CAST(concat('0x', substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-      |  FROM events),
+      |  FROM events WHERE user_id IS NOT NULL),
       |r AS (
       |  SELECT event_type, h,
       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -260,19 +261,28 @@ object EventStreams {
     * bin). The standard "enrich a stream with a slowly-changing
     * dimension" shape: the tiny static side broadcasts, the stream
     * never shuffles for the join, and only the windowed count keys
-    * shuffle. Bins are half-open, so every event lands in exactly one.
+    * shuffle. Bins are half-open, and bin 1 is additionally opened
+    * DOWNWARD here (its `lo` becomes unbounded): the static table's
+    * min came from a batch slice, so a live value below that min must
+    * still land in exactly one bin — it counts into bin 1 rather than
+    * silently vanishing from the join.
     */
-  def windowedBinCounts(events: DataFrame, bins: DataFrame): DataFrame =
+  def windowedBinCounts(events: DataFrame, bins: DataFrame): DataFrame = {
+    val open = bins.withColumn("lo",
+      when(col("bin_id") === min("bin_id").over(
+        Window.partitionBy(col("bt"))), lit(null).cast("double"))
+        .otherwise(col("lo")))
     events
       .withWatermark("ts", "10 minutes")
-      .join(broadcast(bins),
+      .join(broadcast(open),
         col("event_type") === col("bt") &&
-          col("value") >= col("lo") &&
+          (col("lo").isNull || col("value") >= col("lo")) &&
           (col("hi").isNull || col("value") < col("hi")))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("bin_id"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"),
         col("event_type"), col("bin_id"), col("n"))
+  }
 
   /** The latest purchase seen for one user. */
   final case class PurchaseState(id: Long, ts: java.sql.Timestamp, value: Double)

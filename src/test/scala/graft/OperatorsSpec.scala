@@ -357,6 +357,11 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     // rewrite IN PLACE with a different corpus: before the fingerprint
     // tag the table name was path-only, so this served the stale layer
     writeDocs(Seq("a b c d e f", "a b c d e f g"))
+    // the fingerprint is memoized per dir (one FS listing per corpus per
+    // JVM) — without invalidate() the stale layer is still served, by
+    // contract (same as DiagSource.invalidate)
+    assert(DedupPrepare.shingles3(spark, dir).count() == 2L)
+    DedupPrepare.invalidate(dir)
     assert(DedupPrepare.shingles3(spark, dir).count() == 4L + 5L)
     // and the superseded fingerprint's warehouse dir is GC'd — exactly
     // one shingles3 layer remains for this corpus

@@ -302,6 +302,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(stream.values.sum == live.length.toLong)
   }
 
+  test("stream-static bin join: a live value below the static min still lands in bin 1") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static bins derived from a batch slice whose min value is 0
+    val refSlice = (0 until 200).map(i =>
+      (i.toLong, ts("2023-06-01 09:00:00"), i.toLong, "m", i % 40 * 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val bins = graft.operators.Relational.valueBins(refSlice).collect().toSeq
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        if (r.isNullAt(3)) Option.empty[Double] else Some(r.getDouble(3))))
+      .toDF("bt", "bin_id", "lo", "hi")
+    // live stream drifts BELOW the slice's min — bin 1 is open downward,
+    // so these must count into bin 1 rather than vanish (r4 ADVICE)
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.windowedBinCounts(
+        mem.toDF().toDF("ts", "event_type", "value"), bins)
+      .writeStream.format("memory").queryName("binw_under").outputMode("update").start()
+    mem.addData(
+      (ts("2023-06-01 10:00:00"), "m", -5.0),
+      (ts("2023-06-01 10:10:00"), "m", 0.0),
+      (ts("2023-06-01 10:20:00"), "m", 25.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("binw_under").collect()
+      .map(r => r.getInt(2) -> r.getLong(3)).toMap
+    assert(got == Map(1 -> 2L, 2 -> 1L), got.toString) // -5 and 0 in bin 1; 25 in bin 2
+  }
+
   test("kmv_kth aggregates in a streaming window and matches the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
