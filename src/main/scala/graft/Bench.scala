@@ -28,19 +28,29 @@ object Bench {
       catch { case NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
     }
-    // each query runs twice; the reported time is the WARM run, so
-    // round-over-round deltas measure plans, not JVM/JIT/codegen warmup.
-    // The cold pass is kept in queries_cold for transparency.
+    // each query runs cold once, then THREE warm runs; the headline time
+    // per query is the warm MEDIAN, so sub-second queries compare
+    // meaningfully across rounds (a single warm sample was dominated by
+    // GC/scheduler jitter — r4 verdict #8). The cold pass and the raw
+    // warm samples are kept for transparency.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val cold = run(name, fn)
-      val warm = if (cold >= 0) run(name, fn) else -1.0
-      name -> (warm, cold)
+      val warms =
+        if (cold < 0) Seq(-1.0)
+        else Seq.fill(3)(run(name, fn)).filter(_ >= 0) match {
+          case Nil => Seq(-1.0)
+          case ok  => ok
+        }
+      name -> (warms.sorted.apply(warms.length / 2), cold, warms)
     }
-    def jmap(sel: ((Double, Double)) => Double) = results
+    def jmap(sel: ((Double, Double, Seq[Double])) => Double) = results
       .map { case (k, v) => Json.quote(k) + ":" + sel(v) }.mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val nFailed = results.values.count(_._1 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_cold":${jmap(_._2)},"failed":$nFailed,"sf":${Json.quote(sfDir)}}""")
+    val samples = results
+      .map { case (k, v) => Json.quote(k) + ":" + v._3.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_cold":${jmap(_._2)},"queries_warm_samples":$samples,"failed":$nFailed,"sf":${Json.quote(sfDir)}}""")
     spark.stop()
   }
 }

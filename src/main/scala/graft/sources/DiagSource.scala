@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model._
 import graft.parse.Parsers
@@ -122,20 +122,42 @@ object DiagSource {
   def nodeDirs(spark: SparkSession, root: String): Seq[String] =
     index(spark, root).nodes
 
+  /** path→node resolution as a PURE CATALYST expression (no black-box
+    * Scala `udf` — r4 verdict hygiene #1): `input_file_name()` yields
+    * the url-ENCODED file URI (`SparkPath.urlEncoded`, e.g.
+    * `file:///a/x%20y`), while our index stored the listing's
+    * `Path.toString` (`file:/a/x y` — authority form and encoding both
+    * differ). The two meet on the scheme-and-authority-stripped
+    * ENCODED path: driver-side via `Path.toUri.getRawPath`, expression
+    * -side via one `regexp_replace` — both encodings come from the
+    * same Hadoop URI machinery, so the bytes agree (the encoded-space
+    * dual of the old `uriPath` UDF, without the closure). A map
+    * LITERAL + `try_element_at` stays inside whole-stage codegen and
+    * is plan-visible; the map is file-count-sized (same footprint the
+    * broadcast had). `fallback` fires only if an engine version ever
+    * changes the encoding contract. */
+  private def nodeByFile(paths: Seq[(String, String)], fallback: Column): Column = {
+    val byEnc = paths.map { case (n, p) =>
+      new Path(p).toUri.getRawPath -> n }.toMap
+    val encPath = regexp_replace(input_file_name(),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+    coalesce(try_element_at(typedlit(byEnc), encPath), fallback)
+  }
+
   /** (nodeDir, content) for every node's `<rel>` file that exists. */
   def wholeFiles(spark: SparkSession, root: String, rel: String): DataFrame = {
     import spark.implicits._
     val paths = index(spark, root).forRel(rel)
     if (paths.isEmpty)
       return spark.emptyDataset[(String, String)].toDF("node_dir", "content")
-    val byUri = paths.map { case (n, p) => (uriPath(p), n) }.toMap
-    val bc = spark.sparkContext.broadcast(byUri)
-    val df = spark.read.option("wholetext", "true")
+    spark.read.option("wholetext", "true")
       .text(paths.map(_._2): _*)
-      .select(input_file_name().as("path"), col("value").as("content"))
-    val toNode = udf((p: String) => bc.value.getOrElse(uriPath(p),
-      new Path(p).getParent.getParent.getName))
-    df.select(toNode(col("path")).as("node_dir"), col("content"))
+      .select(
+        // fallback = parent-of-parent path segment: the node dir, by
+        // the <root>/nodes/<node>/<tool>/<file> layout
+        nodeByFile(paths, try_url_decode(
+          try_element_at(split(input_file_name(), "/"), lit(-3)))).as("node_dir"),
+        col("value").as("content"))
   }
 
   /** Whole content of one file, read driver-side (used only for the
@@ -285,11 +307,8 @@ object DiagSource {
     val plainEvents: Dataset[(Seq[GcEvent], Seq[TombstoneEvent])] =
       if (plain.isEmpty) spark.emptyDataset[(Seq[GcEvent], Seq[TombstoneEvent])]
       else {
-        val bc = spark.sparkContext.broadcast(
-          plain.map { case (n, p) => (uriPath(p), n) }.toMap)
-        val toNode = udf((p: String) => bc.value.getOrElse(uriPath(p), ""))
         spark.read.option("wholetext", "true").text(plain.map(_._2): _*)
-          .select(toNode(input_file_name()).as("node"), col("value"))
+          .select(nodeByFile(plain, lit("")).as("node"), col("value"))
           .as[(String, String)]
           .map { case (node, content) =>
             val ev = Parsers.parseLog(node, content.linesIterator, tpTs)
