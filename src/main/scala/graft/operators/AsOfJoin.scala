@@ -58,6 +58,12 @@ object AsOfJoin {
         col(rightTime).as("__t"), lit(0).as("__side"),
         lit(null).cast(l.schema("__l").dataType).as("__l"),
         payload.as("__r")): _*)
+    // hot-key bound: the carry window serializes each key into one task
+    // (intrinsic — the running last() needs the full per-key order);
+    // cost is O((left+right per key)·log ·) for that task's sort, no
+    // range blow-up. Pinned at a 50k-event hot key by
+    // AdversarialScaleSpec; the O(1)-state streaming twin
+    // (EventStreams.asOfStream) is the shape for unbounded histories.
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"), col(s"__r.$rightId"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -308,6 +308,13 @@ object Relational {
   /** Top-1-per-group (A10/W2): the reference's *intended* max-per-key
     * (explore.py:1477-1492; actual code is last-wins — documented intent
     * implemented, SURVEY §4). row_number window, unique-key tiebreak.
+    *
+    * Hot-key bound: `Window.partitionBy(o_custkey)` serializes each key
+    * into one task — intrinsic to per-key order, cost O(hot·log hot)
+    * for that task's sort, no cross product. Pinned by
+    * AdversarialScaleSpec's 40%-hot-key fixture (all-tied values must
+    * still break by the unique id). Per-key PRE-aggregation can't
+    * apply: the tiebreak needs the full per-key order.
     */
   def q07(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
@@ -331,6 +338,8 @@ object Relational {
     * Ref: explore.py:1594-1602 — tombstone tab dedup on (ks,tbl) after
     * `sort desc` ⇒ keeps the max-count row. Same shape as W2 but keyed on
     * a different relation; kept separate to pin A11's semantics.
+    * Hot-key bound: same O(hot·log hot) single-task sort as q07 —
+    * see q07's Scaladoc; pinned by the same adversarial fixture.
     */
   def q08(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -672,6 +681,16 @@ object Relational {
     * exceeds 30 minutes (lag window), session id = running sum of
     * session-start flags, then per-session aggregates. One shuffle on
     * user_id serves both windows and the final group-by.
+    *
+    * Hot-key bound: the user_id window serializes each key into one
+    * task — intrinsic to gap semantics (the running sum needs the full
+    * per-key order, so per-key pre-aggregation can't apply). Cost is
+    * O(hot·log hot) for that task's sort, no blow-up; pinned by
+    * AdversarialScaleSpec's 40%-hot-key fixture (200 exact sessions
+    * out of a 20k-event single-user history). The streaming twin
+    * ([[graft.streaming.EventStreams.sessionize]]) is the mitigation
+    * when one key's history outgrows a task: its state is
+    * O(open sessions per key), not O(events per key).
     */
   def q21(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)

@@ -94,6 +94,21 @@ class AdversarialScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(agg.getLong(2) == Cap.toLong)
   }
 
+  test("connectedComponents: a 4096-node chain converges inside the round guard") {
+    import spark.implicits._
+    // the pathological anti-near-clique: a pure CHAIN, diameter 4095.
+    // One-hop propagation needs one round per hop (4095 ≫ any sane
+    // guard); the adaptive pointer-jumping rounds halve path lengths,
+    // so maxIter=30 only passes if the O(log d) path is live (~14
+    // rounds for 4096). Fixpoint semantics must be unchanged: one
+    // component, labeled by its minimum id.
+    val n = 4096
+    val chain = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("d1", "d2")
+    val cc = Dedup.connectedComponents(chain, maxIter = 30).collect()
+    assert(cc.length == n)
+    assert(cc.forall(r => r.getLong(1) == 0L && r.getLong(2) == n.toLong))
+  }
+
   test("dd04: boilerplate and cluster shingles die at the df cut — zero pairs") {
     // the shared 3-grams have df 1300 (boilerplate) and 1150 (cluster),
     // both > 100; what remains is per-doc-unique → the inverted index
@@ -149,6 +164,52 @@ class AdversarialScaleSpec extends AnyFunSuite with SparkTestBase {
       col("asof_p_event_id") =!= lit(100000L) + (col("event_id") - col("event_id") % 100))
     assert(bad.count() == 0)
     assert(out.count() == n.toLong)
+  }
+
+  test("hot-key windows: q21/q08/q07 stay correct when one key owns 40% of rows") {
+    import spark.implicits._
+    // the user-keyed window family (Window.partitionBy(user_id))
+    // serializes each key into one task — intrinsic to per-key order.
+    // The bound is O(hot log hot) for that one task, NOT a cross
+    // product and NOT a full-relation skew: pin the semantics under a
+    // power-law key owning 40% of all rows (r4 verdict #2).
+    val d = java.nio.file.Files.createTempDirectory("graft_hot").toString
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    // hot user 7: 20k events in 200 bursts of 100 (1 s apart inside a
+    // burst, 1 h between bursts) → exactly 200 sessions of 100 events
+    val hot = (0 until 20000).map { i =>
+      (i.toLong, new java.sql.Timestamp(base + (i / 100) * 3600000L + (i % 100) * 1000L),
+        7L, "click", 5.0, "{}")
+    }
+    // 3000 cold users, 10 events each 10 s apart → one session per user
+    val cold = (0 until 30000).map { i =>
+      (100000L + i, new java.sql.Timestamp(base + (i / 3000) * 10000L),
+        1000L + i % 3000, "click", (i % 17).toDouble, "{}")
+    }
+    (hot ++ cold).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(8).write.parquet(s"$d/events.parquet")
+    (hot.take(2000) ++ cold.take(3000)).map(t => (t._1, t._3, t._5))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .repartition(4).write.parquet(s"$d/orders.parquet")
+
+    val sess = graft.operators.Relational.q21(spark, d).collect()
+    val hotSess = sess.filter(_.getAs[Long]("user_id") == 7L)
+    assert(hotSess.length == 200)
+    assert(hotSess.forall(r => r.getAs[Long]("n_events") == 100L &&
+      r.getAs[Long]("duration_sec") == 99L))
+    assert(sess.count(_.getAs[Long]("user_id") != 7L) == 3000)
+
+    // q08 top-1: the hot user's 20k values all TIE → unique-id
+    // tiebreak must pick the lowest event_id, deterministically
+    val top = graft.operators.Relational.q08(spark, d).collect()
+    val hotTop = top.filter(_.getAs[Long]("user_id") == 7L)
+    assert(hotTop.length == 1 && hotTop.head.getAs[Long]("event_id") == 0L)
+    assert(top.length == 3001)
+
+    // q07, same window shape on orders: hot custkey all-tied prices
+    val o = graft.operators.Relational.q07(spark, d).collect()
+    val hotO = o.filter(_.getAs[Long]("o_custkey") == 7L)
+    assert(hotO.length == 1 && hotO.head.getAs[Long]("o_orderkey") == 0L)
   }
 
   test("q23 bins: degenerate all-equal values land in exactly one bin") {
