@@ -330,6 +330,88 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1 -> 2L, 2 -> 1L), got.toString) // -5 and 0 in bin 1; 25 in bin 2
   }
 
+  test("RocksDB state store: fMGWS operators run green with bounded state metrics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the production state backend: HDFSBackedStateStoreProvider keeps
+    // every key's state on the executor HEAP — at 100 TB the state
+    // store must spill to disk, which is exactly what RocksDB provides.
+    // This spec proves the custom-state operators' state classes
+    // round-trip through RocksDB (serialization happens on EVERY
+    // access there, unlike the heap provider's object reuse) and that
+    // state stays key-bounded across batches.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // percentile state (histogram variant — the bounded-state one)
+      val mem = MemoryStream[(String, Int)]
+      val q = EventStreams.runningPercentilesHist(mem.toDS())
+        .writeStream.format("memory").queryName("rocks_pct")
+        .outputMode("update").start()
+      // 3 batches over the SAME 4 keys: state rows must stay at 4
+      (0 until 3).foreach { b =>
+        mem.addData((0 until 200).map(i => (s"node${i % 4}", (b * 200 + i) % 97)): _*)
+        q.processAllAvailable()
+      }
+      val prog = q.lastProgress
+      val op = prog.stateOperators.head
+      // RocksDB is really the provider (its custom metrics are present)
+      assert(op.customMetrics.keySet.toString.contains("rocksdb"),
+        s"expected rocksdb metrics, got ${op.customMetrics.keySet}")
+      // state is key-bounded: 4 entities, not 600 events
+      assert(op.numRowsTotal == 4L, s"state rows = ${op.numRowsTotal}")
+      q.stop()
+      // the final picks equal the batch positional definition
+      val last = spark.table("rocks_pct").collect()
+        .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.last }
+      val exp = (0 until 3).flatMap(b => (0 until 200).map(i =>
+          (s"node${i % 4}", (b * 200 + i) % 97)))
+        .groupBy(_._1).map { case (k, vs) =>
+          val sorted = vs.map(_._2.toDouble).toVector.sorted
+          k -> EventStreams.pick(sorted, 0.50)
+        }
+      exp.foreach { case (k, p50) =>
+        assert(last(k).getAs[Double]("p50") == p50, s"$k p50")
+      }
+
+      // sessionize + asOfStream: state classes round-trip RocksDB
+      val sess = MemoryStream[(Long, Timestamp)]
+      val qs = EventStreams.sessionize(sess.toDS())
+        .writeStream.format("memory").queryName("rocks_sess")
+        .outputMode("append").start()
+      sess.addData((1L, ts("2023-03-01 10:00:00")), (1L, ts("2023-03-01 10:10:00")))
+      qs.processAllAvailable()
+      // a 2h-later event closes the first session via gap
+      sess.addData((1L, ts("2023-03-01 12:30:00")))
+      qs.processAllAvailable()
+      qs.stop()
+      val closed = spark.table("rocks_sess").collect()
+      assert(closed.length == 1 && closed.head.getAs[Long]("n_events") == 2L)
+
+      val asof = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val qa = EventStreams.asOfStream(
+          asof.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .writeStream.format("memory").queryName("rocks_asof")
+        .outputMode("append").start()
+      asof.addData((1L, ts("2023-03-01 10:00:00"), 5L, "purchase", 9.0))
+      qa.processAllAvailable()
+      asof.addData((2L, ts("2023-03-01 10:30:00"), 5L, "click", 1.0))
+      qa.processAllAvailable()
+      qa.stop()
+      val attributed = spark.table("rocks_asof")
+        .filter(col("event_id") === 2L).collect()
+      assert(attributed.length == 1 &&
+        attributed.head.getAs[Long]("p_event_id") == 1L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("kmv_kth aggregates in a streaming window and matches the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
