@@ -9,10 +9,14 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
   * numeric cells, so no sharedStrings part is needed. Covers what the
   * report sink requires: typed cells, many sheets, the reference's
   * number formats (counts/bytes, 2-dp ms/MB, percents, 4-dp TPS —
-  * explore.py:1221-1296) via [[DiagXlsx.Styled]], and frozen header
-  * panes (explore.py sheets_data freeze_row). No formulas — the engine
-  * computes formula VALUES (see [[DiagReport.astraMetrics]]), which is
-  * the whole point of moving the reference's Excel formulas server-side.
+  * explore.py:1221-1296) via [[DiagXlsx.Styled]], frozen header panes
+  * (explore.py sheets_data freeze_row/freeze_col), merged title ranges
+  * (merge_range, explore.py:1343, 1395-1396, 1693-1695, 1807-1843) and
+  * cell comments (write_comment via write_cmt, explore.py:210-213 —
+  * emitted as the classic comments part + VML note shapes, the same
+  * mechanism xlsxwriter uses). No formulas — the engine computes
+  * formula VALUES (see [[DiagReport.astraMetrics]]), which is the whole
+  * point of moving the reference's Excel formulas server-side.
   */
 object DiagXlsx {
 
@@ -49,6 +53,13 @@ object DiagXlsx {
     sb.toString
   }
 
+  /** A1-style ref → 0-based (row, col) — anchors the VML note shapes. */
+  private[graft] def parseRef(ref: String): (Int, Int) = {
+    val (letters, digits) = ref.span(_.isLetter)
+    val col = letters.foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
+    (digits.toInt - 1, col)
+  }
+
   private def cellXml(ref: String, v: Any, style: Int = 0): String = {
     val s = if (style == 0) "" else s""" s="$style""""
     v match {
@@ -62,17 +73,58 @@ object DiagXlsx {
     }
   }
 
-  private def sheetXml(rows: Seq[Seq[Any]], freezeRows: Int): String = {
+  private def sheetXml(rows: Seq[Seq[Any]], freeze: (Int, Int),
+      merges: Seq[String], hasComments: Boolean): String = {
     val body = rows.zipWithIndex.map { case (cells, r) =>
       val cs = cells.zipWithIndex.map { case (v, c) => cellXml(s"${colRef(c)}${r + 1}", v) }
       s"""<row r="${r + 1}">${cs.mkString}</row>"""
     }.mkString
     // frozen header panes (the reference's freeze_panes/freeze_row)
+    val (fr, fc) = freeze
     val views =
-      if (freezeRows <= 0) ""
-      else s"""<sheetViews><sheetView workbookViewId="0"><pane ySplit="$freezeRows" topLeftCell="A${freezeRows + 1}" activePane="bottomLeft" state="frozen"/></sheetView></sheetViews>"""
+      if (fr <= 0 && fc <= 0) ""
+      else {
+        val y = if (fr > 0) s""" ySplit="$fr"""" else ""
+        val x = if (fc > 0) s""" xSplit="$fc"""" else ""
+        val tl = s"${colRef(fc)}${fr + 1}"
+        s"""<sheetViews><sheetView workbookViewId="0"><pane$x$y topLeftCell="$tl" activePane="bottomRight" state="frozen"/></sheetView></sheetViews>"""
+      }
+    // schema order: sheetViews, sheetData, mergeCells, legacyDrawing
+    val mergeXml =
+      if (merges.isEmpty) ""
+      else s"""<mergeCells count="${merges.length}">${
+        merges.map(m => s"""<mergeCell ref="$m"/>""").mkString}</mergeCells>"""
+    val legacy = if (hasComments) """<legacyDrawing r:id="rIdVml"/>""" else ""
     s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-       |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">$views<sheetData>$body</sheetData></worksheet>""".stripMargin
+       |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">$views<sheetData>$body</sheetData>$mergeXml$legacy</worksheet>""".stripMargin
+  }
+
+  /** The classic comments part: one `<comment>` per (cellRef, text). */
+  private def commentsXml(cs: Seq[(String, String)]): String =
+    s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+       |<comments xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+       |<authors><author></author></authors>
+       |<commentList>${cs.map { case (ref, text) =>
+           s"""<comment ref="$ref" authorId="0"><text><r><t xml:space="preserve">${esc(text)}</t></r></text></comment>"""
+         }.mkString}</commentList>
+       |</comments>""".stripMargin
+
+  /** The VML drawing that gives each comment its (hidden) note shape —
+    * required by the classic comments mechanism; without it most
+    * readers show no comment at all. */
+  private def vmlXml(cs: Seq[(String, String)]): String = {
+    val shapes = cs.zipWithIndex.map { case ((ref, _), i) =>
+      val (r, c) = parseRef(ref)
+      s"""<v:shape id="_x0000_s${1025 + i}" type="#_x0000_t202" style="position:absolute;margin-left:80pt;margin-top:2pt;width:200pt;height:60pt;z-index:${i + 1};visibility:hidden" fillcolor="#ffffe1" o:insetmode="auto">
+         |<v:fill color2="#ffffe1"/><v:shadow on="t" color="black" obscured="t"/>
+         |<x:ClientData ObjectType="Note"><x:MoveWithCells/><x:SizeWithCells/><x:AutoFill>False</x:AutoFill><x:Row>$r</x:Row><x:Column>$c</x:Column></x:ClientData>
+         |</v:shape>""".stripMargin
+    }.mkString
+    s"""<xml xmlns:v="urn:schemas-microsoft-com:vml" xmlns:o="urn:schemas-microsoft-com:office:office" xmlns:x="urn:schemas-microsoft-com:office:excel">
+       |<o:shapelayout v:ext="edit"><o:idmap v:ext="edit" data="1"/></o:shapelayout>
+       |<v:shapetype id="_x0000_t202" coordsize="21600,21600" o:spt="202" path="m,l,21600r21600,l21600,xe"><v:stroke joinstyle="miter"/><v:path gradientshapeok="t" o:connecttype="rect"/></v:shapetype>
+       |$shapes
+       |</xml>""".stripMargin
   }
 
   /** The styles part: number formats for counts, 2-dp, percent, 4-dp TPS
@@ -99,9 +151,13 @@ object DiagXlsx {
       |</styleSheet>""".stripMargin
 
   /** Write `sheets` (name → rows of cells) as a valid .xlsx at `path`.
-    * `freeze` maps a sheet name to its frozen header row count. */
+    * `freeze` maps a sheet name to its frozen (rows, cols);
+    * `merges` maps a sheet name to its merged A1-ranges;
+    * `comments` maps a sheet name to (cellRef, text) cell comments. */
   def write(path: String, sheets: Seq[(String, Seq[Seq[Any]])],
-      freeze: Map[String, Int] = Map.empty): Unit = {
+      freeze: Map[String, (Int, Int)] = Map.empty,
+      merges: Map[String, Seq[String]] = Map.empty,
+      comments: Map[String, Seq[(String, String)]] = Map.empty): Unit = {
     val zip = new ZipOutputStream(new java.io.FileOutputStream(path))
     def part(name: String, content: String): Unit = {
       zip.putNextEntry(new ZipEntry(name))
@@ -109,14 +165,19 @@ object DiagXlsx {
       zip.closeEntry()
     }
     val n = sheets.length
+    val withComments = sheets.zipWithIndex.collect {
+      case ((name, _), i) if comments.getOrElse(name, Nil).nonEmpty => (name, i + 1)
+    }
     part("[Content_Types].xml",
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
          |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
          |<Default Extension="xml" ContentType="application/xml"/>
+         |<Default Extension="vml" ContentType="application/vnd.openxmlformats-officedocument.vmlDrawing"/>
          |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
          |<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
          |${(1 to n).map(i => s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""").mkString("\n")}
+         |${withComments.map { case (_, i) => s"""<Override PartName="/xl/comments$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.comments+xml"/>""" }.mkString("\n")}
          |</Types>""".stripMargin)
     part("_rels/.rels",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
@@ -138,7 +199,20 @@ object DiagXlsx {
          |</Relationships>""".stripMargin)
     part("xl/styles.xml", stylesXml)
     sheets.zipWithIndex.foreach { case ((name, rows), i) =>
-      part(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(rows, freeze.getOrElse(name, 0)))
+      val cs = comments.getOrElse(name, Nil)
+      part(s"xl/worksheets/sheet${i + 1}.xml",
+        sheetXml(rows, freeze.getOrElse(name, (0, 0)),
+          merges.getOrElse(name, Nil), cs.nonEmpty))
+      if (cs.nonEmpty) {
+        part(s"xl/worksheets/_rels/sheet${i + 1}.xml.rels",
+          s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+             |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+             |<Relationship Id="rIdCmt" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/comments" Target="../comments${i + 1}.xml"/>
+             |<Relationship Id="rIdVml" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/vmlDrawing" Target="../drawings/vmlDrawing${i + 1}.vml"/>
+             |</Relationships>""".stripMargin)
+        part(s"xl/comments${i + 1}.xml", commentsXml(cs))
+        part(s"xl/drawings/vmlDrawing${i + 1}.vml", vmlXml(cs))
+      }
     }
     zip.close()
   }

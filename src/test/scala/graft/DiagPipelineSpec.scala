@@ -170,16 +170,26 @@ class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
       "Tombstones" -> "Sample DC,Sample Node,Keyspace,Table,Live Rows Read,Tombstones",
       "GC Pauses" -> "Name,Level/DC,Pauses,Max,P99,P98,P95,P90,P75,P50,Min,From,To,Max Date",
       "Data Size" -> "Keyspace,Table,Size (Bytes)")
-    hdr.foreach { case (tab, h) => assert(lines(tab).head == h, s"tab $tab header") }
-    // side-by-side blocks keep the empty separator column
-    assert(lines("Workload").head ==
+    // Data Size gains the merged 'Table Size' title row (explore.py:1343)
+    hdr.foreach { case (tab, h) =>
+      val at = if (tab == "Data Size") 1 else 0
+      assert(lines(tab)(at) == h, s"tab $tab header")
+    }
+    assert(lines("Data Size").head.startsWith("Table Size"))
+    // reference title rows (explore.py:1693-1695, 1395-1396), then the
+    // side-by-side blocks with the empty separator column
+    assert(lines("Workload").head.startsWith("Workload for TestCluster"))
+    assert(lines("Workload")(1).startsWith("Reads,,,,,,,Writes"))
+    assert(lines("Workload")(2) ==
       "Keyspace,Table,Read Requests,Average TPS,% Reads,R % RW,," +
         "Keyspace,Table,Write Requests,Average TPS,% Writes,W % RW")
-    assert(lines("Proxihistogram").head ==
+    assert(lines("Proxihistogram").head.startsWith(
+      "Coordinating Node Read Latency (ms)"))
+    assert(lines("Proxihistogram")(1) ==
       "Datacenter,Node,Max,P99,P98,P95,P75,P50,Min,," +
         "Datacenter,Node,Max,P99,P98,P95,P75,P50,Min")
     // workload data: read side sorted desc — users first; Total row closes
-    val wlRows = lines("Workload").tail
+    val wlRows = lines("Workload").drop(3)
     assert(wlRows.head.startsWith("ks1,users,20000"))
     assert(wlRows.last.contains("Total"))
     // node tab carries the Avg Uptime footer
@@ -216,9 +226,31 @@ class DiagPipelineSpec extends AnyFunSuite with SparkTestBase {
       val styles = part("xl/styles.xml")
       assert(styles.contains("formatCode=\"#,##0\""))
       assert(styles.contains("formatCode=\"#,##0.0000\""))
-      // frozen header panes: Workload freezes its header row
-      assert(part("xl/worksheets/sheet2.xml")
-        .contains("<pane ySplit=\"1\" topLeftCell=\"A2\" activePane=\"bottomLeft\" state=\"frozen\""))
+      // frozen panes: Workload freezes title+block+header rows (the
+      // reference's freeze_panes(3,0), explore.py:1129); Data Size
+      // freezes (2,2)
+      val wlSheet = part("xl/worksheets/sheet2.xml")
+      assert(wlSheet.contains(
+        "<pane ySplit=\"3\" topLeftCell=\"A4\" activePane=\"bottomRight\" state=\"frozen\""))
+      assert(part("xl/worksheets/sheet3.xml").contains(
+        "<pane xSplit=\"2\" ySplit=\"2\" topLeftCell=\"C3\""))
+      // merged title ranges (explore.py:1343, 1395-1396, 1693-1695)
+      assert(wlSheet.contains("<mergeCell ref=\"A1:M1\"/>") &&
+        wlSheet.contains("<mergeCell ref=\"A2:F2\"/>") &&
+        wlSheet.contains("<mergeCell ref=\"H2:M2\"/>"))
+      assert(part("xl/worksheets/sheet3.xml").contains("<mergeCell ref=\"A1:C1\"/>"))
+      assert(part("xl/worksheets/sheet5.xml").contains("<mergeCell ref=\"K1:S1\"/>"))
+      assert(part("xl/worksheets/sheet1.xml").contains("<mergeCell ref=\"A1:B1\"/>"))
+      // cell comments: classic comments part + VML note shapes, wired
+      // through the sheet rels (write_cmt, explore.py:210-213)
+      assert(entries.contains("xl/comments2.xml") &&
+        entries.contains("xl/drawings/vmlDrawing2.vml") &&
+        entries.contains("xl/worksheets/_rels/sheet2.xml.rels"))
+      assert(part("xl/comments2.xml").contains("<comment ref=\"C3\"") &&
+        part("xl/comments2.xml").contains("read requests during the nodes uptime"))
+      assert(wlSheet.contains("<legacyDrawing r:id=\"rIdVml\"/>"))
+      assert(part("xl/drawings/vmlDrawing2.vml").contains("ObjectType=\"Note\""))
+      assert(part("xl/comments3.xml").contains("single set of complete data"))
     } finally xlsx.close()
   }
 

@@ -521,6 +521,54 @@ class GoldenReferenceSpec extends AnyFunSuite with SparkTestBase {
     assert(ours("172.16.0.2") == ("Analytics", "6.0.4"))
   }
 
+  test("workbook: merged title ranges and cell comments match the reference's") {
+    val (_, cells, _) = golden
+    // build OUR xlsx for the same fixture and pull each sheet's
+    // mergeCells ranges + comment (ref → text) pairs out of the zip
+    val outDir = Files.createTempDirectory("graft_golden_wb").toString
+    DiagWorkbook.write(DiagReport.analyze(spark, "src/test/resources/diag_mini"), outDir)
+    val xlsx = new java.util.zip.ZipFile(s"$outDir/TestCluster_astra_chart.xlsx")
+    def part(name: String): Option[String] = Option(xlsx.getEntry(name)).map { e =>
+      val in = xlsx.getInputStream(e)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    // sheet order is fixed (workbook.xml): index by name
+    val sheetIdx = {
+      val wb = part("xl/workbook.xml").get
+      """<sheet name="([^"]+)" sheetId="(\d+)"""".r.findAllMatchIn(wb)
+        .map(m => m.group(1) -> m.group(2).toInt).toMap
+    }
+    def ourMerges(sheet: String): Set[String] =
+      part(s"xl/worksheets/sheet${sheetIdx(sheet)}.xml").toSeq.flatMap(x =>
+        """<mergeCell ref="([^"]+)"/>""".r.findAllMatchIn(x).map(_.group(1))).toSet
+    def ourComments(sheet: String): Map[String, String] =
+      part(s"xl/comments${sheetIdx(sheet)}.xml").toSeq.flatMap(x =>
+        """<comment ref="([^"]+)" authorId="0"><text><r><t[^>]*>([^<]*)</t>""".r
+          .findAllMatchIn(x).map(m => m.group(1) -> m.group(2))).toMap
+    def refMerges(sheet: String): Set[String] =
+      cells.get(sheet).get("__merges__").elements.asScala.map(_.asText).toSet
+    def refComments(sheet: String): Map[String, String] =
+      cells.get(sheet).get("__comments__").properties.asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap
+    try {
+      // title merges are layout constants — exact set parity
+      for (s <- Seq("Workload", "Data Size", "Proxihistogram"))
+        assert(refMerges(s) == ourMerges(s), s"$s merges")
+      // Astra Metrics title merges (the warning-section row merges
+      // depend on the reference's per-row cursor, compared by count)
+      assert(Set("A1:B1", "A2:B2").subsetOf(ourMerges("Astra Metrics")))
+      assert(Set("A1:B1", "A2:B2").subsetOf(refMerges("Astra Metrics")))
+      // comments: exact (coord → text) parity on the data sheets
+      assert(refComments("Data Size") == ourComments("Data Size"), "ds comments")
+      assert(refComments("Workload") == ourComments("Workload"), "wl comments")
+      // metric-label comments carry the same texts at the same cells
+      val amRef = refComments("Astra Metrics")
+      val amOur = ourComments("Astra Metrics")
+      for (c <- Seq("A3", "A4", "A5", "A6", "A7"))
+        assert(amRef.get(c) == amOur.get(c), s"am comment $c")
+    } finally xlsx.close()
+  }
+
   test("pinned: tablestats-only node crashes the reference, not the engine") {
     val py = requireEnv()
     val raw = Files.createTempDirectory("graft_golden_raw")

@@ -21,6 +21,8 @@ class _Worksheet(object):
         self.name = name
         self._book = book
         self._cells = {}
+        self._merges = []
+        self._comments = {}
 
     @staticmethod
     def _key(row, col):
@@ -42,15 +44,20 @@ class _Worksheet(object):
             self._cells[self._key(row, col)] = {"formula": formula}
 
     def merge_range(self, *args, **kwargs):
-        # ('A1:C1', data, fmt) — record under the range's first cell
+        # ('A1:C1', data, fmt) — record under the range's first cell,
+        # and keep the RANGE itself so golden tests can diff the
+        # engine's mergeCells part against the reference's merges
         if args and isinstance(args[0], str):
             self._cells[args[0].split(":")[0]] = args[1] if len(args) > 1 else None
+            self._merges.append(args[0])
 
     def set_column(self, *a, **k):
         pass
 
     def write_comment(self, *a, **k):
-        pass
+        # ('C3', text, options) — recorded for the golden comment diff
+        if a and isinstance(a[0], str):
+            self._comments[a[0]] = a[1] if len(a) > 1 else None
 
     def freeze_panes(self, *a, **k):
         pass
@@ -76,7 +83,14 @@ class Workbook(object):
         return object()
 
     def close(self):
-        dump = {ws.name: ws._cells for ws in self._sheets}
+        # cell keys are 'r,c' or A1 refs, so the reserved __merges__ /
+        # __comments__ keys can never collide with a real cell
+        dump = {}
+        for ws in self._sheets:
+            d = dict(ws._cells)
+            d["__merges__"] = ws._merges
+            d["__comments__"] = ws._comments
+            dump[ws.name] = d
         with open(self._path + ".celldump.json", "w") as f:
             # format objects or other opaque values degrade to null
             json.dump(dump, f, default=lambda o: None)
