@@ -11,7 +11,9 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
+    // same env override as Bench: plan census at other scale factors
+    // (the sf1.0 soak re-checks the budgets against real file stats)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     if (args.sameElements(Array("-counts"))) {
       // exchange census over every registered query (pre-AQE initial
       // plans — deterministic), the input to PlanBudgetSpec's budgets
