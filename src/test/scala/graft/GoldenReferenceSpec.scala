@@ -265,6 +265,44 @@ class GoldenReferenceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("workbook: reference Workload WRITE-block cells equal the engine's write side") {
+    val (_, cells, _) = golden
+    val wlSheet = cells.get("Workload")
+    // write block: cols 7-12 from row 3 (explore.py:1765-1790); a table
+    // with no write counter (the read-only index keyspace) must NOT
+    // appear — the reference's write_count list has no entry for it
+    def cell(r: Int, c: Int): Option[JsonNode] = Option(wlSheet.get(s"$r,$c"))
+    val refRows = Iterator.from(3)
+      .map(r => (r, cell(r, 7)))
+      .takeWhile { case (_, v) => v.exists(v => v.asText != "Total" && v.asText.nonEmpty) }
+      .map { case (r, _) =>
+        (cell(r, 7).get.asText, cell(r, 8).get.asText, cell(r, 9).get.asDouble,
+          cell(r, 10).get.asDouble, cell(r, 11).get.asDouble, cell(r, 12).get.asDouble)
+      }.toSeq
+    assert(refRows.nonEmpty)
+    val ours = DiagReport.analyze(spark, "src/test/resources/diag_mini")
+      .workload.collect()
+      .filter(r => Option(r.getAs[Any]("writes")).isDefined)
+      .sortBy(r => -r.getAs[Double]("writes"))
+      .map(r => (r.getAs[String]("keyspace"), r.getAs[String]("table"),
+        r.getAs[Double]("writes"), r.getAs[Double]("write_tps"),
+        r.getAs[Double]("perc_write"), r.getAs[Double]("write_perc_rw"))).toSeq
+    assert(refRows.length == ours.length,
+      s"row count: ref=${refRows.length} ours=${ours.length}")
+    refRows.zip(ours).foreach { case (a, b) =>
+      assert(a._1 == b._1 && a._2 == b._2, s"key order: $a vs $b")
+      Seq((a._3, b._3), (a._4, b._4), (a._5, b._5), (a._6, b._6)).foreach {
+        case (x, y) => assert(math.abs(x - y) < 1e-9, s"value: $a vs $b")
+      }
+    }
+    // and the read-only index table really is the delta between sides
+    val readKeys = DiagReport.analyze(spark, "src/test/resources/diag_mini")
+      .workload.collect().filter(r => Option(r.getAs[Any]("reads")).isDefined)
+      .map(r => (r.getAs[String]("keyspace"), r.getAs[String]("table"))).toSet
+    val writeKeys = ours.map(t => (t._1, t._2)).toSet
+    assert((readKeys -- writeKeys).contains(("ks2", "users_by_email_idx")))
+  }
+
   test("workbook: reference Tombstones-tab cells equal the engine's tab (node-dir pinned)") {
     val (_, cells, _) = golden
     val sheet = cells.get("Tombstones")
