@@ -404,6 +404,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .filter(col("event_id") === 2L).collect()
       assert(attributed.length == 1 &&
         attributed.head.getAs[Long]("p_event_id") == 1L)
+
+      // the kmv_kth TypedImperativeAggregate's ≤k-long buffer goes
+      // through the STREAMING-AGGREGATION state path (distinct from
+      // fMGWS state) — pin that it round-trips RocksDB too and still
+      // reproduces the batch sketch
+      val kmem = MemoryStream[(Timestamp, Long)]
+      val qk = EventStreams.hourlyKmvDistinct(
+          kmem.toDF().toDF("ts", "user_id"))
+        .writeStream.format("memory").queryName("rocks_kmv")
+        .outputMode("update").start()
+      val krows = (0 until 300).map(i =>
+        (ts(f"2023-03-01 10:${i % 50}%02d:00"), (i % 83).toLong))
+      krows.grouped(100).foreach { b => kmem.addData(b: _*); qk.processAllAvailable() }
+      val kOp = qk.lastProgress.stateOperators.head
+      assert(kOp.customMetrics.keySet.toString.contains("rocksdb"))
+      qk.stop()
+      val kLast = spark.table("rocks_kmv").collect()
+        .groupBy(_.getTimestamp(0)).map { case (w, rs) => w -> rs.last }
+      val kBatch = krows.toDF("ts", "user_id")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(call_function("kmv_kth",
+          graft.operators.Dedup.h60(concat(lit("u"), col("user_id").cast("string"))),
+          lit(64)).as("s"))
+        .select(col("window.start"), col("s.n_kept"), col("s.kth"))
+        .collect().map(r => r.getTimestamp(0) -> r).toMap
+      assert(kLast.keySet == kBatch.keySet && kLast.nonEmpty)
+      kLast.foreach { case (w, r) =>
+        assert(r.getLong(1) == kBatch(w).getLong(1) &&
+          Option(r.get(2)) == Option(kBatch(w).get(2)), s"window $w")
+      }
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
