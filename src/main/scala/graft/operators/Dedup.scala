@@ -430,11 +430,31 @@ object Dedup {
     // candidate generation runs with no exchange. The cut itself is a
     // hash-aggregate + join, not a window (r2 verdict "What's wrong" #4).
     val sh = DedupPrepare.shinglesByShingle(s, dir)
-    val dfCut = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 100).select(col("s"))
-    val kept = sh.join(dfCut, Seq("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // the df cut is phrased as an ANTI join against the STOP list
+    // (df > 100), not an inner join against the keep list: the stop
+    // list is the small side at every scale (boilerplate shingles
+    // only — ≤ total-occurrences/100 entries by construction), so it
+    // broadcasts even at corpus sizes where "all kept shingles" never
+    // could. The df aggregate itself runs on the by-s bucketed table:
+    // no exchange.
+    val stop = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 100).select(col("s"))
+    // NOT persisted: an InMemoryRelation here erases the bucketed-by-s
+    // partitioning at planning time (the unmaterialized AQE-wrapped
+    // cache reports unknown partitioning), which re-introduces a
+    // both-sides exchange on the pair self-join — the single shuffle
+    // the by-shingle layer exists to remove. Each use of `kept` is a
+    // co-bucketed table scan plus a broadcast stop-list anti filter
+    // (ReuseExchange shares the one broadcast), i.e. recompute is
+    // scan-cheap, while at corpus scale the cache itself could never
+    // fit executor storage.
+    val kept = sh.join(stop, Seq("s"), "left_anti")
+    // per-doc kept-shingle counts read the by-DOC bucketed twin of the
+    // same relation — groupBy(doc_id) needs no exchange there, where
+    // on the by-s table it would shuffle the whole shingle relation
+    val n = DedupPrepare.shingles3(s, dir)
+      .join(stop, Seq("s"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = kept.as("a").join(kept.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
