@@ -429,33 +429,27 @@ object Dedup {
     // self-join below are all keyed on s and read co-bucketed data, so
     // candidate generation runs with no exchange. The cut itself is a
     // hash-aggregate + join, not a window (r2 verdict "What's wrong" #4).
-    val sh = DedupPrepare.shinglesByShingle(s, dir)
-    // the df cut is phrased as an ANTI join against the STOP list
-    // (df > 100), not an inner join against the keep list: the stop
-    // list is the small side at every scale (boilerplate shingles
-    // only — ≤ total-occurrences/100 entries by construction), so it
-    // broadcasts even at corpus sizes where "all kept shingles" never
-    // could. The df aggregate itself runs on the by-s bucketed table:
-    // no exchange.
-    val stop = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > 100).select(col("s"))
-    // NOT persisted: an InMemoryRelation here erases the bucketed-by-s
-    // partitioning at planning time (the unmaterialized AQE-wrapped
-    // cache reports unknown partitioning), which re-introduces a
-    // both-sides exchange on the pair self-join — the single shuffle
-    // the by-shingle layer exists to remove. Each use of `kept` is a
-    // co-bucketed table scan plus a broadcast stop-list anti filter
-    // (ReuseExchange shares the one broadcast), i.e. recompute is
-    // scan-cheap, while at corpus scale the cache itself could never
-    // fit executor storage.
-    val kept = sh.join(stop, Seq("s"), "left_anti")
-    // per-doc kept-shingle counts read the by-DOC bucketed twin of the
-    // same relation — groupBy(doc_id) needs no exchange there, where
-    // on the by-s table it would shuffle the whole shingle relation
-    val n = DedupPrepare.shingles3(s, dir)
-      .join(stop, Seq("s"), "left_anti")
+    // Both orientations of the df-cut shingle relation come from the
+    // prep layer (the cut is operator semantics, applied at write time
+    // as an anti-join against the small stop list — DedupPrepare.DfCut):
+    //  - the pair self-join reads the by-s table twice: co-bucketed AND
+    //    co-sorted (single file per bucket), so it needs neither an
+    //    exchange nor a sort;
+    //  - the per-doc denominators group the by-doc twin on doc_id with
+    //    no exchange.
+    // NOT persisted (r5): a per-query InMemoryRelation here planned as
+    // an unmaterialized AQE subtree with UNKNOWN partitioning, which
+    // re-introduced a both-sides exchange on the self-join — and a
+    // cache of the full kept-shingle relation could never fit executor
+    // storage at corpus scale anyway.
+    val kept = DedupPrepare.keptByShingle(s, dir)
+    val n = DedupPrepare.keptByDoc(s, dir)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = kept.as("a").join(kept.as("b"),
+    // MERGE hint: table stats tempt the planner into broadcasting the
+    // whole corpus-sized kept relation (a 2M-row hash build at sf1.0,
+    // impossible at real scale); the co-bucketed co-sorted SMJ streams
+    // both sides with no exchange, no sort, and no build side.
+    val inter = kept.as("a").hint("merge").join(kept.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("c"))

@@ -107,7 +107,17 @@ object DedupPrepare {
       val stale = fs.globStatus(
         new org.apache.hadoop.fs.Path(whRoot, base + "_*"))
       if (stale != null) stale.foreach(f => fs.delete(f.getPath, true))
-      build().write.mode("overwrite").format("parquet")
+      // repartition on the bucket key into exactly `Buckets` partitions
+      // BEFORE the bucketed write: HashPartitioning and bucket-id use
+      // the same Murmur3 hash, so every write task holds exactly one
+      // bucket and each bucket lands in ONE file. Spark only trusts a
+      // bucketed table's sortBy order when a bucket is a single file —
+      // with it, readers get outputOrdering as well as partitioning,
+      // and the family's sort-merge self-joins elide their Sorts (at
+      // multi-file buckets they re-sort the whole relation per side,
+      // which at sf1.0 measured ~2x the query's entire budget).
+      build().repartition(Buckets, bucketCols.map(col): _*)
+        .write.mode("overwrite").format("parquet")
         .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(sortCols.head, sortCols.tail: _*)
         .saveAsTable(name)
@@ -140,6 +150,39 @@ object DedupPrepare {
     ensure(s, "shbys", dir,
       () => shingles3(s, dir),
       Seq("s"), Seq("s"))
+
+  /** dd04's df-cut threshold: shingles with document frequency above
+    * this are boilerplate ("stop-shingles") and take no part in n-gram
+    * Jaccard. Part of the operator's semantics (the oracle applies the
+    * same cut), hence baked into the prep tables like [[lshBands]]'s
+    * cap. */
+  val DfCut = 100
+
+  private def stopShingles(s: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesByShingle(s, dir)
+    sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCut).select(col("s"))
+  }
+
+  /** The kept (df ≤ [[DfCut]]) shingle relation in the BY-SHINGLE
+    * orientation — dd04's pair self-join reads two copies of this and
+    * needs neither exchange nor sort (single file per bucket). The
+    * anti-join against the SMALL stop side (boilerplate only, ≤
+    * occurrences/DfCut entries at any corpus size) is paid once here,
+    * at write time. */
+  def keptByShingle(s: SparkSession, dir: String): DataFrame =
+    ensure(s, s"kept${DfCut}s", dir,
+      () => shinglesByShingle(s, dir)
+        .join(stopShingles(s, dir), Seq("s"), "left_anti"),
+      Seq("s"), Seq("s"))
+
+  /** The same kept relation BY DOC — per-doc kept-shingle counts
+    * (dd04's Jaccard denominators) group on doc_id with no exchange. */
+  def keptByDoc(s: SparkSession, dir: String): DataFrame =
+    ensure(s, s"kept${DfCut}d", dir,
+      () => shingles3(s, dir)
+        .join(stopShingles(s, dir), Seq("s"), "left_anti"),
+      Seq("doc_id"), Seq("doc_id"))
 
   /** Capped SimHash chunk relation (j, c, doc_id, simhash), bucketed by
     * (j, c) — dd06's Hamming-banding self-join reads co-bucketed data
