@@ -198,7 +198,10 @@ object Dedup {
     // corpus-wide bucketed table — lshBands is bucketed on (b, bh), so
     // this self-join needs NO exchange on either side
     val bandsLong = DedupPrepare.lshBands(s, dir)
-    val cand = bandsLong.as("x").join(bandsLong.as("y"),
+    // merge-pinned: the build side of a broadcast here would be the
+    // corpus-sized band relation itself (compressed file stats undercut
+    // the broadcast threshold at mid scale and mispick it)
+    val cand = bandsLong.as("x").hint("merge").join(bandsLong.as("y"),
         col("x.b") === col("y.b") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
@@ -536,7 +539,9 @@ object Dedup {
     // (DedupPrepare.simhashChunks) — both sides of this self-join read
     // the same buckets, no exchange and no per-branch recompute
     val chunksLong = DedupPrepare.simhashChunks(s, dir)
-    chunksLong.as("x").join(chunksLong.as("y"),
+    // merge-pinned for the same reason as dd03's band join: never
+    // broadcast the corpus-sized chunk relation
+    chunksLong.as("x").hint("merge").join(chunksLong.as("y"),
         col("x.j") === col("y.j") && col("x.c") === col("y.c") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),

@@ -122,6 +122,13 @@ object DedupPrepare {
         .sortBy(sortCols.head, sortCols.tail: _*)
         .saveAsTable(name)
     }
+    // No blanket join hint here: a session-wide experiment pinned
+    // MERGE on every prep read and it measured strictly worse (sf0.1
+    // 31.3 -> 34.7 s, isolated dd04 at sf1.0 11 -> 28 s) because it
+    // also forces SMJ where broadcasting a small DERIVED side is both
+    // correct and scale-safe. The candidate SELF-joins — the only
+    // sites where the broadcast side is the corpus relation itself —
+    // carry the hint at their call sites instead.
     s.table(name)
   }
 

@@ -22,8 +22,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     * ss05 = sum of its four audited pipelines by construction. */
   private val budget = Map(
     "dd01_exact_dedup" -> 2, "dd02_minhash_sig" -> 1,
-    "dd03_minhash_lsh_pairs" -> 7, "dd04_ngram_jaccard_topk" -> 3,
-    "dd05_simhash_sig" -> 1, "dd06_simhash_hamming" -> 2,
+    "dd03_minhash_lsh_pairs" -> 6, "dd04_ngram_jaccard_topk" -> 3,
+    "dd05_simhash_sig" -> 1, "dd06_simhash_hamming" -> 1,
     "dd07_embedding_neardup" -> 3, "dd08_neardup_clusters" -> 3,
     "dd09_cluster_keeper" -> 11, "dd10_semantic_clusters" -> 3,
     "mm01_media_decode_meta" -> 1, "mm02_frame_sample" -> 1,
