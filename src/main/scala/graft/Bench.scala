@@ -50,7 +50,33 @@ object Bench {
     val samples = results
       .map { case (k, v) => Json.quote(k) + ":" + v._3.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_cold":${jmap(_._2)},"queries_warm_samples":$samples,"failed":$nFailed,"sf":${Json.quote(sfDir)}}""")
+    // Full-fidelity payload (full query names, cold pass, raw warm samples)
+    // goes to a FILE: the single-line form was ~6 KB, and the harness that
+    // collects this output keeps only a ~2000-char tail of stdout, which
+    // truncated the JSON mid-object two rounds running. stdout gets ONLY a
+    // compact line (last, so the tail always contains it whole).
+    val verbose = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_cold":${jmap(_._2)},"queries_warm_samples":$samples,"failed":$nFailed,"sf":${Json.quote(sfDir)}}"""
+    val verbosePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_VERBOSE_PATH", "BENCH_VERBOSE.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(verbosePath),
+        (verbose + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] verbose payload written to $verbosePath")
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] verbose write failed (${e.getMessage}); payload follows on stderr")
+      System.err.println(verbose) }
+    // Compact keys are the unique ID prefix of each query name ("q20",
+    // "dd04", …) — all 54 are distinct — and times are trimmed to ≤3
+    // decimals, keeping the whole line under ~800 chars (full names alone
+    // are 1030 chars and blow the tail budget). -1.0 failures round-trip
+    // exactly so a broken query still reads as negative downstream.
+    def fmt(d: Double): String = {
+      val s = if (d < 0) "-1" else if (d >= 10) f"$d%.2f" else f"$d%.3f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    }
+    val compactQ = results
+      .map { case (k, v) => Json.quote(k.takeWhile(_ != '_')) + ":" + fmt(v._1) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQ,"failed":$nFailed,"sf":${Json.quote(sfDir.split('/').last)}}""")
     spark.stop()
   }
 }
