@@ -51,16 +51,20 @@ object DedupPrepare {
   private val fpCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Forget the memoized corpus fingerprint for `dir` — call after
-    * rewriting a corpus in place, before the next prepared query. */
-  def invalidate(dir: String): Unit = fpCache.remove(dir)
+  /** Forget the memoized corpus fingerprints for `dir` (all source
+    * files) — call after rewriting a corpus in place, before the next
+    * prepared query. */
+  def invalidate(dir: String): Unit =
+    fpCache.keySet.removeIf(_.startsWith(s"$dir::"))
   def invalidateAll(): Unit = fpCache.clear()
 
-  private def fingerprint(s: SparkSession, dir: String): String =
-    fpCache.computeIfAbsent(dir, _ => fingerprintUncached(s, dir))
+  private def fingerprint(s: SparkSession, dir: String, fpFile: String): String =
+    fpCache.computeIfAbsent(s"$dir::$fpFile",
+      _ => fingerprintUncached(s, dir, fpFile))
 
-  private def fingerprintUncached(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+  private def fingerprintUncached(s: SparkSession, dir: String,
+      fpFile: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$fpFile")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val entries =
       if (!fs.exists(p)) Seq("absent")
@@ -85,11 +89,23 @@ object DedupPrepare {
     s"${safe}_$h".toLowerCase
   }
 
-  private def ensure(s: SparkSession, family: String, dir: String,
+  /** `variant` distinguishes parameterizations WITHIN a family (e.g. the
+    * df-cut threshold) and sits AFTER the fingerprint in the table name,
+    * inside the `base_*` glob the stale-layer sweep uses — so changing a
+    * threshold mints a new table AND reclaims the old threshold's
+    * directories on the next ensure, instead of orphaning them forever
+    * (which baking the threshold into the family name did). */
+  /** `fpFile` names the source table whose files fingerprint the layer
+    * (documents.parquet for the shingle family, embeddings.parquet for
+    * the IVF index in [[Similarity]]) — shared by any operator family
+    * that materializes a corpus-level artifact. */
+  private[operators] def ensure(s: SparkSession, family: String, dir: String,
       build: () => DataFrame,
-      bucketCols: Seq[String], sortCols: Seq[String]): DataFrame = synchronized {
+      bucketCols: Seq[String], sortCols: Seq[String],
+      variant: String = "",
+      fpFile: String = "documents.parquet"): DataFrame = synchronized {
     val base = s"graft_prep_${family}_${dirTag(dir)}"
-    val name = s"${base}_${fingerprint(s, dir)}"
+    val name = s"${base}_${fingerprint(s, dir, fpFile)}$variant"
     if (!s.catalog.tableExists(name)) {
       // the in-memory catalog forgets tables across JVMs but warehouse
       // directories survive — and every corpus rewrite mints a NEW
@@ -165,31 +181,38 @@ object DedupPrepare {
     * cap. */
   val DfCut = 100
 
-  private def stopShingles(s: SparkSession, dir: String): DataFrame = {
-    val sh = shinglesByShingle(s, dir)
-    sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > DfCut).select(col("s"))
-  }
+  /** The stop list (shingles with df > [[DfCut]]) as its OWN tiny prep
+    * table: both kept orientations anti-join against it, and without the
+    * materialization each kept build re-ran the full corpus-sized
+    * groupBy-df aggregation at prep-write time (r5 ADVICE) — now the df
+    * aggregate runs once per corpus. Bounded small by construction
+    * (≤ occurrences/DfCut entries at any corpus size), so the reads
+    * broadcast. */
+  private def stopShingles(s: SparkSession, dir: String): DataFrame =
+    ensure(s, "stops", dir,
+      () => shinglesByShingle(s, dir)
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > DfCut).select(col("s")),
+      Seq("s"), Seq("s"), variant = s"_df$DfCut")
 
   /** The kept (df ≤ [[DfCut]]) shingle relation in the BY-SHINGLE
     * orientation — dd04's pair self-join reads two copies of this and
     * needs neither exchange nor sort (single file per bucket). The
-    * anti-join against the SMALL stop side (boilerplate only, ≤
-    * occurrences/DfCut entries at any corpus size) is paid once here,
-    * at write time. */
+    * anti-join against the SMALL stop side is paid once here, at write
+    * time. */
   def keptByShingle(s: SparkSession, dir: String): DataFrame =
-    ensure(s, s"kept${DfCut}s", dir,
+    ensure(s, "kepts", dir,
       () => shinglesByShingle(s, dir)
         .join(stopShingles(s, dir), Seq("s"), "left_anti"),
-      Seq("s"), Seq("s"))
+      Seq("s"), Seq("s"), variant = s"_df$DfCut")
 
   /** The same kept relation BY DOC — per-doc kept-shingle counts
     * (dd04's Jaccard denominators) group on doc_id with no exchange. */
   def keptByDoc(s: SparkSession, dir: String): DataFrame =
-    ensure(s, s"kept${DfCut}d", dir,
+    ensure(s, "keptd", dir,
       () => shingles3(s, dir)
         .join(stopShingles(s, dir), Seq("s"), "left_anti"),
-      Seq("doc_id"), Seq("doc_id"))
+      Seq("doc_id"), Seq("doc_id"), variant = s"_df$DfCut")
 
   /** Capped SimHash chunk relation (j, c, doc_id, simhash), bucketed by
     * (j, c) — dd06's Hamming-banding self-join reads co-bucketed data

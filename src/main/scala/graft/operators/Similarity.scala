@@ -49,10 +49,12 @@ object Similarity {
     dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
 
   /** DuckDB mirror of the grid dot/norm, via unnest + ordinal join. The
-    * Spark side folds sequentially; grid integers make the order moot. */
+    * Spark side folds sequentially; grid integers make the order moot.
+    * Deliberately label-free: no ss query reads the ground-truth `label`
+    * column (a real corpus has none — r5 verdict #4). */
   private val elCte: String =
     """el AS (
-      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
       |         generate_subscripts(embedding, 1) AS pos
       |  FROM embeddings),
       |nrm AS (SELECT vec_id, SUM(CAST(ROUND((x * x) * 1e9) AS BIGINT)) AS n2
@@ -102,11 +104,12 @@ object Similarity {
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- ss02
-  /** IVF top-k: coarse cells = `label`; centroid = per-dimension mean
-    * (grid-exact sum ÷ count); each query probes only its best cell by
-    * query↔centroid cosine (tie-break label asc), then exact top-5 inside
-    * the cell. At 100 TB the cell assignment is a broadcast join and only
-    * 1/cells of the data is scored per query.
+  /** IVF top-k over LEARNED coarse cells: k-means with deterministic
+    * hash init and [[IvfRounds]] Lloyd iterations (a real corpus has no
+    * label column to lean on — r5 verdict #4). Each query probes only
+    * its best cell by query↔centroid cosine (tie-break cell asc), then
+    * exact top-5 inside the cell. At 100 TB the cell assignment is a
+    * broadcast join and only 1/cells of the data is scored per query.
     */
   def ss02(s: SparkSession, dir: String): DataFrame = ivf(s, dir, nprobe = 1)
 
@@ -118,48 +121,120 @@ object Similarity {
     */
   def ss04(s: SparkSession, dir: String): DataFrame = ivf(s, dir, nprobe = 2)
 
+  /** Cell count and Lloyd-iteration count of the learned IVF index.
+    * Fixed small constants: the oracle unrolls the same number of
+    * iterations, so the assignment is a closed-form deterministic
+    * function of the data. */
+  val IvfK = 10
+  val IvfRounds = 2
+
+  /** One Lloyd-style centroid table from an assignment: grid-exact
+    * per-dimension means. */
+  private def centroidsOf(el: DataFrame, assign: DataFrame): DataFrame =
+    el.join(assign, Seq("vec_id"))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(Dedup.gridL(col("x"))).cast("double") / 1e9 / count(lit(1))).as("c"))
+
+  private def explodedEl(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+
+  /** k-means assignment as DataFrame aggs, engine-portable by
+    * construction: init assigns each vector to cell h60("ivf"‖vec_id)
+    * mod k (no RNG); each Lloyd round recomputes centroids as
+    * grid-exact means and re-assigns by squared L2 distance computed
+    * ENTIRELY in grid integers (‖v‖² − 2⟨v,c⟩ + ‖c‖², each term a grid
+    * sum) with lexicographic (d², cell) tie-break — so Spark and the
+    * unrolled DuckDB oracle agree bit-for-bit, and the assignment
+    * argmin is a map-side `min(struct)` aggregate, not a window over
+    * the pair relation. Cost per round: one broadcast join against
+    * k·dims centroid rows + one groupBy(vec_id) — linear in corpus
+    * size, the textbook distributed-Lloyd shape. */
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val el = explodedEl(s, dir)
+    val vnorm = el.groupBy(col("vec_id")).agg(sum(Dedup.gridL(col("x") * col("x"))).as("vn2"))
+    var assign = Tables.embeddings(s, dir).select(col("vec_id"))
+      .withColumn("cell", (Dedup.h60(concat(lit("ivf"), col("vec_id"))) % IvfK).cast("int"))
+    for (_ <- 1 to IvfRounds) {
+      val cent = centroidsOf(el, assign)
+      val centN = cent.groupBy(col("cell")).agg(sum(Dedup.gridL(col("c") * col("c"))).as("cn2"))
+      assign = el.join(broadcast(cent), Seq("pos"))
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(sum(Dedup.gridL(col("x") * col("c"))).as("dotvc"))
+        .join(broadcast(centN), Seq("cell"))
+        .join(vnorm, Seq("vec_id"))
+        .withColumn("d2", col("vn2") - lit(2L) * col("dotvc") + col("cn2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"))
+    }
+    assign
+  }
+
+  /** The learned IVF index, MATERIALIZED: a real deployment builds the
+    * index once and probes it many times, so the assignment and the
+    * centroid table are prep tables keyed by the embeddings corpus
+    * fingerprint (same [[DedupPrepare.ensure]] machinery as the shingle
+    * layer). This also keeps the probe plans sane — inlining the Lloyd
+    * lineage re-expanded it into every consumer (the k-means DAG has no
+    * common-subplan sharing in Catalyst) and ss02's pre-AQE exchange
+    * count went to 72; reading the built index it is a handful. Final
+    * centroids are recomputed FROM the final assignment (the standard
+    * closing M-step), so the centroid layer derives from the
+    * materialized assignment layer and the two agree. */
+  private def ivfAssign(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "ivfassign", dir, () => kmeansAssign(s, dir),
+      Seq("vec_id"), Seq("vec_id"),
+      variant = s"_k${IvfK}r$IvfRounds", fpFile = "embeddings.parquet")
+
+  private def ivfCent(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "ivfcent", dir,
+      () => centroidsOf(explodedEl(s, dir), ivfAssign(s, dir)),
+      Seq("cell"), Seq("cell", "pos"),
+      variant = s"_k${IvfK}r$IvfRounds", fpFile = "embeddings.parquet")
+
   private def ivf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val el = e.select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("pos", "x")))
-      .withColumn("x", col("x").cast("double"))
-    // centroid component: exact grid mean, then back to double
-    val cent = el.groupBy(col("label"), col("pos"))
-      .agg((sum(Dedup.gridL(col("x"))).cast("double") / 1e9 / count(lit(1))).as("c"))
-    val centNorm = cent.groupBy(col("label"))
+    val (assign, cent) = (ivfAssign(s, dir), ivfCent(s, dir))
+    val centNorm = cent.groupBy(col("cell"))
       .agg(sum(Dedup.gridL(col("c") * col("c"))).as("cn2"))
+    val el = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
     val qel = el.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("pos"), col("x").as("qx"))
     val qNorm = qel.groupBy(col("query_id")).agg(sum(Dedup.gridL(col("qx") * col("qx"))).as("qn2"))
-    val qc = qel.join(cent.withColumnRenamed("label", "clabel"), Seq("pos"))
-      .groupBy(col("query_id"), col("clabel"))
+    val qc = qel.join(cent.withColumnRenamed("cell", "ccell"), Seq("pos"))
+      .groupBy(col("query_id"), col("ccell"))
       .agg(sum(Dedup.gridL(col("qx") * col("c"))).as("dotqc"))
       .join(qNorm, Seq("query_id"))
-      .join(centNorm.withColumnRenamed("label", "clabel"), Seq("clabel"))
+      .join(centNorm.withColumnRenamed("cell", "ccell"), Seq("ccell"))
       .withColumn("ccos", cosine(col("dotqc"), col("qn2"), col("cn2")))
     val wc = Window.partitionBy(col("query_id"))
-      .orderBy(col("ccos").desc, col("clabel"))
+      .orderBy(col("ccos").desc, col("ccell"))
     val best = qc.withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("clabel"))
-    // exact search inside the chosen cell
+      .select(col("query_id"), col("ccell"))
+    // exact search inside the chosen cell(s), membership = the learned
+    // assignment
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .filter(col("query_id") < 10).join(broadcast(best), Seq("query_id"))
       .withColumn("qn2", normL(col("qe")))
     // probe budget: a degenerate cell can't make the per-query scan
     // unbounded — same capped definition as the oracle
-    val scored = Dedup.capPerKey(e, Seq("label"), "vec_id", Dedup.BucketCap)
-      .select(col("vec_id").as("neighbor_id"), col("label"), col("embedding").as("ne"))
+    val scored = Dedup.capPerKey(e.join(assign, Seq("vec_id")),
+        Seq("cell"), "vec_id", Dedup.BucketCap)
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("embedding").as("ne"))
       .withColumn("nn2", normL(col("ne")))
       .join(broadcast(q),
-        col("label") === col("clabel") && col("neighbor_id") =!= col("query_id"))
+        col("cell") === col("ccell") && col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         cosine(dotL(col("qe"), col("ne")), col("qn2"), col("nn2")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select(col("query_id"), col("clabel").as("cell"), col("rank"),
+      .select(col("query_id"), col("ccell").as("cell"), col("rank"),
         col("neighbor_id"), col("cosine"))
       .orderBy("query_id", "rank")
   }
@@ -167,47 +242,78 @@ object Similarity {
   val ss02Sql: String = ivfSql(nprobe = 1)
   val ss04Sql: String = ivfSql(nprobe = 2)
 
-  private def ivfSql(nprobe: Int): String =
+  /** The k-means CTE chain, [[IvfRounds]] Lloyd rounds unrolled:
+    * `a0` = hash init, then per round r the centroids `c{r}`, centroid
+    * norms `c{r}n`, grid dot `d{r}`, and the integer-L2 re-assignment
+    * `a{r}`. `nrm.n2` doubles as ‖v‖² — same grid sum. */
+  private def kmeansCtes(rounds: Int): String = {
+    val init =
+      s"""a0 AS (SELECT vec_id,
+         |             CAST(CAST(concat('0x', substr(md5('ivf' || vec_id), 1, 15)) AS BIGINT) % $IvfK AS INT) AS cell
+         |      FROM embeddings)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""c$r AS (SELECT cell, pos,
+         |              CAST(SUM(CAST(ROUND((x) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS c
+         |       FROM el JOIN a${r - 1} USING (vec_id) GROUP BY 1, 2),
+         |c${r}n AS (SELECT cell, SUM(CAST(ROUND((c * c) * 1e9) AS BIGINT)) AS cn2
+         |        FROM c$r GROUP BY 1),
+         |d$r AS (SELECT vec_id, cell, SUM(CAST(ROUND((x * c) * 1e9) AS BIGINT)) AS dot
+         |       FROM el JOIN c$r USING (pos) GROUP BY 1, 2),
+         |a$r AS (SELECT vec_id, cell FROM (
+         |         SELECT d$r.vec_id, d$r.cell,
+         |                ROW_NUMBER() OVER (PARTITION BY d$r.vec_id
+         |                    ORDER BY nrm.n2 - 2 * dot + cn2, d$r.cell) AS rn
+         |         FROM d$r JOIN c${r}n USING (cell) JOIN nrm USING (vec_id))
+         |       WHERE rn = 1)""".stripMargin
+    }
+    (init +: rs).mkString(",\n")
+  }
+
+  private def ivfSql(nprobe: Int): String = {
+    val cF = "cf"             // final centroids: closing M-step from aF
+    val aF = s"a$IvfRounds"   // final assignment
     s"""WITH $elCte,
-       |cent AS (SELECT label, pos,
-       |                CAST(SUM(CAST(ROUND((x) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS c
-       |         FROM el GROUP BY 1, 2),
-       |centnorm AS (SELECT label, SUM(CAST(ROUND((c * c) * 1e9) AS BIGINT)) AS cn2
-       |             FROM cent GROUP BY 1),
+       |${kmeansCtes(IvfRounds)},
+       |$cF AS (SELECT cell, pos,
+       |              CAST(SUM(CAST(ROUND((x) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS c
+       |       FROM el JOIN $aF USING (vec_id) GROUP BY 1, 2),
+       |${cF}n AS (SELECT cell, SUM(CAST(ROUND((c * c) * 1e9) AS BIGINT)) AS cn2
+       |        FROM $cF GROUP BY 1),
        |qel AS (SELECT vec_id AS query_id, pos, x AS qx FROM el WHERE vec_id < 10),
        |qnorm AS (SELECT query_id, SUM(CAST(ROUND((qx * qx) * 1e9) AS BIGINT)) AS qn2
        |          FROM qel GROUP BY 1),
-       |qc AS (SELECT query_id, cent.label AS clabel,
+       |qc AS (SELECT query_id, $cF.cell AS ccell,
        |              SUM(CAST(ROUND((qx * c) * 1e9) AS BIGINT)) AS dotqc
-       |       FROM qel JOIN cent USING (pos) GROUP BY 1, 2),
-       |qcs AS (SELECT query_id, clabel,
+       |       FROM qel JOIN $cF USING (pos) GROUP BY 1, 2),
+       |qcs AS (SELECT query_id, ccell,
        |               CAST(dotqc AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS ccos
        |        FROM qc JOIN qnorm USING (query_id)
-       |                JOIN centnorm ON clabel = centnorm.label),
-       |best AS (SELECT query_id, clabel FROM (
+       |                JOIN ${cF}n ON ccell = ${cF}n.cell),
+       |best AS (SELECT query_id, ccell FROM (
        |           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |                       ORDER BY ccos DESC, clabel) AS rn FROM qcs)
+       |                       ORDER BY ccos DESC, ccell) AS rn FROM qcs)
        |         WHERE rn <= $nprobe),
-       |cappedc AS (SELECT vec_id FROM (
-       |              SELECT vec_id, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-       |              FROM embeddings)
+       |cappedc AS (SELECT vec_id, cell FROM (
+       |              SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+       |              FROM $aF)
        |            WHERE rn <= ${Dedup.BucketCap}),
-       |dot AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, b.clabel,
+       |dot AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, b.ccell,
        |               SUM(CAST(ROUND((q.x * c.x) * 1e9) AS BIGINT)) AS dot
        |        FROM el q JOIN best b ON q.vec_id = b.query_id AND q.vec_id < 10
-       |                  JOIN el c ON q.pos = c.pos AND c.label = b.clabel
+       |                  JOIN cappedc cc ON cc.cell = b.ccell
+       |                  JOIN el c ON c.vec_id = cc.vec_id AND q.pos = c.pos
        |                           AND c.vec_id <> q.vec_id
-       |                  JOIN cappedc cc ON c.vec_id = cc.vec_id
        |        GROUP BY 1, 2, 3),
-       |scored AS (SELECT query_id, neighbor_id, clabel,
+       |scored AS (SELECT query_id, neighbor_id, ccell,
        |                  CAST(dot AS DOUBLE) / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE))) AS cosine
        |           FROM dot JOIN nrm n1 ON query_id = n1.vec_id
        |                    JOIN nrm n2 ON neighbor_id = n2.vec_id),
        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |                       ORDER BY cosine DESC, neighbor_id) AS rank
        |           FROM scored)
-       |SELECT query_id, clabel AS cell, CAST(rank AS INT) AS rank, neighbor_id, cosine
+       |SELECT query_id, ccell AS cell, CAST(rank AS INT) AS rank, neighbor_id, cosine
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   // ---------------------------------------------------------------- ss03
   /** Random-hyperplane LSH ANN: 8 deterministic pseudo-random hyperplanes

@@ -49,8 +49,13 @@ object EventStreams {
       key: String, n: Long, min: Double, p50: Double, p95: Double,
       p99: Double, max: Double)
 
-  /** Exact positional percentile of a sorted vector — the reference's
-    * round(n·q) pick, 1-based clamped (explore.py:365-398). */
+  /** Exact positional percentile of a sorted vector — round-half-up(n·q),
+    * 1-based clamped. Same shape as the reference's pick (explore.py:
+    * 365-398) but HALF_UP like the rest of the engine, NOT Python 3's
+    * banker's rounding — at exact .5 rank ties (e.g. n=5, q=0.5) this
+    * picks the upper sample where the reference picks the lower. One
+    * documented semantic across batch (idxHalfUp, gcPercentiles) and
+    * streaming; see DiagAnalysis.gcPercentiles' deviation note. */
   def pick(sorted: Vector[Double], q: Double): Double = {
     val n = sorted.length
     val idx = math.min(math.max(math.round(n * q), 1L), n.toLong).toInt

@@ -43,27 +43,55 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "sp01_split_assign" -> 1, "sp02_stratified_sample" -> 2,
     "sp03_contamination_exact" -> 3, "sp04_contamination_ngram" -> 4,
     "sp05_temporal_split_audit" -> 3,
-    "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 14,
-    "ss03_knn_lsh" -> 13, "ss04_knn_ivf_multiprobe" -> 14,
-    "ss05_knn_recall_audit" -> 46,
+    "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 12,
+    "ss03_knn_lsh" -> 13, "ss04_knn_ivf_multiprobe" -> 12,
+    "ss05_knn_recall_audit" -> 42,
     "ta01_langid" -> 1, "ta02_quality_score" -> 1,
     "ta03_token_counts" -> 1, "ta04_fingerprint" -> 1,
     "ta05_lexical_stats" -> 1, "ta06_repetition_stats" -> 1)
 
+  /** sf1.0 budgets where they differ from the small tree — all four are
+    * SIZE-DRIVEN STRATEGY FLIPS (a side outgrowing the broadcast
+    * threshold, or an SMJ landing on already-partitioned sides), i.e.
+    * exactly what stats-based planning is for. Measured census
+    * (`PlanAudit -counts`, `testdata/sf1.0`, Zipfian corpus, r6);
+    * pinning BOTH scales means a plan regression at either can no
+    * longer hide inside a "flips are allowed" tolerance (r5 verdict
+    * #5). Queries absent here budget identically at both scales. */
+  private val sf1Overrides = Map(
+    "dd03_minhash_lsh_pairs" -> 8,  // verify-chain joins exceed broadcast threshold
+    "dd09_cluster_keeper" -> 10,    // rides dd03/dd08's flips
+    "q20_rollup_percentiles_3level" -> 12, // argmax join -> SMJ on partitioned sides
+    "sp04_contamination_ngram" -> 5) // train-side gram relation outgrows broadcast
+
+  private val sf1Dir = "testdata/sf1.0"
+
   test("every registered query has a budget (new queries must be budgeted)") {
     assert(SparkEntry.queries.keySet == budget.keySet)
+    assert(sf1Overrides.keySet.subsetOf(budget.keySet))
+  }
+
+  private def auditAgainst(d: String, expected: String => Int): Unit = {
+    val off = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
+      val ex = "Exchange ".r.findAllIn(plan).length
+      if (ex == expected(name)) None else Some(s"$name: $ex != ${expected(name)}")
+    }
+    assert(off.isEmpty, s"plan-shape drift:\n${off.mkString("\n")}")
   }
 
   test("exchange counts match the pinned budgets") {
-    val plans = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      name -> SparkEntry.queries(name)(spark, dir)
-        .queryExecution.executedPlan.toString
-    }
-    val off = plans.flatMap { case (name, plan) =>
-      val ex = "Exchange ".r.findAllIn(plan).length
-      if (ex == budget(name)) None else Some(s"$name: $ex != ${budget(name)}")
-    }
-    assert(off.isEmpty, s"plan-shape drift:\n${off.mkString("\n")}")
+    auditAgainst(dir, budget)
+  }
+
+  test("exchange counts match the pinned sf1.0 budgets (soak tree)") {
+    // the soak tree is generated (tools/gen_sf.py 1.0 testdata/sf1.0)
+    // and not shipped in-repo; pin it whenever it is present
+    assume(new java.io.File(sf1Dir).isDirectory,
+      s"$sf1Dir absent — generate it to pin the sf1.0 budgets")
+    auditAgainst(sf1Dir, n => sf1Overrides.getOrElse(n, budget(n)))
   }
 
   test("no cartesian products; nested-loop joins only where broadcast-by-design") {

@@ -53,8 +53,10 @@ class StreamingRecoverySpec extends AnyFunSuite with SparkTestBase {
     val last = spark.read.parquet(outPath).as[EventStreams.PctUpdate]
       .collect().maxBy(_.n)
     assert(last.n == 5L, s"state reset on restart: n=${last.n}, expected 5")
-    // positional picks over [100,200,300,400,500]:
-    // p50 idx round(2.5)=3 -> 300; p95 idx min(round(4.75),5)=5 -> 500
+    // positional picks over [100,200,300,400,500], engine HALF_UP
+    // semantics (documented deviation from Python's banker's rounding —
+    // see EventStreams.pick): p50 idx round_half_up(2.5)=3 -> 300;
+    // p95 idx min(round(4.75),5)=5 -> 500
     assert(last.min == 100.0 && last.p50 == 300.0 && last.max == 500.0)
   }
 

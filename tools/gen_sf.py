@@ -8,7 +8,9 @@ This is a builder-side dev tool (driver python env: numpy/pyarrow/
 duckdb). The output is SCHEMA- and DISTRIBUTION-SHAPE-matched to the
 driver's tables (same columns/types incl. the TIMESTAMP_NS events.ts,
 same key domains and scaling rules: users = 15000*sf, 5 event types,
-30-word document vocab, near-dup families marked with 'dup', 64-dim
+Zipfian ~50k-word document vocab (round 6; the driver's own 30-word
+head kept as the most-frequent ranks), near-dup families marked with
+'dup', 64-dim
 N(0,0.1) embeddings over 10 labels) but NOT byte-identical to what the
 driver would emit — correctness at this sf is still exact, because the
 oracle gate compares Spark vs DuckDB over the SAME files.
@@ -135,23 +137,49 @@ write("events", pa.table({
     "props": [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)]}))
 
 # ---------------------------------------------------------- documents
-# 30-word vocab (matches the driver's), 8-90 word bags; ~5% of docs in
-# near-dup FAMILIES (variants perturb 2 words and splice in 'dup', the
-# driver's marker word), and half the families carry one EXACT dup —
-# so dd01/dd03/dd04/dd08 pair counts scale linearly with sf
-VOCAB = np.array("""spark window merge table column vector stream value data
+# Zipfian ~50k-word vocabulary (round-6 change): the original 30-word
+# vocab made the 3-shingle space FIXED, so per-shingle df grew linearly
+# with corpus size — adversarial for dd04's pair aggregate and
+# unrealistically easy for the hashing dedup family. Real corpora are
+# Zipfian: a small head of very common words plus a long tail, so the
+# shingle space GROWS with the corpus and per-shingle df saturates.
+# The 30 original words stay as the Zipf head (ranks 0-29), keeping the
+# driver's stopword overlap and the 'dup' marker semantics; the tail is
+# 50k syllable-composed words drawn with p ~ 1/rank^1.05. Doc shapes
+# (8-90 word bags) and the near-dup FAMILY mechanics are unchanged:
+# ~1% of docs are family bases, variants perturb 2 words and splice in
+# 'dup', half the families carry one EXACT dup — so dd01/dd03/dd04/dd08
+# pair counts still scale linearly with sf.
+HEAD = """spark window merge table column vector stream value data
 small join filter big group hash customer sort order slow line part fast the
-row agg key query a scan batch""".split())
+row agg key query a scan batch""".split()
+SYL = ["ba", "do", "ke", "mi", "ra", "su", "ten", "vol", "zen", "lo",
+       "par", "qui", "nos", "tel", "gam", "hul", "dri", "fex", "mon", "cav"]
+V = 50_000
+
+
+def tail_word(i):
+    # deterministic syllable composition; 3+ syllables so tail words
+    # can never collide with the short head words
+    s, n = [], i
+    while n > 0 or len(s) < 3:
+        s.append(SYL[n % len(SYL)])
+        n //= len(SYL)
+    return "".join(s)
+
+
+VOCAB = np.array(HEAD + [tail_word(i) for i in range(V - len(HEAD))])
+assert len(set(VOCAB)) == V, "vocab collision"
+zipf_p = 1.0 / np.power(np.arange(1, V + 1), 1.05)
+zipf_p /= zipf_p.sum()
 n_doc = int(50_000 * sf)
 langs = np.array(["en", "zh", "es", "fr", "de"])
 lang_p = np.array([0.40, 0.15, 0.15, 0.15, 0.15])
 
-
-def bag(n_words):
-    return " ".join(VOCAB[rng.integers(0, len(VOCAB), n_words)])
-
-
-texts = [bag(int(w)) for w in rng.integers(8, 91, n_doc)]
+doc_lens = rng.integers(8, 91, n_doc)
+all_idx = rng.choice(V, int(doc_lens.sum()), p=zipf_p)
+offs = np.concatenate([[0], np.cumsum(doc_lens)])
+texts = [" ".join(VOCAB[all_idx[offs[i]:offs[i + 1]]]) for i in range(n_doc)]
 fam = max(1, n_doc // 100)  # 1% of docs are family BASES
 for f in range(fam):
     base_id = int(rng.integers(0, n_doc))
