@@ -33,7 +33,14 @@ object Bench {
     // meaningfully across rounds (a single warm sample was dominated by
     // GC/scheduler jitter — r4 verdict #8). The cold pass and the raw
     // warm samples are kept for transparency.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated prefix filter (e.g. "dd03,dd04,q20") for
+    // targeted soaks — the sf3 dedup-family spot-soak doesn't need the
+    // other 49 queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val cold = run(name, fn)
       val warms =
         if (cold < 0) Seq(-1.0)
