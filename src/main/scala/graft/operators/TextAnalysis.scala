@@ -299,6 +299,94 @@ object TextAnalysis {
       |       CAST(MAX(CASE WHEN rn = 1 THEN c END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share
       |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- ta07
+  /** PII patterns shared by the Spark and oracle sides. Deliberately
+    * lookaround-free so Java regex (Spark) and RE2 (DuckDB) agree
+    * construct-for-construct: `\b`/`\d`/char classes mean the same in
+    * both; lookaheads/backrefs (which RE2 lacks) are never used. */
+  private[graft] val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Pat =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PhonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII detection + redaction — the curation step every training-data
+    * pipeline runs before anything else touches the text. The synthetic
+    * corpus contains no PII (lowercase word soup), so the query PLANTS
+    * deterministic spans derived from doc_id — one email, one IPv4, one
+    * phone, plus a second email on every 3rd doc — then detects and
+    * redacts them. Planting makes the per-doc ground truth exact, so the
+    * oracle hash doubles as an exact-recall check of the regex kernels
+    * across two engines (Java regex vs RE2); `clean` audits that the
+    * redacted text re-scans to zero hits.
+    *
+    * Scale posture: pure map-side column program (three codegen'd
+    * regexp_count + a redaction chain over the scan — no explode, no
+    * shuffle before the presentation sort), identical to ta01–ta03.
+    */
+  def ta07(s: SparkSession, dir: String): DataFrame = {
+    val ptext = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com from 10."),
+      (col("doc_id") % 256).cast("string"), lit(".0."),
+      (col("doc_id") % 200).cast("string"),
+      lit(" call 555-867-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      when(col("doc_id") % 3 === 0, " cc admin@example.org").otherwise(""))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), ptext.as("ptext"))
+      .withColumn("n_email", regexp_count(col("ptext"), lit(EmailPat)))
+      .withColumn("n_ipv4", regexp_count(col("ptext"), lit(Ipv4Pat)))
+      .withColumn("n_phone", regexp_count(col("ptext"), lit(PhonePat)))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("ptext"), EmailPat, "[EMAIL]"),
+            Ipv4Pat, "[IP]"),
+          PhonePat, "[PHONE]"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ipv4"),
+        (col("n_email") + col("n_phone") + col("n_ipv4")).as("n_pii"),
+        col("redacted"),
+        ((regexp_count(col("redacted"), lit(EmailPat)) +
+          regexp_count(col("redacted"), lit(Ipv4Pat)) +
+          regexp_count(col("redacted"), lit(PhonePat))) === 0)
+          .cast("int").as("clean"))
+      .orderBy("doc_id")
+  }
+
+  val ta07Sql: String = {
+    // RE2 gets the same backslashes Java does; DuckDB standard strings
+    // pass them through literally
+    def cnt(src: String, pat: String) =
+      s"CAST(len(regexp_extract_all($src, '$pat')) AS INT)"
+    s"""WITH p AS (
+      |  SELECT doc_id,
+      |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |           || '@mail.example.com from 10.'
+      |           || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+      |           || CAST(doc_id % 200 AS VARCHAR)
+      |           || ' call 555-867-'
+      |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |           || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org'
+      |                   ELSE '' END AS ptext
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |         ${cnt("ptext", EmailPat)} AS n_email,
+      |         ${cnt("ptext", Ipv4Pat)} AS n_ipv4,
+      |         ${cnt("ptext", PhonePat)} AS n_phone,
+      |         regexp_replace(regexp_replace(regexp_replace(ptext,
+      |           '$EmailPat', '[EMAIL]', 'g'),
+      |           '$Ipv4Pat', '[IP]', 'g'),
+      |           '$PhonePat', '[PHONE]', 'g') AS redacted
+      |  FROM p)
+      |SELECT doc_id, n_email, n_phone, n_ipv4,
+      |       n_email + n_phone + n_ipv4 AS n_pii, redacted,
+      |       CAST(${cnt("redacted", EmailPat)}
+      |            + ${cnt("redacted", Ipv4Pat)}
+      |            + ${cnt("redacted", PhonePat)} = 0 AS INT) AS clean
+      |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("ta01_langid", "stopword-heuristic language ID + accuracy flag", ta01, Some(ta01Sql)),
@@ -307,5 +395,6 @@ object TextAnalysis {
     Q("ta04_fingerprint", "order-independent shingle-hash fingerprint", ta04, Some(ta04Sql)),
     Q("ta05_lexical_stats", "vocab / hapax / top-token integer stats", ta05, Some(ta05Sql)),
     Q("ta06_repetition_stats", "Gopher-style 2-gram duplication / top-share", ta06, Some(ta06Sql)),
+    Q("ta07_pii_scrub", "PII detect + redact, planted ground truth", ta07, Some(ta07Sql)),
   )
 }

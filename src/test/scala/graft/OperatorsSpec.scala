@@ -323,6 +323,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(d1.getString(4) == "a b")
   }
 
+  test("ta07: planted + in-text PII all counted, redaction re-scan is clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ta07").toString
+    Seq(
+      (0L, "", "en", "u", 0L),                       // planting alone: 2 emails (0%3==0), 1 ip, 1 phone
+      (1L, "plain words only", "en", "u", 16L),      // 1 email, 1 ip, 1 phone
+      (6L, "mail bob.smith+x@site.org from 1.2.3.4 call 555-111-2222", "en", "u", 56L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.ta07(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 6L))
+    def row(id: Long) = out.find(_.getLong(0) == id).get
+    assert((row(0).getInt(1), row(0).getInt(2), row(0).getInt(3), row(0).getInt(4)) == ((2, 1, 1, 4)))
+    assert((row(1).getInt(1), row(1).getInt(2), row(1).getInt(3), row(1).getInt(4)) == ((1, 1, 1, 3)))
+    // doc 6: text PII adds on top of the planted spans (and 6%3==0 adds the cc email)
+    assert((row(6).getInt(1), row(6).getInt(2), row(6).getInt(3), row(6).getInt(4)) == ((3, 2, 2, 7)))
+    // redaction removed every span: no raw @ survives, re-scan audit is 1
+    out.foreach { r =>
+      assert(!r.getString(5).contains("@"), s"doc ${r.getLong(0)} leaked: ${r.getString(5)}")
+      assert(r.getInt(6) == 1)
+    }
+  }
+
   test("sp05: cutoff boundary is exact and straddling users count once") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sp05").toString
