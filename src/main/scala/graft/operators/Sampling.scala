@@ -227,11 +227,115 @@ object Sampling {
       |       COUNT(CASE WHEN n_tr > 0 AND n_ev > 0 THEN 1 END) AS users_both
       |FROM pu GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- sp06
+  /** One row of the pack fold: (doc, its pack group, its token count). */
+  final case class PackRow(doc_id: Long, lang: String, shard: Long, n_tokens: Int)
+
+  /** Sequence packing: greedily pack docs into fixed token-budget bins
+    * ([[PackCap]] whitespace tokens) — the step that turns a curated
+    * corpus into training sequences. Deterministic by construction:
+    * docs are packed in doc_id order within (lang, shard), where
+    * shard = doc_id / [[PackShard]]; a doc that would overflow the open
+    * bin closes it (an oversize doc sits in a bin alone). Two properties
+    * make this the production shape rather than a toy:
+    *
+    *  - bounded task size: a pack group never exceeds [[PackShard]]
+    *    docs, so parallelism GROWS with the corpus (langs × shards)
+    *    instead of serializing per lang — the greedy fold is inherently
+    *    sequential only within a group;
+    *  - append-stability: appended docs get higher doc_ids, so they land
+    *    in the newest shard and greedy packing is prefix-stable — a
+    *    re-run after append never repacks (re-shuffles training
+    *    sequences of) already-shipped shards.
+    *
+    * Bin totals are emitted from the fold itself (the bin buffer is
+    * bounded by the cap), so there is no second windowed pass over the
+    * corpus: one repartition exchange + the presentation sort.
+    */
+  val PackCap = 256
+  val PackShard = 100000L
+
+  def sp06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(s"doc_id div $PackShard").as("shard"),
+        regexp_count(col("text"), lit("\\S+")).as("n_tokens"))
+      .as[PackRow]
+    toks
+      .repartition(col("lang"), col("shard"))
+      .sortWithinPartitions("lang", "shard", "doc_id")
+      .mapPartitions { it =>
+        // header-carry fold (the W3 pattern): bin state resets on group
+        // change; rows of the open bin buffer until it closes, so bin
+        // totals come out of the fold with no windowed second pass
+        val buf = scala.collection.mutable.ArrayBuffer.empty[PackRow]
+        var lang: String = null
+        var shard = -1L
+        var seq = 0
+        var fill = 0
+        def flush(): Iterator[(Long, String, Long, Int, Int, Long, Int)] = {
+          val (lg, sh, sq, tot, n) = (lang, shard, seq, fill.toLong, buf.size)
+          val rows = buf.toVector.map(r =>
+            (r.doc_id, lg, sh, r.n_tokens, sq, tot, n))
+          buf.clear(); rows.iterator
+        }
+        def open(r: PackRow, newGroup: Boolean): Unit = {
+          if (newGroup) { lang = r.lang; shard = r.shard; seq = 0 }
+          else seq += 1
+          fill = r.n_tokens; buf += r
+        }
+        val main = it.flatMap { r =>
+          if (lang == null) { open(r, newGroup = true); Iterator.empty }
+          else if (r.lang != lang || r.shard != shard) {
+            val closed = flush(); open(r, newGroup = true); closed
+          } else if (fill + r.n_tokens <= PackCap) {
+            fill += r.n_tokens; buf += r; Iterator.empty
+          } else { val closed = flush(); open(r, newGroup = false); closed }
+        }
+        main ++ (if (buf.nonEmpty) flush() else Iterator.empty)
+      }
+      .toDF("doc_id", "lang", "shard", "n_tokens", "seq_id", "seq_tokens",
+        "n_in_seq")
+      .orderBy("doc_id")
+  }
+
+  /** The same greedy fold as a recursive CTE (the dd08 oracle pattern):
+    * step rn → rn+1 within each (lang, shard) carries (seq_id, fill). */
+  val sp06Sql: String =
+    s"""WITH RECURSIVE t AS (
+      |  SELECT doc_id, lang, doc_id // $PackShard AS shard,
+      |         CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_tokens,
+      |         ROW_NUMBER() OVER (PARTITION BY lang, doc_id // $PackShard
+      |                            ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |pack AS (
+      |  SELECT doc_id, lang, shard, n_tokens, rn, 0 AS seq_id,
+      |         n_tokens AS fill
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.doc_id, t.lang, t.shard, t.n_tokens, t.rn,
+      |         CASE WHEN p.fill + t.n_tokens <= $PackCap THEN p.seq_id
+      |              ELSE p.seq_id + 1 END AS seq_id,
+      |         CASE WHEN p.fill + t.n_tokens <= $PackCap
+      |              THEN p.fill + t.n_tokens
+      |              ELSE t.n_tokens END AS fill
+      |  FROM pack p
+      |  JOIN t ON t.lang = p.lang AND t.shard = p.shard
+      |        AND t.rn = p.rn + 1)
+      |SELECT doc_id, lang, shard, n_tokens, seq_id,
+      |       CAST(SUM(n_tokens) OVER (PARTITION BY lang, shard, seq_id)
+      |            AS BIGINT) AS seq_tokens,
+      |       CAST(COUNT(*) OVER (PARTITION BY lang, shard, seq_id)
+      |            AS INT) AS n_in_seq
+      |FROM pack ORDER BY doc_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("sp01_split_assign", "deterministic hash 90/5/5 train/val/test split", sp01, Some(sp01Sql)),
     Q("sp02_stratified_sample", "stratified 20% hash sample + audit counts", sp02, Some(sp02Sql)),
     Q("sp03_contamination_exact", "test/val docs whose content occurs in train", sp03, Some(sp03Sql)),
     Q("sp04_contamination_ngram", "eval docs by train n-gram overlap ratio", sp04, Some(sp04Sql)),
     Q("sp05_temporal_split_audit", "time-cutoff split + straddling-user leakage audit", sp05, Some(sp05Sql)),
+    Q("sp06_sequence_pack", "greedy token-budget packing into training sequences", sp06, Some(sp06Sql)),
   )
 }

@@ -346,6 +346,34 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("sp06: greedy pack respects cap, resets per lang, emits bin totals from the fold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sp06").toString
+    def words(k: Int) = Seq.fill(k)("w").mkString(" ")
+    Seq(
+      (1L, words(100), "en", "u", 0L),  // en seq0: 100
+      (2L, words(100), "en", "u", 0L),  // en seq0: 200
+      (3L, words(56), "en", "u", 0L),   // en seq0: 256 — exact boundary stays
+      (4L, words(1), "en", "u", 0L),    // 257 > cap → en seq1: 1
+      (5L, "", "en", "u", 0L),          // 0 tokens joins the open bin
+      (6L, words(300), "en", "u", 0L),  // oversize → en seq2, alone
+      (7L, words(10), "de", "u", 0L),   // lang change → de seq0
+      (8L, words(250), "de", "u", 0L))  // 260 > cap → de seq1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Sampling.sp06(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 8L))
+    // (doc_id, seq_id, seq_tokens, n_in_seq)
+    val got = out.map(r => (r.getLong(0), r.getInt(4), r.getLong(5), r.getInt(6))).toSeq
+    assert(got == Seq(
+      (1L, 0, 256L, 3), (2L, 0, 256L, 3), (3L, 0, 256L, 3),
+      (4L, 1, 1L, 2), (5L, 1, 1L, 2),
+      (6L, 2, 300L, 1),
+      (7L, 0, 10L, 1), (8L, 1, 250L, 1)))
+    // every doc lands in exactly one bin
+    assert(out.map(_.getInt(3)).sum == 100 + 100 + 56 + 1 + 0 + 300 + 10 + 250)
+  }
+
   test("sp05: cutoff boundary is exact and straddling users count once") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sp05").toString

@@ -42,7 +42,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "q23_range_join_bins" -> 14, "q24_kmv_distinct" -> 3,
     "sp01_split_assign" -> 1, "sp02_stratified_sample" -> 2,
     "sp03_contamination_exact" -> 3, "sp04_contamination_ngram" -> 4,
-    "sp05_temporal_split_audit" -> 3,
+    "sp05_temporal_split_audit" -> 3, "sp06_sequence_pack" -> 2,
     "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 12,
     "ss03_knn_lsh" -> 5, "ss04_knn_ivf_multiprobe" -> 12,
     "ss05_knn_recall_audit" -> 34,
