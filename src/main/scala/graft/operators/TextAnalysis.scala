@@ -387,6 +387,96 @@ object TextAnalysis {
       |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- ta08
+  /** The quality GATE: composes the family's signals (ta02 score, ta06
+    * 2-gram duplication, ta01 stopword evidence) into the keep/drop
+    * decision a C4/Gopher-style curation pipeline actually executes,
+    * with the FIRST failing rule as the drop reason — rule order is part
+    * of the semantics (a 3-token doc is 'too_short', never 'repetitive',
+    * so downstream reason-breakdowns are stable as thresholds move).
+    *
+    * Scale posture: one map-side pass — the compiled kernels (stop_hits,
+    * ngram_stats) and the score tree evaluate per row off the scan; no
+    * join against ta02/ta06 outputs (recomputing beats re-reading at
+    * this width), no shuffle before the presentation sort. The <2-token
+    * kernel-null case never decides: such docs are 'too_short' by rule 1
+    * and dup_frac coalesces to 0.
+    */
+  def ta08(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val nTok = size(ws).cast("double")
+    val punct =
+      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double")
+    val punctRatio =
+      when(col("n_chars") > 0, punct / col("n_chars").cast("double")).otherwise(0.0)
+    val stopRatio = call_function("stop_hits", col("text"),
+      lit(stop("en").mkString(","))).getItem(0).cast("double") / nTok
+    val score = least(nTok / 100.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.3 +
+      least(stopRatio * 5.0, lit(1.0)) * 0.3
+    val sh = call_function("stop_hits", col("text"), lit(stopSpec))
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(ws))
+      .withColumn("lang_max",
+        greatest(sh.getItem(0), sh.getItem(1), sh.getItem(2), sh.getItem(3)))
+      .withColumn("st", expr("ngram_stats(text, 2)"))
+      .withColumn("dup_frac", coalesce(
+        (col("st.n_grams") - col("st.n_distinct")).cast("double") /
+          col("st.n_grams").cast("double"), lit(0.0)))
+      .withColumn("score", score)
+      .withColumn("drop_reason",
+        when(col("n_tokens") < 10, "too_short")
+          .when(col("lang_max") === 0, "no_lang_signal")
+          .when(col("dup_frac") > 0.3, "repetitive")
+          .when(col("score") < 0.5, "low_quality")
+          .otherwise("keep"))
+      .withColumn("keep", (col("drop_reason") === "keep").cast("int"))
+      .select("doc_id", "n_tokens", "lang_max", "dup_frac", "score",
+        "drop_reason", "keep")
+      .orderBy("doc_id")
+  }
+
+  val ta08Sql: String = {
+    val langMaxSql = "greatest(" +
+      LangOrder.map(l => hitsSql(stop(l))).mkString(", ") + ")"
+    s"""WITH $wsSqlCte,
+      |tok AS (SELECT doc_id, tok,
+      |               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS j
+      |        FROM (SELECT doc_id, unnest(ws) AS tok,
+      |                     generate_subscripts(ws, 1) AS i FROM w)
+      |        WHERE tok <> ''),
+      |bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+      |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.j = a.j + 1),
+      |d AS (SELECT doc_id,
+      |             CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_frac
+      |      FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+      |      GROUP BY doc_id),
+      |m AS (SELECT w.doc_id,
+      |             CAST(len(ws) AS INT) AS n_tokens,
+      |             CAST($langMaxSql AS INT) AS lang_max,
+      |             COALESCE(d.dup_frac, 0.0) AS dup_frac,
+      |             (least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.4
+      |              + (1.0 - least(
+      |                  CASE WHEN n_chars > 0 THEN
+      |                    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+      |                      / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 10.0, 1.0)) * 0.3
+      |              + least(CAST(${hitsSql(stop("en"))} AS DOUBLE)
+      |                      / CAST(len(ws) AS DOUBLE) * 5.0, 1.0) * 0.3) AS score
+      |      FROM w LEFT JOIN d ON w.doc_id = d.doc_id)
+      |SELECT doc_id, n_tokens, lang_max, dup_frac, score,
+      |       CASE WHEN n_tokens < 10 THEN 'too_short'
+      |            WHEN lang_max = 0 THEN 'no_lang_signal'
+      |            WHEN dup_frac > 0.3 THEN 'repetitive'
+      |            WHEN score < 0.5 THEN 'low_quality'
+      |            ELSE 'keep' END AS drop_reason,
+      |       CAST(CASE WHEN n_tokens < 10 THEN 'too_short'
+      |            WHEN lang_max = 0 THEN 'no_lang_signal'
+      |            WHEN dup_frac > 0.3 THEN 'repetitive'
+      |            WHEN score < 0.5 THEN 'low_quality'
+      |            ELSE 'keep' END = 'keep' AS INT) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("ta01_langid", "stopword-heuristic language ID + accuracy flag", ta01, Some(ta01Sql)),
@@ -396,5 +486,6 @@ object TextAnalysis {
     Q("ta05_lexical_stats", "vocab / hapax / top-token integer stats", ta05, Some(ta05Sql)),
     Q("ta06_repetition_stats", "Gopher-style 2-gram duplication / top-share", ta06, Some(ta06Sql)),
     Q("ta07_pii_scrub", "PII detect + redact, planted ground truth", ta07, Some(ta07Sql)),
+    Q("ta08_quality_gate", "composed keep/drop gate with first-failing-rule reason", ta08, Some(ta08Sql)),
   )
 }

@@ -374,6 +374,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_.getInt(3)).sum == 100 + 100 + 56 + 1 + 0 + 300 + 10 + 250)
   }
 
+  test("ta08: each gate rule fires, in priority order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ta08").toString
+    val short = "one two three"
+    val noLang = "zz yy xx ww vv uu tt ss rr qq pp"          // 11 tokens, 0 stop hits
+    val repet = Seq.fill(10)("the cat").mkString(" ")        // dup_frac 17/19
+    val lowQ = "the alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val keeper = (1 to 60).map(i => s"the w$i").mkString(" ") // 120 tokens, dup 0, stop-rich
+    Seq(
+      (1L, short, "en", "u", short.length.toLong),
+      (2L, noLang, "en", "u", noLang.length.toLong),
+      (3L, repet, "en", "u", repet.length.toLong),
+      (4L, lowQ, "en", "u", lowQ.length.toLong),
+      (5L, keeper, "en", "u", keeper.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.ta08(spark, dir).collect()
+    val reasons = out.map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(reasons == Map(1L -> "too_short", 2L -> "no_lang_signal",
+      3L -> "repetitive", 4L -> "low_quality", 5L -> "keep"))
+    assert(out.map(_.getInt(6)).toSeq == Seq(0, 0, 0, 0, 1))
+    // priority: the repetitive doc ALSO scores low — rule 3 wins over 4
+    assert(out.find(_.getLong(0) == 3L).get.getDouble(3) > 0.3)
+  }
+
   test("sp05: cutoff boundary is exact and straddling users count once") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sp05").toString

@@ -49,7 +49,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "ta01_langid" -> 1, "ta02_quality_score" -> 1,
     "ta03_token_counts" -> 1, "ta04_fingerprint" -> 1,
     "ta05_lexical_stats" -> 1, "ta06_repetition_stats" -> 1,
-    "ta07_pii_scrub" -> 1)
+    "ta07_pii_scrub" -> 1, "ta08_quality_gate" -> 1)
 
   /** sf1.0 budgets where they differ from the small tree — all four are
     * SIZE-DRIVEN STRATEGY FLIPS (a side outgrowing the broadcast
