@@ -17,7 +17,8 @@ object SparkEntry {
       graft.operators.Similarity.qs ++
       graft.operators.TextAnalysis.qs ++
       graft.operators.Multimodal.qs ++
-      graft.operators.Sampling.qs
+      graft.operators.Sampling.qs ++
+      graft.operators.Curation.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
 
 /** Deterministic dataset-curation operators (north-star extension, no
@@ -21,9 +22,9 @@ object Sampling {
 
   /** Split bucket in [0, 100): hash of the id string, salted so the
     * split assignment is independent of any other h60-derived key. */
-  private def bucket = Dedup.h60(concat(lit("split:"), col("doc_id"))) % 100L
+  private[operators] def bucket = Dedup.h60(concat(lit("split:"), col("doc_id"))) % 100L
 
-  private val bucketSql =
+  private[operators] val bucketSql =
     s"${Dedup.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100"
 
   private val keepSql =
@@ -330,6 +331,84 @@ object Sampling {
       |            AS INT) AS n_in_seq
       |FROM pack ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- sp07
+  /** Mixture resampling: downsample each language to hit a TARGET
+    * mixture (en:de:fr:es = 40:30:20:10 here — the domain-weighting
+    * step every pretraining recipe runs before packing). Down-sampling
+    * only: the binding language keeps everything (rate 1) and every
+    * other language's keep-rate is derated so the KEPT corpus matches
+    * the target ratios as closely as integer hashing allows. The keep
+    * decision is the salted-h60 family (no RNG): reproducible across
+    * engines and cluster sizes. Emits the per-language audit row a
+    * pipeline logs: observed count, weight, exact keep-rate, kept
+    * count, achieved share.
+    *
+    * Scale posture: one count aggregate on the tiny lang key space; the
+    * rate table broadcasts back against the scan for the map-side keep
+    * decision; the windows (binding-ratio min, kept total) run over the
+    * lang-cardinality-bounded audit relation, never the corpus.
+    */
+  def sp07(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy(lit(1))
+    val weight =
+      when(col("lang") === "en", 40L).when(col("lang") === "de", 30L)
+        .when(col("lang") === "fr", 20L).when(col("lang") === "es", 10L)
+        .otherwise(0L)
+    val rated = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", weight)
+      .withColumn("scale",
+        min(when(col("weight") > 0,
+          col("n_docs").cast("double") / col("weight").cast("double"))).over(wAll))
+      .withColumn("rate",
+        when(col("weight") > 0,
+          least(lit(1.0),
+            (col("weight").cast("double") * col("scale")) /
+              col("n_docs").cast("double"))).otherwise(lit(0.0)))
+      .withColumn("thr", round(col("rate") * 1e6).cast("long"))
+      .select("lang", "n_docs", "weight", "rate", "thr")
+    val kept = Tables.documents(s, dir)
+      .join(broadcast(rated), Seq("lang"))
+      .filter(Dedup.h60(concat(lit("mix:"), col("doc_id"))) % 1000000L < col("thr"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    rated.join(kept, Seq("lang"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("achieved_share",
+        col("n_kept").cast("double") /
+          sum(col("n_kept")).over(wAll).cast("double"))
+      .select("lang", "n_docs", "weight", "rate", "n_kept", "achieved_share")
+      .orderBy("lang")
+  }
+
+  private val mixWSql =
+    """CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 30
+      |          WHEN 'fr' THEN 20 WHEN 'es' THEN 10 ELSE 0 END""".stripMargin
+
+  val sp07Sql: String =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs,
+       |                  CAST($mixWSql AS BIGINT) AS weight
+       |           FROM documents GROUP BY lang),
+       |r AS (SELECT lang, n_docs, weight,
+       |             CASE WHEN weight > 0
+       |                  THEN least(CAST(1.0 AS DOUBLE),
+       |                       (CAST(weight AS DOUBLE) *
+       |                        MIN(CASE WHEN weight > 0 THEN CAST(n_docs AS DOUBLE)
+       |                                 / CAST(weight AS DOUBLE) END) OVER ())
+       |                       / CAST(n_docs AS DOUBLE))
+       |                  ELSE CAST(0.0 AS DOUBLE) END AS rate
+       |      FROM c),
+       |k AS (SELECT d.lang, COUNT(*) AS n_kept
+       |      FROM documents d JOIN r ON d.lang = r.lang
+       |      WHERE ${Dedup.h60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000
+       |            < CAST(ROUND(rate * 1e6) AS BIGINT)
+       |      GROUP BY d.lang)
+       |SELECT r.lang, n_docs, weight, rate,
+       |       COALESCE(n_kept, 0) AS n_kept,
+       |       CAST(COALESCE(n_kept, 0) AS DOUBLE)
+       |         / CAST(SUM(COALESCE(n_kept, 0)) OVER () AS DOUBLE) AS achieved_share
+       |FROM r LEFT JOIN k ON r.lang = k.lang
+       |ORDER BY r.lang""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("sp01_split_assign", "deterministic hash 90/5/5 train/val/test split", sp01, Some(sp01Sql)),
     Q("sp02_stratified_sample", "stratified 20% hash sample + audit counts", sp02, Some(sp02Sql)),
@@ -337,5 +416,6 @@ object Sampling {
     Q("sp04_contamination_ngram", "eval docs by train n-gram overlap ratio", sp04, Some(sp04Sql)),
     Q("sp05_temporal_split_audit", "time-cutoff split + straddling-user leakage audit", sp05, Some(sp05Sql)),
     Q("sp06_sequence_pack", "greedy token-budget packing into training sequences", sp06, Some(sp06Sql)),
+    Q("sp07_mixture_resample", "downsample languages to a target mixture + audit", sp07, Some(sp07Sql)),
   )
 }

@@ -402,8 +402,11 @@ object TextAnalysis {
     * kernel-null case never decides: such docs are 'too_short' by rule 1
     * and dup_frac coalesces to 0.
     */
-  def ta08(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
+  /** The gate's column program over any documents-shaped relation —
+    * pure map-side (requires GraftFunctions registered). Exposed so the
+    * end-to-end manifest ([[Curation.cp01]]) evaluates the gate inline
+    * off its own scan instead of joining ta08's output back on doc_id. */
+  private[operators] def gateDf(docs: DataFrame): DataFrame = {
     val nTok = size(ws).cast("double")
     val punct =
       length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double")
@@ -415,7 +418,7 @@ object TextAnalysis {
       (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.3 +
       least(stopRatio * 5.0, lit(1.0)) * 0.3
     val sh = call_function("stop_hits", col("text"), lit(stopSpec))
-    Tables.documents(s, dir)
+    docs
       .withColumn("n_tokens", size(ws))
       .withColumn("lang_max",
         greatest(sh.getItem(0), sh.getItem(1), sh.getItem(2), sh.getItem(3)))
@@ -430,6 +433,11 @@ object TextAnalysis {
           .when(col("dup_frac") > 0.3, "repetitive")
           .when(col("score") < 0.5, "low_quality")
           .otherwise("keep"))
+  }
+
+  def ta08(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    gateDf(Tables.documents(s, dir))
       .withColumn("keep", (col("drop_reason") === "keep").cast("int"))
       .select("doc_id", "n_tokens", "lang_max", "dup_frac", "score",
         "drop_reason", "keep")
@@ -477,6 +485,83 @@ object TextAnalysis {
       |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- ta09
+  /** Corpus-frequency rarity scoring — the model-free stand-in for the
+    * LM-perplexity filter a CCNet-style pipeline runs (no LM weights in
+    * this environment, and none needed for the unigram form: the corpus
+    * IS the model). Two passes: build the unigram frequency table, then
+    * score each doc by its tokens' corpus statistics —
+    *
+    *  - `n_hapax`: tokens occurring exactly once in the corpus (OOV /
+    *    gibberish evidence),
+    *  - `mean_tok_count`: exact mean corpus count of the doc's tokens
+    *    (stopword-heaviness; integer sum ÷ count, one IEEE division),
+    *  - `rarity`: mean inverse token frequency — the surprisal proxy —
+    *    summed on the 1e-9 grid ([[Dedup.gridL]]) so the fold is
+    *    order-independent and engine-identical (a true mean log-prob
+    *    needs ln(), which is NOT correctly-rounded-identical across
+    *    libms; 1/freq preserves the ranking signal and ports exactly).
+    *
+    * Scale posture — the unigram table is a BUILT INDEX (the corpus IS
+    * the language model, so its frequency table is a corpus artifact
+    * like the shingle layer: materialized once per corpus via
+    * [[DedupPrepare.ensure]], bucketed by token — without it the
+    * head/tail branches below would each recompute the corpus-wide
+    * aggregate). The token⋈frequency join is then Zipf-skew-split:
+    * tokens with corpus count ≥ [[RarityHeadCut]] (the head — "the",
+    * "of" — exactly the keys that would hot-spot a hash join) resolve
+    * via a BROADCAST of the head table (≤ N/[[RarityHeadCut]] entries
+    * by pigeonhole, vanishing share of the vocab under Zipf), and only
+    * tail tokens (per-key fanout < [[RarityHeadCut]] by construction)
+    * take the shuffle join. The oracle is the unsplit join — identical
+    * result by construction since head and tail partition the vocab.
+    */
+  val RarityHeadCut = 1000L
+
+  /** The materialized unigram frequency table (tok, c), bucketed by
+    * token. */
+  private def uniFreq(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "unifreq", dir,
+      () => Tables.documents(s, dir)
+        .select(explode(ws).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("c")),
+      Seq("tok"), Seq("tok"))
+
+  def ta09(s: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(ws).as("tok"))
+      .filter(col("tok") =!= "")
+    val freq = uniFreq(s, dir)
+    val head = freq.filter(col("c") >= RarityHeadCut)
+    val tail = freq.filter(col("c") < RarityHeadCut)
+    val scored = tk.join(broadcast(head), Seq("tok"))
+      .unionByName(tk.join(tail, Seq("tok")))
+    scored.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("n_hapax"),
+        (sum(col("c")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_tok_count"),
+        (sum(Dedup.gridL(lit(1.0) / col("c"))).cast("double") / 1e9 /
+          count(lit(1)).cast("double")).as("rarity"))
+      .orderBy("doc_id")
+  }
+
+  val ta09Sql: String =
+    s"""WITH $wsSqlCte,
+       |tk AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+       |tkf AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+       |freq AS (SELECT tok, COUNT(*) AS c FROM tkf GROUP BY tok),
+       |j AS (SELECT doc_id, c FROM tkf JOIN freq USING (tok))
+       |SELECT doc_id,
+       |       COUNT(*) AS n_tokens,
+       |       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |       CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tok_count,
+       |       CAST(SUM(CAST(ROUND((CAST(1.0 AS DOUBLE) / c) * 1e9) AS BIGINT)) AS DOUBLE)
+       |         / 1e9 / CAST(COUNT(*) AS DOUBLE) AS rarity
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("ta01_langid", "stopword-heuristic language ID + accuracy flag", ta01, Some(ta01Sql)),
@@ -487,5 +572,6 @@ object TextAnalysis {
     Q("ta06_repetition_stats", "Gopher-style 2-gram duplication / top-share", ta06, Some(ta06Sql)),
     Q("ta07_pii_scrub", "PII detect + redact, planted ground truth", ta07, Some(ta07Sql)),
     Q("ta08_quality_gate", "composed keep/drop gate with first-failing-rule reason", ta08, Some(ta08Sql)),
+    Q("ta09_rarity_score", "corpus-frequency rarity (unigram surprisal proxy)", ta09, Some(ta09Sql)),
   )
 }

@@ -399,6 +399,96 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.find(_.getLong(0) == 3L).get.getDouble(3) > 0.3)
   }
 
+  test("ta09: rarity matches a reference fold; head tokens score via broadcast") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ta09").toString
+    val texts = Map(
+      1L -> "the the the rare1",
+      2L -> "the unique2",
+      3L -> "the the zz zz",
+      // 1200 "the" pushes it over RarityHeadCut -> the broadcast head
+      // branch must produce these rows, not the shuffle tail
+      4L -> Seq.fill(1200)("the").mkString(" "))
+    texts.toSeq.map { case (id, t) => (id, t, "en", "u", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // reference fold with the same grid arithmetic
+    val toks = texts.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    val cnt = toks.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(cnt("the") > graft.operators.TextAnalysis.RarityHeadCut)
+    val out = graft.operators.TextAnalysis.ta09(spark, dir).collect()
+    assert(out.length == 4)
+    for (r <- out) {
+      val ts = toks(r.getLong(0))
+      assert(r.getLong(1) == ts.size)                          // n_tokens
+      assert(r.getLong(2) == ts.count(t => cnt(t) == 1))       // n_hapax
+      assert(r.getDouble(3) == ts.map(cnt(_).toLong).sum.toDouble / ts.size)
+      val grid = ts.map(t => math.floor(1.0 / cnt(t) * 1e9 + 0.5).toLong).sum
+      assert(r.getDouble(4) == grid.toDouble / 1e9 / ts.size)  // rarity
+    }
+  }
+
+  test("sp07: binding language keeps all, others derate; weight-0 lang drops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sp07").toString
+    val docs = (1 to 8).map(i => (i.toLong, "en")) ++
+      (9 to 11).map(i => (i.toLong, "de")) ++
+      Seq((12L, "fr"), (13L, "fr"), (14L, "es"), (15L, "xx"))
+    docs.map { case (id, l) => (id, s"text $id", l, "u", 7L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // n/w: en 8/40=.2, de 3/30=.1, fr 2/20=.1, es 1/10=.1 -> scale .1
+    val out = graft.operators.Sampling.sp07(spark, dir).collect()
+    val byLang = out.map(r => r.getString(0) -> r).toMap
+    assert(byLang.keySet == Set("en", "de", "fr", "es", "xx"))
+    assert(byLang("en").getDouble(3) == 0.5)
+    for (l <- Seq("de", "fr", "es")) assert(byLang(l).getDouble(3) == 1.0)
+    assert(byLang("xx").getDouble(3) == 0.0 && byLang("xx").getLong(4) == 0L)
+    assert(byLang("de").getLong(4) == 3L && byLang("fr").getLong(4) == 2L &&
+      byLang("es").getLong(4) == 1L)                   // rate-1 langs keep all
+    assert(byLang("en").getLong(4) <= 8L)
+    val total = out.map(_.getLong(4)).sum.toDouble
+    assert(out.map(_.getDouble(5)).sum == out.map(_.getLong(4).toDouble / total).sum)
+    // deterministic: a re-run reproduces the decision bit-for-bit
+    assert(graft.operators.Sampling.sp07(spark, dir).collect().toSeq ==
+      out.toSeq)
+  }
+
+  test("cp01: every stage fires with the documented precedence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cp01").toString
+    // the split is a doc_id hash — probe it to pick train/eval ids
+    val probe = (1L to 300L).toDF("doc_id")
+    val buckets = graft.operators.Sampling.sp01Buckets(probe)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val train = (1L to 300L).filter(buckets(_) < 90)
+    val eval_ = (1L to 300L).filter(buckets(_) >= 90)
+    def good(tag: String) = (1 to 60).map(i => s"the $tag$i").mkString(" ")
+    val Seq(tShort, tDupA, tDupB, tKeep) = train.take(4)
+    // contamination needs the TRAIN copy to be the keeper (min doc_id)
+    val tContam = train.drop(4).find(t => eval_.exists(_ > t)).get
+    val eContam = eval_.find(_ > tContam).get
+    val eKeep = eval_.find(_ != eContam).get
+    val docs = Seq(
+      tShort -> "one two three",                         // gate: too_short
+      tDupA -> good("d"), tDupB -> ("  " + good("d").toUpperCase), // dup pair
+      tContam -> good("c"), eContam -> good("c"),        // train⋂eval text
+      tKeep -> good("k"), eKeep -> good("e"))
+    docs.map { case (id, t) => (id, t, "en", "u", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Curation.cp01(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getInt(3))).toMap
+    assert(out(tShort) == (("train", "too_short", 0)))
+    assert(out(math.min(tDupA, tDupB))._2 == "keep")
+    assert(out(math.max(tDupA, tDupB))._2 == "exact_dup")
+    assert(out(tContam) == (("train", "contaminated", 0))) // keeper, but leaked
+    assert(out(eContam)._2 == "exact_dup")                 // loses to the keeper
+    assert(out(tKeep) == (("train", "keep", 1)))
+    assert(out(eKeep)._3 == 1)                             // eval docs ship
+  }
+
   test("sp05: cutoff boundary is exact and straddling users count once") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sp05").toString

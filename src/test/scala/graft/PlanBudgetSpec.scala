@@ -43,13 +43,15 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "sp01_split_assign" -> 1, "sp02_stratified_sample" -> 2,
     "sp03_contamination_exact" -> 3, "sp04_contamination_ngram" -> 4,
     "sp05_temporal_split_audit" -> 3, "sp06_sequence_pack" -> 2,
+    "sp07_mixture_resample" -> 7, "cp01_corpus_manifest" -> 5,
     "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 12,
     "ss03_knn_lsh" -> 5, "ss04_knn_ivf_multiprobe" -> 12,
     "ss05_knn_recall_audit" -> 34,
     "ta01_langid" -> 1, "ta02_quality_score" -> 1,
     "ta03_token_counts" -> 1, "ta04_fingerprint" -> 1,
     "ta05_lexical_stats" -> 1, "ta06_repetition_stats" -> 1,
-    "ta07_pii_scrub" -> 1, "ta08_quality_gate" -> 1)
+    "ta07_pii_scrub" -> 1, "ta08_quality_gate" -> 1,
+    "ta09_rarity_score" -> 4)
 
   /** sf1.0 budgets where they differ from the small tree — all four are
     * SIZE-DRIVEN STRATEGY FLIPS (a side outgrowing the broadcast
