@@ -26,12 +26,14 @@ object Curation {
     *
     * Scale posture: the gate is evaluated INLINE off the scan
     * ([[TextAnalysis.gateDf]] — map-side, same recompute-over-rejoin
-    * choice as ta08 itself); the signature keeper table and the
-    * distinct eval-signature relation each cost one shuffle on `sig`,
-    * and the manifest join rides the same `sig` partitioning (the
-    * keeper join and the contamination semi-join share their key), so
-    * the whole manifest is gate + two sig-keyed exchanges + the
-    * presentation sort — no doc_id-keyed rejoin anywhere.
+    * choice as ta08 itself); the two corpus-relative signals — the
+    * min-doc_id keeper and the does-any-eval-doc-share-this-sig bit —
+    * come out of ONE sig-keyed aggregate (Catalyst does not share the
+    * subplan, so a separate keeper table and eval-sig relation would
+    * each rescan and re-md5 the corpus; at sf10 that third scan was
+    * ~1/3 of the query), and the manifest join rides the same `sig`
+    * partitioning. Whole manifest = gate scan + one sig aggregate +
+    * one sig join + the presentation sort — no doc_id-keyed rejoin.
     */
   def cp01(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -39,19 +41,18 @@ object Curation {
       .withColumn("bucket", Sampling.bucket)
       .withColumn("sig",
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")))
-    val keeper = d.groupBy(col("sig")).agg(min(col("doc_id")).as("keeper"))
-    val evalSigs = d.filter(col("bucket") >= 90)
-      .select(col("sig")).distinct().withColumn("in_eval", lit(1))
+    val sigStats = d.groupBy(col("sig")).agg(
+      min(col("doc_id")).as("keeper"),
+      max((col("bucket") >= 90).cast("int")).as("in_eval"))
     TextAnalysis.gateDf(d)
-      .join(keeper, Seq("sig"))
-      .join(evalSigs, Seq("sig"), "left")
+      .join(sigStats, Seq("sig"))
       .withColumn("split",
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "val").otherwise("test"))
       .withColumn("reason",
         when(col("drop_reason") =!= "keep", col("drop_reason"))
           .when(col("doc_id") =!= col("keeper"), "exact_dup")
-          .when(col("split") === "train" && col("in_eval").isNotNull,
+          .when(col("split") === "train" && col("in_eval") === 1,
             "contaminated")
           .otherwise("keep"))
       .withColumn("keep", (col("reason") === "keep").cast("int"))

@@ -445,22 +445,24 @@ object Dedup {
     // re-introduced a both-sides exchange on the self-join — and a
     // cache of the full kept-shingle relation could never fit executor
     // storage at corpus scale anyway.
+    // Per-doc denominators ride ALONG the self-join instead of joining
+    // the pair relation afterwards: the kepts prep table carries `n` on
+    // every row (attached once at layer-write time — DedupPrepare), so
+    // the pair relation (Σ df² candidate mass — 38M rows at sf10, the
+    // largest thing this query touches) is aggregated ONCE and never
+    // shuffled again, and query time needs no denominator join at all.
     val kept = DedupPrepare.keptByShingle(s, dir)
-    val n = DedupPrepare.keptByDoc(s, dir)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // MERGE hint: table stats tempt the planner into broadcasting the
     // whole corpus-sized kept relation (a 2M-row hash build at sf1.0,
     // impossible at real scale); the co-bucketed co-sorted SMJ streams
     // both sides with no exchange, no sort, and no build side.
-    val inter = kept.as("a").hint("merge").join(kept.as("b"),
+    kept.as("a").hint("merge").join(kept.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(n.as("n1"), col("d1") === col("n1.doc_id"))
-      .join(n.as("n2"), col("d2") === col("n2.doc_id"))
+      .agg(count(lit(1)).as("c"),
+        max(col("a.n")).as("n1"), max(col("b.n")).as("n2"))
       .withColumn("jaccard",
-        col("c").cast("double") / (col("n1.n") + col("n2.n") - col("c")).cast("double"))
+        col("c").cast("double") / (col("n1") + col("n2") - col("c")).cast("double"))
       .select(col("d1"), col("d2"), col("c").as("n_common"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("d1"), col("d2"))
       .limit(20)

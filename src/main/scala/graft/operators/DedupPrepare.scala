@@ -196,15 +196,26 @@ object DedupPrepare {
       Seq("s"), Seq("s"), variant = s"_df$DfCut")
 
   /** The kept (df ≤ [[DfCut]]) shingle relation in the BY-SHINGLE
-    * orientation — dd04's pair self-join reads two copies of this and
-    * needs neither exchange nor sort (single file per bucket). The
-    * anti-join against the SMALL stop side is paid once here, at write
-    * time. */
+    * orientation, carrying each row's PER-DOC kept-shingle count `n`
+    * (the Jaccard denominator) — dd04's pair self-join reads two copies
+    * of this and needs neither exchange, sort, nor any join at query
+    * time (single file per bucket). Both one-time costs are paid here
+    * at write: the anti-join against the SMALL stop side, and the
+    * doc_id-keyed denominator attach — which at QUERY time planned as
+    * either a corpus-sized broadcast or a doc_id SMJ that blinded the
+    * bucketed read and re-shuffled both self-join sides (the sf1.0
+    * census caught exactly that flip). Denormalizing one long onto the
+    * shingle row is the classic storage-for-shuffle trade. */
   def keptByShingle(s: SparkSession, dir: String): DataFrame =
     ensure(s, "kepts", dir,
-      () => shinglesByShingle(s, dir)
-        .join(stopShingles(s, dir), Seq("s"), "left_anti"),
-      Seq("s"), Seq("s"), variant = s"_df$DfCut")
+      () => {
+        val n = keptByDoc(s, dir)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        shinglesByShingle(s, dir)
+          .join(stopShingles(s, dir), Seq("s"), "left_anti")
+          .join(n, Seq("doc_id"))
+      },
+      Seq("s"), Seq("s"), variant = s"_df${DfCut}n")
 
   /** The same kept relation BY DOC — per-doc kept-shingle counts
     * (dd04's Jaccard denominators) group on doc_id with no exchange. */

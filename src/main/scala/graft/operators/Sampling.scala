@@ -409,6 +409,66 @@ object Sampling {
        |FROM r LEFT JOIN k ON r.lang = k.lang
        |ORDER BY r.lang""".stripMargin
 
+  // ---------------------------------------------------------------- sp08
+  /** Deterministic epoch-varied global shuffle order — the "shuffle the
+    * corpus before training" step, as a reproducible PERMUTATION rather
+    * than an RNG sort: each (epoch, doc) gets a position in
+    * [1, N], the order is the salted content hash (salt includes the
+    * epoch, so every epoch is a fresh permutation), and the whole
+    * assignment is a pure function of (epoch, doc_id) — re-runs, other
+    * engines, and different cluster sizes produce the identical order.
+    *
+    * Scale posture — global ROW_NUMBER is a single-partition window, so
+    * the position is assembled the distributed way: hash-shard the
+    * permutation space ([[ShufShards]] shards = the hash mod the shard
+    * count), count per (epoch, shard) (one tiny-keyspace aggregate),
+    * prefix-sum those counts into shard offsets on the 2×[[ShufShards]]-row
+    * audit relation, broadcast the offsets back, and rank WITHIN each
+    * shard (a bounded-partition window). Global position = shard offset
+    * + within-shard rank; ordering by (shard, h, doc_id) is exactly the
+    * oracle's one global sort. Shard count is the task-size knob: tasks
+    * are ~N/shards docs; raise it with the corpus.
+    */
+  val ShufShards = 256L
+  val ShufEpochs = 2
+
+  def sp08(s: SparkSession, dir: String): DataFrame = {
+    val h = Dedup.h60(concat(lit("shuf:"), col("epoch"), lit(":"), col("doc_id")))
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array((0 until ShufEpochs).map(lit): _*)).as("epoch"))
+      .withColumn("h", h)
+      .withColumn("shard", (col("h") % ShufShards).cast("int"))
+    val wOff = Window.partitionBy(col("epoch")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select("epoch", "shard", "off")
+    val wIn = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    keyed.join(broadcast(offsets), Seq("epoch", "shard"))
+      .withColumn("pos",
+        (col("off") + org.apache.spark.sql.functions.row_number().over(wIn))
+          .cast("long"))
+      .select("doc_id", "epoch", "shard", "pos")
+      .orderBy("epoch", "pos")
+  }
+
+  private val shufHSql =
+    Dedup.h60Sql("'shuf:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+
+  val sp08Sql: String =
+    s"""WITH e AS (SELECT doc_id, epoch
+       |           FROM documents CROSS JOIN (VALUES (0), (1)) AS ep(epoch)),
+       |h AS (SELECT doc_id, epoch, $shufHSql AS h FROM e)
+       |SELECT doc_id, epoch,
+       |       CAST(h % $ShufShards AS INT) AS shard,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+       |                               ORDER BY h % $ShufShards, h, doc_id)
+       |            AS BIGINT) AS pos
+       |FROM h ORDER BY epoch, pos""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("sp01_split_assign", "deterministic hash 90/5/5 train/val/test split", sp01, Some(sp01Sql)),
     Q("sp02_stratified_sample", "stratified 20% hash sample + audit counts", sp02, Some(sp02Sql)),
@@ -417,5 +477,6 @@ object Sampling {
     Q("sp05_temporal_split_audit", "time-cutoff split + straddling-user leakage audit", sp05, Some(sp05Sql)),
     Q("sp06_sequence_pack", "greedy token-budget packing into training sequences", sp06, Some(sp06Sql)),
     Q("sp07_mixture_resample", "downsample languages to a target mixture + audit", sp07, Some(sp07Sql)),
+    Q("sp08_shuffle_order", "deterministic epoch-varied global shuffle permutation", sp08, Some(sp08Sql)),
   )
 }

@@ -485,6 +485,23 @@ object TextAnalysis {
       |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Streaming twin of [[ta08]] — the quality gate applied at INGEST
+    * time, before a document ever lands in the corpus. The gate is a
+    * stateless column program (every signal — token count, stop-hit
+    * kernels, 2-gram duplication, score — is computed per row), so the
+    * exact batch program runs unchanged on an unbounded stream: no
+    * state store, no watermark, no output-mode constraint. The one
+    * difference from ta08 is the absent presentation sort (streams
+    * don't order). Contrast [[graft.streaming.EventStreams.dedupStream]],
+    * where the corpus-relative signal genuinely needs bounded state. */
+  def gateStream(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    gateDf(docs)
+      .withColumn("keep", (col("drop_reason") === "keep").cast("int"))
+      .select("doc_id", "n_tokens", "lang_max", "dup_frac", "score",
+        "drop_reason", "keep")
+  }
+
   // ---------------------------------------------------------------- ta09
   /** Corpus-frequency rarity scoring — the model-free stand-in for the
     * LM-perplexity filter a CCNet-style pipeline runs (no LM weights in
@@ -518,15 +535,25 @@ object TextAnalysis {
     */
   val RarityHeadCut = 1000L
 
-  /** The materialized unigram frequency table (tok, c), bucketed by
-    * token. */
-  private def uniFreq(s: SparkSession, dir: String): DataFrame =
+  /** The materialized unigram frequency table, bucketed by token —
+    * (lang, tok, c) so ONE built index serves both consumers: ta09's
+    * global frequencies (aggregate out lang — rides the tok bucketing,
+    * no exchange, vocab-sized input) and ta10's per-language
+    * diagnostics. Without the table each consumer would re-explode and
+    * re-aggregate the corpus per Catalyst branch (no subplan sharing:
+    * ta10 alone has three derivations of this relation). */
+  private def langFreq(s: SparkSession, dir: String): DataFrame =
     DedupPrepare.ensure(s, "unifreq", dir,
       () => Tables.documents(s, dir)
-        .select(explode(ws).as("tok"))
+        .select(col("lang"), explode(ws).as("tok"))
         .filter(col("tok") =!= "")
-        .groupBy(col("tok")).agg(count(lit(1)).as("c")),
-      Seq("tok"), Seq("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c")),
+      Seq("tok"), Seq("tok"), variant = "_lang")
+
+  /** Global (tok, c) view of [[langFreq]] — vocab-sized aggregate, no
+    * exchange (bucketed by tok). */
+  private def uniFreq(s: SparkSession, dir: String): DataFrame =
+    langFreq(s, dir).groupBy(col("tok")).agg(sum(col("c")).as("c"))
 
   def ta09(s: SparkSession, dir: String): DataFrame = {
     val tk = Tables.documents(s, dir)
@@ -562,6 +589,72 @@ object TextAnalysis {
        |         / 1e9 / CAST(COUNT(*) AS DOUBLE) AS rarity
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- ta10
+  /** Corpus diagnostics — the per-language health report a pipeline
+    * inspects BEFORE training: document and token volume, vocabulary
+    * size, type-token ratio (lexical diversity), hapax share (OOV /
+    * noise pressure), and top-100-token coverage (how head-heavy the
+    * language's distribution is; a natural-language corpus sits near
+    * Zipf's ~40–60%, boilerplate spikes it). All counts are exact
+    * integers; each ratio is one IEEE division — engine-identical.
+    *
+    * Scale posture: every relation derives from the MATERIALIZED
+    * (lang, tok, c) frequency index ([[langFreq]]) — vocab-sized, not
+    * corpus-sized; the corpus-wide explode+aggregate is paid once per
+    * corpus at index-build time, not once per Catalyst branch (three
+    * consumers below — inlining re-ran it 3×, census 8 exchanges vs 6).
+    * The top-100 rank window partitions by lang over vocab-sized data —
+    * bounded by the largest per-language vocabulary, the standard
+    * argmax-top-k shape, never the corpus. Doc counts ride a separate
+    * scan that prunes to one column.
+    */
+  def ta10(s: SparkSession, dir: String): DataFrame = {
+    val tf = langFreq(s, dir)
+    val byLang = tf.groupBy(col("lang")).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+    val wTop = Window.partitionBy(col("lang"))
+      .orderBy(col("c").desc, col("tok"))
+    val top = tf.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 100)
+      .groupBy(col("lang")).agg(sum(col("c")).as("top100"))
+    val nDocs = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    nDocs.join(byLang, Seq("lang")).join(top, Seq("lang"))
+      .select(col("lang"), col("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("vocab"),
+        (col("vocab").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("hapax").cast("double") / col("vocab").cast("double"))
+          .as("hapax_share"),
+        (col("top100").cast("double") / col("n_tokens").cast("double"))
+          .as("top100_coverage"))
+      .orderBy("lang")
+  }
+
+  val ta10Sql: String =
+    s"""WITH $wsSqlCte,
+       |tk AS (SELECT lang, unnest(ws) AS tok FROM w),
+       |tf AS (SELECT lang, tok, COUNT(*) AS c FROM tk
+       |       WHERE tok <> '' GROUP BY lang, tok),
+       |bl AS (SELECT lang, SUM(c) AS n_tokens, COUNT(*) AS vocab,
+       |              SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax
+       |       FROM tf GROUP BY lang),
+       |tp AS (SELECT lang, SUM(c) AS top100 FROM (
+       |         SELECT lang, c, ROW_NUMBER() OVER (PARTITION BY lang
+       |                          ORDER BY c DESC, tok) AS rk FROM tf)
+       |       WHERE rk <= 100 GROUP BY lang),
+       |nd AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+       |SELECT lang, n_docs,
+       |       CAST(n_tokens AS BIGINT) AS n_tokens, vocab,
+       |       CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+       |       CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) AS hapax_share,
+       |       CAST(top100 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top100_coverage
+       |FROM nd JOIN bl USING (lang) JOIN tp USING (lang)
+       |ORDER BY lang""".stripMargin
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("ta01_langid", "stopword-heuristic language ID + accuracy flag", ta01, Some(ta01Sql)),
@@ -573,5 +666,6 @@ object TextAnalysis {
     Q("ta07_pii_scrub", "PII detect + redact, planted ground truth", ta07, Some(ta07Sql)),
     Q("ta08_quality_gate", "composed keep/drop gate with first-failing-rule reason", ta08, Some(ta08Sql)),
     Q("ta09_rarity_score", "corpus-frequency rarity (unigram surprisal proxy)", ta09, Some(ta09Sql)),
+    Q("ta10_corpus_diagnostics", "per-lang vocab / TTR / hapax / head-coverage report", ta10, Some(ta10Sql)),
   )
 }

@@ -455,6 +455,60 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       out.toSeq)
   }
 
+  test("ta10: diagnostics match a hand-computed corpus; top-100 ties break by token") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ta10").toString
+    // en: tokens = [a a a b b c], vocab 3, hapax {c}, top100 covers all
+    // de: 102 distinct tokens once each + "x" 5 times -> top100 excludes
+    //     exactly the 2 lexicographically-last of the once-tokens
+    val deToks = (1 to 102).map(i => f"t$i%03d") ++ Seq.fill(5)("x")
+    Seq((1L, "a a a b b", "en"), (2L, "c", "en"),
+        (3L, deToks.mkString(" "), "de"))
+      .map { case (id, t, l) => (id, t, l, "u", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.ta10(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getLong(1) == 2 && en.getLong(2) == 6 && en.getLong(3) == 3)
+    assert(en.getDouble(4) == 3.0 / 6.0)       // ttr
+    assert(en.getDouble(5) == 1.0 / 3.0)       // hapax_share (c)
+    assert(en.getDouble(6) == 1.0)             // 3 types <= 100 -> full coverage
+    val de = out("de")
+    assert(de.getLong(2) == 107 && de.getLong(3) == 103)
+    // top100 = x(5) + 99 once-tokens (t001..t099; t100..t102 lose the tie)
+    assert(de.getDouble(6) == (5.0 + 99.0) / 107.0)
+    assert(de.getDouble(5) == 102.0 / 103.0)
+  }
+
+  test("sp08: each epoch is a fresh exact permutation; offsets splice shards") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sp08").toString
+    val n = 500
+    (1 to n).map(i => (i.toLong, s"text $i", "en", "u", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Sampling.sp08(spark, dir).collect()
+    assert(out.length == 2 * n)
+    val byEpoch = out.groupBy(_.getInt(1))
+    assert(byEpoch.keySet == Set(0, 1))
+    for ((_, rows) <- byEpoch) {
+      // positions are exactly 1..N — the shard offsets spliced correctly
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to n).toSeq)
+      // position order is shard-major: pos-sorted rows have nondecreasing shard
+      val shardsByPos = rows.sortBy(_.getLong(3)).map(_.getInt(2)).toSeq
+      assert(shardsByPos == shardsByPos.sorted)
+      // with 500 docs over 256 shards, a real spread (not all one shard)
+      assert(rows.map(_.getInt(2)).distinct.length > 100)
+    }
+    // the two epochs are DIFFERENT permutations of the same doc set
+    def perm(e: Int) = byEpoch(e).map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(perm(0).keySet == perm(1).keySet)
+    assert(perm(0) != perm(1))
+    // deterministic: a re-run reproduces the permutation bit-for-bit
+    assert(graft.operators.Sampling.sp08(spark, dir).collect().toSeq == out.toSeq)
+  }
+
   test("cp01: every stage fires with the documented precedence") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cp01").toString

@@ -22,7 +22,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     * ss05 = sum of its four audited pipelines by construction. */
   private val budget = Map(
     "dd01_exact_dedup" -> 2, "dd02_minhash_sig" -> 1,
-    "dd03_minhash_lsh_pairs" -> 6, "dd04_ngram_jaccard_topk" -> 3,
+    "dd03_minhash_lsh_pairs" -> 6, "dd04_ngram_jaccard_topk" -> 1,
     "dd05_simhash_sig" -> 1, "dd06_simhash_hamming" -> 1,
     "dd07_embedding_neardup" -> 3, "dd08_neardup_clusters" -> 3,
     "dd09_cluster_keeper" -> 11, "dd10_semantic_clusters" -> 3,
@@ -43,7 +43,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "sp01_split_assign" -> 1, "sp02_stratified_sample" -> 2,
     "sp03_contamination_exact" -> 3, "sp04_contamination_ngram" -> 4,
     "sp05_temporal_split_audit" -> 3, "sp06_sequence_pack" -> 2,
-    "sp07_mixture_resample" -> 7, "cp01_corpus_manifest" -> 5,
+    "sp07_mixture_resample" -> 7, "cp01_corpus_manifest" -> 3,
+    "sp08_shuffle_order" -> 5,
     "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 12,
     "ss03_knn_lsh" -> 5, "ss04_knn_ivf_multiprobe" -> 12,
     "ss05_knn_recall_audit" -> 34,
@@ -51,7 +52,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "ta03_token_counts" -> 1, "ta04_fingerprint" -> 1,
     "ta05_lexical_stats" -> 1, "ta06_repetition_stats" -> 1,
     "ta07_pii_scrub" -> 1, "ta08_quality_gate" -> 1,
-    "ta09_rarity_score" -> 4)
+    "ta09_rarity_score" -> 4, "ta10_corpus_diagnostics" -> 6)
 
   /** sf1.0 budgets where they differ from the small tree — all four are
     * SIZE-DRIVEN STRATEGY FLIPS (a side outgrowing the broadcast

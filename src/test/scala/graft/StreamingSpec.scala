@@ -204,6 +204,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 3L)) // first arrival per content survives
   }
 
+  test("quality gate runs statelessly on a stream and matches the batch gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "one two three", 13L),                                   // too_short
+      (2L, "zz yy xx ww vv uu tt ss rr qq pp", 31L),                // no_lang_signal
+      (3L, Seq.fill(10)("the cat").mkString(" "), 79L),             // repetitive
+      (4L, (1 to 60).map(i => s"the w$i").mkString(" "), 400L))     // keep
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = graft.operators.TextAnalysis
+      .gateStream(spark, mem.toDF().toDF("doc_id", "text", "n_chars"))
+      .writeStream.format("memory").queryName("gate").outputMode("append").start()
+    mem.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(2): _*)  // second micro-batch: no cross-batch state
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gate").collect()
+      .map(r => r.getLong(0) -> (r.getString(5), r.getInt(6))).toMap
+    assert(got == Map(1L -> ("too_short", 0), 2L -> ("no_lang_signal", 0),
+      3L -> ("repetitive", 0), 4L -> ("keep", 1)))
+    // parity: the stream rows equal the batch gate over the same relation
+    val batch = graft.operators.TextAnalysis
+      .gateStream(spark, docs.toDF("doc_id", "text", "n_chars")).collect()
+      .map(r => r.getLong(0) -> (r.getString(5), r.getInt(6))).toMap
+    assert(batch == got)
+  }
+
   test("as-of stream parity: in-order rows reproduce the batch q22 attribution") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
