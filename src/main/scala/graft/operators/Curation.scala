@@ -22,43 +22,52 @@ import graft.{Q, Tables}
   */
 object Curation {
 
-  /** cp01: per-doc manifest row — (doc_id, split, reason, keep).
-    *
-    * Scale posture: the gate is evaluated INLINE off the scan
-    * ([[TextAnalysis.gateDf]] — map-side, same recompute-over-rejoin
-    * choice as ta08 itself); the two corpus-relative signals — the
-    * min-doc_id keeper and the does-any-eval-doc-share-this-sig bit —
-    * come out of ONE sig-keyed aggregate (Catalyst does not share the
-    * subplan, so a separate keeper table and eval-sig relation would
-    * each rescan and re-md5 the corpus; at sf10 that third scan was
-    * ~1/3 of the query), and the manifest join rides the same `sig`
-    * partitioning. Whole manifest = gate scan + one sig aggregate +
-    * one sig join + the presentation sort — no doc_id-keyed rejoin.
-    */
-  def cp01(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val d = Tables.documents(s, dir)
-      .withColumn("bucket", Sampling.bucket)
-      .withColumn("sig",
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")))
-    val sigStats = d.groupBy(col("sig")).agg(
-      min(col("doc_id")).as("keeper"),
-      max((col("bucket") >= 90).cast("int")).as("in_eval"))
-    TextAnalysis.gateDf(d)
-      .join(sigStats, Seq("sig"))
-      .withColumn("split",
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "val").otherwise("test"))
-      .withColumn("reason",
-        when(col("drop_reason") =!= "keep", col("drop_reason"))
-          .when(col("doc_id") =!= col("keeper"), "exact_dup")
-          .when(col("split") === "train" && col("in_eval") === 1,
-            "contaminated")
-          .otherwise("keep"))
-      .withColumn("keep", (col("reason") === "keep").cast("int"))
+  /** The manifest as a BUILT ARTIFACT: a production curation run
+    * publishes its manifest once per corpus and every consumer probes
+    * it, so the gate pass, the sig aggregate and the manifest join are
+    * paid at layer-write time ([[DedupPrepare.ensure]], doc_id-bucketed)
+    * — cp01 becomes a near-free read and cp02's two derivations of the
+    * kept set (mixture rates + the mixture filter — Catalyst shares no
+    * subplans) each read the table instead of re-running the gate.
+    * Also carries the whitespace token count the packer needs. The gate
+    * thresholds and split fractions are fixed operator constants; if
+    * they ever become parameters they must join the variant tag. */
+  private def manifest(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "manifest", dir, () => {
+      graft.functions.GraftFunctions.register(s)
+      val d = Tables.documents(s, dir)
+        .withColumn("bucket", Sampling.bucket)
+        .withColumn("sig",
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")))
+      val sigStats = d.groupBy(col("sig")).agg(
+        min(col("doc_id")).as("keeper"),
+        max((col("bucket") >= 90).cast("int")).as("in_eval"))
+      TextAnalysis.gateDf(d)
+        .join(sigStats, Seq("sig"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val").otherwise("test"))
+        .withColumn("reason",
+          when(col("drop_reason") =!= "keep", col("drop_reason"))
+            .when(col("doc_id") =!= col("keeper"), "exact_dup")
+            .when(col("split") === "train" && col("in_eval") === 1,
+              "contaminated")
+            .otherwise("keep"))
+        .withColumn("keep", (col("reason") === "keep").cast("int"))
+        .withColumn("n_tokens", regexp_count(col("text"), lit("\\S+")))
+        .select("doc_id", "lang", "split", "reason", "keep", "n_tokens")
+    }, Seq("doc_id"), Seq("doc_id"))
+
+  /** cp01: per-doc manifest row — (doc_id, split, reason, keep). A read
+    * of the materialized manifest layer plus the presentation sort; the
+    * write-time plan is gate scan + ONE sig-keyed aggregate + one sig
+    * join (a separate keeper table and eval-sig relation each re-scanned
+    * and re-md5'd the corpus — at sf10 that third scan was ~1/3 of the
+    * query). */
+  def cp01(s: SparkSession, dir: String): DataFrame =
+    manifest(s, dir)
       .select("doc_id", "split", "reason", "keep")
       .orderBy("doc_id")
-  }
 
   /** Oracle: the ta08 oracle verbatim as the gate stage (its ORDER BY
     * is harmless in a derived table), plus the sig keeper and eval-sig
@@ -87,10 +96,149 @@ object Curation {
        |       LEFT JOIN e ON d.sig = e.sig
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- cp02
+  /** One row of the cp02 pack fold: a train-split keeper with its
+    * epoch-0 shuffle key. */
+  final case class BatchRow(doc_id: Long, lang: String, shard: Int,
+      h: Long, n_tokens: Int)
+
+  /** cp02: the TRAINING BATCHES — the artifact the whole engine exists
+    * to produce. Composes the pipeline end-to-end: the cp01 manifest's
+    * train-split keepers (gate pass, exact-dup canonical, not
+    * contaminated) → sp07 mixture derating (rates computed on the KEPT
+    * train corpus — derate after cleaning, or the dropped docs skew the
+    * mixture) → the epoch-0 sp08 shuffle key → sp06-style greedy
+    * packing into [[Sampling.PackCap]]-token sequences, packed in
+    * SHUFFLE order within each shuffle shard (the real pipeline packs
+    * the shuffled stream, not doc_id order). Every stage is the same
+    * deterministic hash family as its standalone operator, so the
+    * composition is reproducible bit-for-bit and each stage's
+    * standalone oracle doubles as a component test of this one.
+    *
+    * Scale posture: gate inline off the scan; ONE sig-keyed aggregate +
+    * join (cp01's shape); mixture rates broadcast back (lang-bounded
+    * relation); the pack fold repartitions once on the shuffle shard
+    * and folds sorted runs — shard count is the task-size knob exactly
+    * as in sp08. No corpus-sized window, no driver-side loop.
+    */
+  def cp02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kept = manifest(s, dir)
+      .filter(col("reason") === "keep" && col("split") === "train")
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val rates = Sampling.mixRates(kept).select("lang", "thr")
+    val h = Dedup.h60(concat(lit("shuf:0:"), col("doc_id")))
+    val mixed = kept
+      .join(broadcast(rates), Seq("lang"))
+      .filter(Dedup.h60(concat(lit("mix:"), col("doc_id"))) % 1000000L < col("thr"))
+      .withColumn("h", h)
+      .withColumn("shard", (col("h") % Sampling.ShufShards).cast("int"))
+      .select(col("doc_id"), col("lang"), col("shard"), col("h"), col("n_tokens"))
+      .as[BatchRow]
+    mixed
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "h", "doc_id")
+      .mapPartitions { it =>
+        // the sp06 header-carry fold, grouped by shuffle shard and
+        // ordered by the shuffle key: bin totals come out of the fold
+        val buf = scala.collection.mutable.ArrayBuffer.empty[BatchRow]
+        var shard = -1
+        var any = false
+        var seq = 0
+        var fill = 0
+        def flush(): Iterator[(Long, String, Int, Int, Int, Long, Int)] = {
+          val (sh, sq, tot, n) = (shard, seq, fill.toLong, buf.size)
+          val rows = buf.toVector.map(r =>
+            (r.doc_id, r.lang, sh, r.n_tokens, sq, tot, n))
+          buf.clear(); rows.iterator
+        }
+        def open(r: BatchRow, newGroup: Boolean): Unit = {
+          if (newGroup) { shard = r.shard; seq = 0 } else seq += 1
+          fill = r.n_tokens; buf += r
+        }
+        val main = it.flatMap { r =>
+          if (!any) { any = true; open(r, newGroup = true); Iterator.empty }
+          else if (r.shard != shard) {
+            val closed = flush(); open(r, newGroup = true); closed
+          } else if (fill + r.n_tokens <= Sampling.PackCap) {
+            fill += r.n_tokens; buf += r; Iterator.empty
+          } else { val closed = flush(); open(r, newGroup = false); closed }
+        }
+        main ++ (if (buf.nonEmpty) flush() else Iterator.empty)
+      }
+      .toDF("doc_id", "lang", "shard", "n_tokens", "seq_id", "seq_tokens",
+        "n_in_seq")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the cp01 stages as CTEs filtered to the train keepers, the
+    * sp07 rate rule on that kept relation, the sp08 epoch-0 hash, and
+    * the sp06 recursive-CTE greedy fold per shuffle shard. */
+  val cp02Sql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, lang, text, ${Sampling.bucketSql} AS bucket,
+       |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS sig
+       |  FROM documents),
+       |g AS (SELECT doc_id, drop_reason FROM (${TextAnalysis.ta08Sql}) t0),
+       |k AS (SELECT sig, MIN(doc_id) AS keeper FROM d GROUP BY sig),
+       |e AS (SELECT DISTINCT sig FROM d WHERE bucket >= 90),
+       |keep AS (
+       |  SELECT d.doc_id, d.lang,
+       |         CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_tokens
+       |  FROM d JOIN g USING (doc_id) JOIN k USING (sig)
+       |         LEFT JOIN e ON d.sig = e.sig
+       |  WHERE g.drop_reason = 'keep' AND d.doc_id = k.keeper
+       |        AND d.bucket < 90 AND e.sig IS NULL),
+       |c AS (SELECT lang, COUNT(*) AS n_docs,
+       |             CAST(${Sampling.mixWSql} AS BIGINT) AS weight
+       |      FROM keep GROUP BY lang),
+       |r AS (SELECT lang,
+       |             CASE WHEN weight > 0
+       |                  THEN least(CAST(1.0 AS DOUBLE),
+       |                       (CAST(weight AS DOUBLE) *
+       |                        MIN(CASE WHEN weight > 0 THEN CAST(n_docs AS DOUBLE)
+       |                                 / CAST(weight AS DOUBLE) END) OVER ())
+       |                       / CAST(n_docs AS DOUBLE))
+       |                  ELSE CAST(0.0 AS DOUBLE) END AS rate
+       |      FROM c),
+       |mixed AS (
+       |  SELECT keep.* FROM keep JOIN r USING (lang)
+       |  WHERE ${Dedup.h60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000
+       |        < CAST(ROUND(rate * 1e6) AS BIGINT)),
+       |t AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |         CAST(h % ${Sampling.ShufShards} AS INT) AS shard,
+       |         ROW_NUMBER() OVER (PARTITION BY h % ${Sampling.ShufShards}
+       |                            ORDER BY h, doc_id) AS rn
+       |  FROM (SELECT *, ${Dedup.h60Sql("'shuf:0:' || CAST(doc_id AS VARCHAR)")} AS h
+       |        FROM mixed)),
+       |pack AS (
+       |  SELECT doc_id, lang, shard, n_tokens, rn, 0 AS seq_id,
+       |         n_tokens AS fill
+       |  FROM t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.doc_id, t.lang, t.shard, t.n_tokens, t.rn,
+       |         CASE WHEN p.fill + t.n_tokens <= ${Sampling.PackCap} THEN p.seq_id
+       |              ELSE p.seq_id + 1 END AS seq_id,
+       |         CASE WHEN p.fill + t.n_tokens <= ${Sampling.PackCap}
+       |              THEN p.fill + t.n_tokens
+       |              ELSE t.n_tokens END AS fill
+       |  FROM pack p
+       |  JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)
+       |SELECT doc_id, lang, shard, n_tokens, seq_id,
+       |       CAST(SUM(n_tokens) OVER (PARTITION BY shard, seq_id)
+       |            AS BIGINT) AS seq_tokens,
+       |       CAST(COUNT(*) OVER (PARTITION BY shard, seq_id)
+       |            AS INT) AS n_in_seq
+       |FROM pack ORDER BY doc_id""".stripMargin
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("cp01_corpus_manifest",
       "end-to-end keep/drop manifest: gate > exact_dup > contaminated",
       cp01, Some(cp01Sql)),
+    Q("cp02_training_batches",
+      "manifest keepers > mixture > shuffle > packed training sequences",
+      cp02, Some(cp02Sql)),
   )
 }

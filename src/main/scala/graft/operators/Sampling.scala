@@ -348,15 +348,22 @@ object Sampling {
     * decision; the windows (binding-ratio min, kept total) run over the
     * lang-cardinality-bounded audit relation, never the corpus.
     */
-  def sp07(s: SparkSession, dir: String): DataFrame = {
+  /** The target-domain weight of a language (en:de:fr:es = 40:30:20:10)
+    * — shared by sp07 and the cp02 pipeline composition. */
+  private[operators] def mixWeight: org.apache.spark.sql.Column =
+    when(col("lang") === "en", 40L).when(col("lang") === "de", 30L)
+      .when(col("lang") === "fr", 20L).when(col("lang") === "es", 10L)
+      .otherwise(0L)
+
+  /** Per-language keep-rate table (lang, rate, thr) for any docs-shaped
+    * relation, per the sp07 derating rule: the binding language keeps
+    * everything, every other language derates to the target mixture.
+    * The windows run over the lang-cardinality-bounded count relation,
+    * never the corpus. */
+  private[operators] def mixRates(docs: DataFrame): DataFrame = {
     val wAll = Window.partitionBy(lit(1))
-    val weight =
-      when(col("lang") === "en", 40L).when(col("lang") === "de", 30L)
-        .when(col("lang") === "fr", 20L).when(col("lang") === "es", 10L)
-        .otherwise(0L)
-    val rated = Tables.documents(s, dir)
-      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-      .withColumn("weight", weight)
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", mixWeight)
       .withColumn("scale",
         min(when(col("weight") > 0,
           col("n_docs").cast("double") / col("weight").cast("double"))).over(wAll))
@@ -366,6 +373,11 @@ object Sampling {
             (col("weight").cast("double") * col("scale")) /
               col("n_docs").cast("double"))).otherwise(lit(0.0)))
       .withColumn("thr", round(col("rate") * 1e6).cast("long"))
+  }
+
+  def sp07(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy(lit(1))
+    val rated = mixRates(Tables.documents(s, dir))
       .select("lang", "n_docs", "weight", "rate", "thr")
     val kept = Tables.documents(s, dir)
       .join(broadcast(rated), Seq("lang"))
@@ -380,7 +392,7 @@ object Sampling {
       .orderBy("lang")
   }
 
-  private val mixWSql =
+  private[operators] val mixWSql =
     """CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 30
       |          WHEN 'fr' THEN 20 WHEN 'es' THEN 10 ELSE 0 END""".stripMargin
 

@@ -412,6 +412,9 @@ object Similarity {
     * k-means cells still beat the previous ground-truth-label cells
     * (~chance, the labels being uncorrelated with vector geometry).
     * This query exists precisely to measure that dial per corpus.
+    * Evidence, not assertion: on an 8-cluster separable fixture the
+    * same learned index audits at recall@5 = 1.00 for both nprobe
+    * settings (OperatorsSpec "ss05 on clusterable data").
     */
   def ss05(s: SparkSession, dir: String): DataFrame = {
     val exact = ss01(s, dir).select(col("query_id"), col("neighbor_id"))

@@ -509,6 +509,36 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.operators.Sampling.sp08(spark, dir).collect().toSeq == out.toSeq)
   }
 
+  test("ss05 on clusterable data: learned IVF recall is high (low recall is the data)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssfix").toString
+    // 8 well-separated block clusters in R^64: cluster g lives on dims
+    // [8g, 8g+8) with deterministic per-vector jitter; cross-cluster
+    // cosine ~ 0, within-cluster ~ 1. vec_id i -> cluster i % 8, so the
+    // 10 audit queries (vec_id < 10) span all clusters.
+    val vecs = (0 until 200).map { i =>
+      val g = i % 8
+      val emb = Array.tabulate(64) { d =>
+        val base = if (d >= 8 * g && d < 8 * g + 8) 1.0f else 0.0f
+        base + 0.02f * (((i * 31 + d * 17) % 7) - 3)
+      }
+      (i.toLong, emb.toSeq, g)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding",
+        "CAST(label AS INT) AS label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val audit = graft.operators.Similarity.ss05(spark, dir).collect()
+    assert(audit.length == 10)
+    val r1 = audit.map(_.getDouble(5)).sum / 10.0
+    val r2 = audit.map(_.getDouble(6)).sum / 10.0
+    info(f"clustered-fixture mean recall@5: ivf1=$r1%.2f ivf2=$r2%.2f")
+    // the method is sound when the data has neighborhood structure —
+    // the sf0.01 corpus's ~0.28 is the isotropic data, not the index
+    assert(r1 >= 0.8, s"ivf1 recall $r1 — learned cells failed clusterable data")
+    assert(r2 >= r1 - 1e-9)
+  }
+
   test("cp01: every stage fires with the documented precedence") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cp01").toString
@@ -541,6 +571,57 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(eContam)._2 == "exact_dup")                 // loses to the keeper
     assert(out(tKeep) == (("train", "keep", 1)))
     assert(out(eKeep)._3 == 1)                             // eval docs ship
+  }
+
+  test("cp02: mixture-kept train keepers pack in shuffle order under the cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_cp02").toString
+    val probe = (1L to 400L).toDF("doc_id")
+    val buckets = graft.operators.Sampling.sp01Buckets(probe)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val train = (1L to 400L).filter(buckets(_) < 90)
+    val eval_ = (1L to 400L).filter(buckets(_) >= 90)
+    def good(tag: String, l: String) = {
+      val s0 = if (l == "de") "der" else "the"
+      (1 to 60).map(i => s"$s0 $tag$i").mkString(" ")   // 120 tokens, gate-keep
+    }
+    val Seq(tShort, tDupA, tDupB) = train.take(3)
+    val tContam = train.drop(3).find(t => eval_.exists(_ > t)).get
+    val eContam = eval_.find(_ > tContam).get
+    val enIds = train.drop(3).filter(_ != tContam).take(8)
+    val deIds = train.drop(3).filter(t => t != tContam && !enIds.contains(t)).take(12)
+    val docs =
+      Seq(tShort -> ("one two three", "en"),
+        tDupA -> (good("d", "en"), "en"), tDupB -> (("  " + good("d", "en").toUpperCase), "en"),
+        tContam -> (good("c", "en"), "en"), eContam -> (good("c", "en"), "en")) ++
+      enIds.map(i => i -> (good(s"e$i", "en"), "en")) ++
+      deIds.map(i => i -> (good(s"g$i", "de"), "de"))
+    docs.map { case (id, (t, l)) => (id, t, l, "u", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // kept en = 8 named + the dup keeper = 9; en binds (9/40 < 12/30),
+    // so all en kept and de rate = 30 * (9/40) / 12 = 0.5625
+    val deKept = deIds.toDF("doc_id")
+      .withColumn("m",
+        graft.operators.Dedup.h60(concat(lit("mix:"), col("doc_id"))) % 1000000L)
+      .filter(col("m") < 562500L).collect().map(_.getLong(0)).toSet
+    val out = graft.operators.Curation.cp02(spark, dir).collect()
+    val ids = out.map(_.getLong(0)).toSet
+    val expected = enIds.toSet ++ deKept   // dup keeper tDupA? see below
+    // excluded: gate-fail, dup non-keeper, contaminated keeper, all eval
+    assert(!ids.contains(tShort) && !ids.contains(math.max(tDupA, tDupB)))
+    assert(!ids.contains(tContam) && !ids.contains(eContam))
+    // the dup KEEPER survives the pipeline (it's clean content)
+    assert(ids == expected + math.min(tDupA, tDupB))
+    // bins: every sequence's total respects the cap (no doc exceeds it
+    // here), docs in a bin share a shard, bins pack ≥1 docs
+    for (r <- out) {
+      assert(r.getLong(5) <= graft.operators.Sampling.PackCap)
+      assert(r.getInt(6) >= 1 && r.getInt(6) <= 2) // 120-token docs -> ≤2 per bin
+    }
+    // determinism
+    assert(graft.operators.Curation.cp02(spark, dir).collect().toSeq == out.toSeq)
   }
 
   test("sp05: cutoff boundary is exact and straddling users count once") {
