@@ -232,6 +232,26 @@ object Curation {
        |            AS INT) AS n_in_seq
        |FROM pack ORDER BY doc_id""".stripMargin
 
+  /** Streaming ingest chain — the ONLINE front half of the pipeline:
+    * the stateless quality gate first ([[TextAnalysis.gateDf]] — pure
+    * column program, no state), watermarked exact-dedup second
+    * ([[graft.streaming.EventStreams.dedupStream]]). The order is the
+    * scale decision: the gate drops content-intrinsic rejects BEFORE
+    * they ever enter the dedup state store, so per-signature state is
+    * bounded by gate survivors, not arrivals. Corpus-relative stages
+    * that need global state (canonical keeper, decontamination,
+    * mixture) stay in the batch manifest build — the standard
+    * stream-ingest / batch-curate split. Input needs (ts, doc_id,
+    * text, n_chars); emits the gate-surviving first arrival per
+    * normalized content signature. */
+  def ingestStream(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val gated = TextAnalysis.gateDf(docs)
+      .filter(col("drop_reason") === "keep")
+      .select(col("ts"), col("doc_id"), col("text"))
+    graft.streaming.EventStreams.dedupStream(gated)
+  }
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("cp01_corpus_manifest",

@@ -232,6 +232,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(batch == got)
   }
 
+  test("ingest chain: gate rejects never reach dedup state; first arrival wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def good(tag: String) = (1 to 60).map(i => s"the $tag$i").mkString(" ")
+    val mem = MemoryStream[(Timestamp, Long, String, Long)]
+    val q = graft.operators.Curation
+      .ingestStream(spark, mem.toDF().toDF("ts", "doc_id", "text", "n_chars"))
+      .writeStream.format("memory").queryName("ingest").outputMode("append").start()
+    mem.addData(
+      (ts("2023-03-01 10:00:00"), 1L, "one two three", 13L),      // gate: too_short
+      (ts("2023-03-01 10:01:00"), 2L, good("a"), 400L),           // keeper
+      (ts("2023-03-01 10:02:00"), 3L, good("b"), 400L))           // keeper
+    q.processAllAvailable()
+    mem.addData(
+      (ts("2023-03-01 10:10:00"), 4L, "  " + good("a").toUpperCase, 402L), // dup of 2
+      (ts("2023-03-01 10:11:00"), 5L, good("c"), 400L))           // keeper
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("ingest").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 5L)) // 1 gated out, 4 deduped out
+  }
+
   test("as-of stream parity: in-order rows reproduce the batch q22 attribution") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
