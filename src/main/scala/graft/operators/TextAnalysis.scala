@@ -655,6 +655,71 @@ object TextAnalysis {
        |FROM nd JOIN bl USING (lang) JOIN tp USING (lang)
        |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- ta11
+  /** Per-source boilerplate detection — the C4-style site-template
+    * cleaning signal: a word-3-shingle occurring in more than
+    * [[BoilerFrac]] of a SOURCE's documents is that source's template
+    * (nav bars, footers, legal text — the same bytes on every page of a
+    * site), and each doc reports how much of it is template. Shingle
+    * universe and doc set are exactly the shingle layer's (docs with ≥3
+    * tokens); per-source doc counts are counted over that same layer so
+    * the threshold is self-consistent.
+    *
+    * Scale posture: the template bit is baked onto each shingle row in
+    * a doc_id-bucketed BUILT LAYER ([[boilerShingles]] — the source-df
+    * aggregate, the threshold join and the template mark are all paid
+    * at layer-write time, once per corpus), so the per-doc rollup
+    * groups on doc_id with no exchange: read → zero-shuffle aggregate →
+    * presentation sort.
+    */
+  val BoilerFrac = 0.5
+
+  /** The boilerplate-annotated shingle layer: (doc_id, source, s,
+    * is_template), bucketed by doc_id. */
+  private def boilerShingles(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "boiler", dir, () => {
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val sh = DedupPrepare.shingles3(s, dir).join(src, Seq("doc_id"))
+      val perSrc = sh.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val tpl = sh.groupBy(col("source"), col("s")).agg(count(lit(1)).as("df"))
+        .join(perSrc, Seq("source"))
+        .filter(col("df").cast("double") >
+          col("n_docs").cast("double") * BoilerFrac)
+        .select(col("source"), col("s"), lit(1).as("is_template"))
+      sh.join(tpl, Seq("source", "s"), "left")
+        .select(col("doc_id"), col("source"), col("s"),
+          coalesce(col("is_template"), lit(0)).as("is_template"))
+    }, Seq("doc_id"), Seq("doc_id"), variant = "_f50")
+
+  def ta11(s: SparkSession, dir: String): DataFrame =
+    boilerShingles(s, dir)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("is_template")).cast("long").as("n_template"))
+      .withColumn("boiler_frac",
+        col("n_template").cast("double") / col("n_shingles").cast("double"))
+      .orderBy("doc_id")
+
+  val ta11Sql: String =
+    s"""WITH ${Dedup.shinglesSqlCte(3)},
+       |ss AS (SELECT sh.doc_id, d.source, sh.s
+       |       FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+       |nd AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+       |       FROM ss GROUP BY source),
+       |tpl AS (SELECT source, s FROM
+       |          (SELECT source, s, COUNT(*) AS df FROM ss GROUP BY 1, 2) j
+       |        JOIN nd USING (source)
+       |        WHERE CAST(df AS DOUBLE) > CAST(n_docs AS DOUBLE) * 0.5)
+       |SELECT ss.doc_id, ss.source,
+       |       COUNT(*) AS n_shingles,
+       |       CAST(SUM(CASE WHEN tpl.s IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_template,
+       |       CAST(SUM(CASE WHEN tpl.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(COUNT(*) AS DOUBLE) AS boiler_frac
+       |FROM ss LEFT JOIN tpl ON ss.source = tpl.source AND ss.s = tpl.s
+       |GROUP BY 1, 2 ORDER BY ss.doc_id""".stripMargin
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("ta01_langid", "stopword-heuristic language ID + accuracy flag", ta01, Some(ta01Sql)),
@@ -667,5 +732,6 @@ object TextAnalysis {
     Q("ta08_quality_gate", "composed keep/drop gate with first-failing-rule reason", ta08, Some(ta08Sql)),
     Q("ta09_rarity_score", "corpus-frequency rarity (unigram surprisal proxy)", ta09, Some(ta09Sql)),
     Q("ta10_corpus_diagnostics", "per-lang vocab / TTR / hapax / head-coverage report", ta10, Some(ta10Sql)),
+    Q("ta11_boilerplate", "per-source template shingles + per-doc boilerplate fraction", ta11, Some(ta11Sql)),
   )
 }

@@ -481,6 +481,30 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(de.getDouble(5) == 102.0 / 103.0)
   }
 
+  test("ta11: site templates flagged per source; short docs absent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ta11").toString
+    // srcA: 4 docs opening with the same 4-token nav -> the two shared
+    // leading shingles have df=4 > 0.5*4; everything else is unique
+    val docs = (1 to 4).map { i =>
+      (i.toLong, s"nav home about contact u$i v$i w$i", "en", "srcA")
+    } ++ Seq(
+      (5L, "x5 y5 z5 p5", "en", "srcB"),
+      (6L, "x6 y6 z6 p6", "en", "srcB"),
+      (7L, "too short", "en", "srcB"))       // <3 tokens: no shingles
+    docs.map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.ta11(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))  // doc 7 has no shingles
+    for (i <- 1L to 4L)
+      assert(out(i) == (("srcA", 5L, 2L, 0.4)))  // 5 shingles, 2 template
+    for (j <- 5L to 6L)
+      assert(out(j) == (("srcB", 2L, 0L, 0.0)))  // df=1 everywhere
+  }
+
   test("sp08: each epoch is a fresh exact permutation; offsets splice shards") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sp08").toString

@@ -53,7 +53,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "ta03_token_counts" -> 1, "ta04_fingerprint" -> 1,
     "ta05_lexical_stats" -> 1, "ta06_repetition_stats" -> 1,
     "ta07_pii_scrub" -> 1, "ta08_quality_gate" -> 1,
-    "ta09_rarity_score" -> 4, "ta10_corpus_diagnostics" -> 6)
+    "ta09_rarity_score" -> 4, "ta10_corpus_diagnostics" -> 6,
+    "ta11_boilerplate" -> 1)
 
   /** sf1.0 budgets where they differ from the small tree — all four are
     * SIZE-DRIVEN STRATEGY FLIPS (a side outgrowing the broadcast
