@@ -120,6 +120,13 @@ object Curation {
     * relation); the pack fold repartitions once on the shuffle shard
     * and folds sorted runs — shard count is the task-size knob exactly
     * as in sp08. No corpus-sized window, no driver-side loop.
+    *
+    * Deliberately NOT append-stable, unlike sp06: mixture rates and
+    * the shuffle permutation are functions of the whole corpus, so an
+    * appended batch re-derives the batches — which is correct for this
+    * artifact (a new corpus version IS a new training order; packing
+    * yesterday's shuffle against today's corpus would be a bug). The
+    * append-stable packing for incremental shipping is sp06.
     */
   def cp02(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
