@@ -481,6 +481,68 @@ object Sampling {
        |            AS BIGINT) AS pos
        |FROM h ORDER BY epoch, pos""".stripMargin
 
+  // ---------------------------------------------------------------- sp09
+  /** Per-source contribution cap — the anti-domination rule every crawl
+    * pipeline runs: no single source may exceed [[CapFrac]] of the
+    * corpus, so a source over the cap is derated to exactly the cap
+    * while everyone else keeps rate 1. Same deterministic salted-h60
+    * keep decision as sp07 (different salt, so the rules compose
+    * independently); emits the per-source audit row. cap_docs =
+    * floor(total × CapFrac) is computed in IEEE doubles on both
+    * engines, so the boundary is bit-identical.
+    *
+    * Scale posture: one count aggregate on the source key space; the
+    * windows (corpus total) run over the source-cardinality-bounded
+    * audit relation; the rate table broadcasts back against the scan
+    * for the map-side keep decision.
+    */
+  val CapFrac = 0.10
+
+  def sp09(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy(lit(1))
+    val rated = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("cap_docs",
+        floor(sum(col("n_docs")).over(wAll).cast("double") * CapFrac).cast("long"))
+      .withColumn("rate",
+        least(lit(1.0),
+          col("cap_docs").cast("double") / col("n_docs").cast("double")))
+      .withColumn("thr", round(col("rate") * 1e6).cast("long"))
+    val kept = Tables.documents(s, dir)
+      .join(broadcast(rated.select(col("source"), col("thr"))), Seq("source"))
+      .filter(Dedup.h60(concat(lit("cap:"), col("doc_id"))) % 1000000L < col("thr"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rated.join(kept, Seq("source"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("kept_share",
+        col("n_kept").cast("double") /
+          sum(col("n_kept")).over(wAll).cast("double"))
+      .select("source", "n_docs", "cap_docs", "rate", "n_kept", "kept_share")
+      .orderBy("source")
+  }
+
+  val sp09Sql: String =
+    s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+       |r AS (SELECT source, n_docs,
+       |             CAST(FLOOR(CAST(SUM(n_docs) OVER () AS DOUBLE) * 0.10)
+       |                  AS BIGINT) AS cap_docs
+       |      FROM c),
+       |r2 AS (SELECT source, n_docs, cap_docs,
+       |              least(CAST(1.0 AS DOUBLE),
+       |                    CAST(cap_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS rate
+       |       FROM r),
+       |k AS (SELECT d.source, COUNT(*) AS n_kept
+       |      FROM documents d JOIN r2 ON d.source = r2.source
+       |      WHERE ${Dedup.h60Sql("'cap:' || CAST(doc_id AS VARCHAR)")} % 1000000
+       |            < CAST(ROUND(rate * 1e6) AS BIGINT)
+       |      GROUP BY d.source)
+       |SELECT r2.source, n_docs, cap_docs, rate,
+       |       COALESCE(n_kept, 0) AS n_kept,
+       |       CAST(COALESCE(n_kept, 0) AS DOUBLE)
+       |         / CAST(SUM(COALESCE(n_kept, 0)) OVER () AS DOUBLE) AS kept_share
+       |FROM r2 LEFT JOIN k ON r2.source = k.source
+       |ORDER BY r2.source""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("sp01_split_assign", "deterministic hash 90/5/5 train/val/test split", sp01, Some(sp01Sql)),
     Q("sp02_stratified_sample", "stratified 20% hash sample + audit counts", sp02, Some(sp02Sql)),
@@ -490,5 +552,6 @@ object Sampling {
     Q("sp06_sequence_pack", "greedy token-budget packing into training sequences", sp06, Some(sp06Sql)),
     Q("sp07_mixture_resample", "downsample languages to a target mixture + audit", sp07, Some(sp07Sql)),
     Q("sp08_shuffle_order", "deterministic epoch-varied global shuffle permutation", sp08, Some(sp08Sql)),
+    Q("sp09_source_cap", "per-source contribution cap (anti-domination derate)", sp09, Some(sp09Sql)),
   )
 }

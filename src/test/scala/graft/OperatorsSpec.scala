@@ -481,6 +481,36 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(de.getDouble(5) == 102.0 / 103.0)
   }
 
+  test("sp09: only over-cap sources derate; boundary is exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_sp09").toString
+    // 100 docs: srcBig owns 40 (over the 10% cap of 10), six small
+    // sources own exactly 10 each (AT cap — the boundary keeps all)
+    val docs = (1 to 40).map(i => (i.toLong, "srcBig")) ++
+      (41 to 100).map(i => (i.toLong, s"src${(i - 41) / 10}"))
+    docs.map { case (id, src) => (id, s"text $id", "en", src, 7L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Sampling.sp09(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet ==
+      Set("srcBig", "src0", "src1", "src2", "src3", "src4", "src5"))
+    val big = out("srcBig")
+    assert(big.getLong(2) == 10L && big.getDouble(3) == 0.25) // cap 10 of 40
+    for (s0 <- (0 to 5).map(i => s"src$i")) {
+      assert(out(s0).getDouble(3) == 1.0)
+      assert(out(s0).getLong(4) == 10L)      // at-cap sources keep all
+    }
+    // the big source's kept count equals the hash rule exactly
+    val expectBig = (1L to 40L).toDF("doc_id")
+      .withColumn("m",
+        graft.operators.Dedup.h60(concat(lit("cap:"), col("doc_id"))) % 1000000L)
+      .filter(col("m") < 250000L).count()
+    assert(big.getLong(4) == expectBig)
+    assert(math.abs(out.values.map(_.getDouble(5)).sum - 1.0) < 1e-12)
+  }
+
   test("ta11: site templates flagged per source; short docs absent") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ta11").toString

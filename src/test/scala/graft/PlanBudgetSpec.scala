@@ -45,7 +45,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "sp05_temporal_split_audit" -> 3, "sp06_sequence_pack" -> 2,
     "sp07_mixture_resample" -> 7, "cp01_corpus_manifest" -> 1,
     "cp02_training_batches" -> 5,
-    "sp08_shuffle_order" -> 5,
+    "sp08_shuffle_order" -> 5, "sp09_source_cap" -> 7,
     "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 12,
     "ss03_knn_lsh" -> 5, "ss04_knn_ivf_multiprobe" -> 12,
     "ss05_knn_recall_audit" -> 34,
