@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness captures only a ~2000-char stdout tail and
+// parses the last JSON line. sbt's default LoggedOutput prefixes every
+// forked-process line with "[info] " and appends a "[success] Total
+// time…" trailer, so the JSON was never the bare last line (BENCH_r06
+// had the full compact object in the tail yet parsed:null). Raw stdout
+// + no success banner makes graft.Bench's println the literal final
+// stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

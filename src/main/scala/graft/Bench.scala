@@ -83,7 +83,14 @@ object Bench {
     val compactQ = results
       .map { case (k, v) => Json.quote(k.takeWhile(_ != '_')) + ":" + fmt(v._1) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQ,"failed":$nFailed,"sf":${Json.quote(sfDir.split('/').last)}}""")
+    // Print AFTER spark.stop() with logging silenced: executor/shutdown
+    // WARNs otherwise land on the combined stream after the JSON, and the
+    // harness parses the LAST line of a ~2000-char tail. Paired with
+    // build.sbt's `run / outputStrategy := StdoutOutput` +
+    // `showSuccess := false`, this line is the literal final output.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQ,"failed":$nFailed,"sf":${Json.quote(sfDir.split('/').last)}}""")
+    System.out.flush()
   }
 }
