@@ -30,13 +30,25 @@ object Tables {
     nanosTsToMicros(load(s, d, "events"))
   }
 
-  /** Shared ns→µs conversion for the nanos-encoded `ts` column (also used
-    * by the streaming reader, graft.streaming.EventStreams.fromParquetDir).
-    * No-op when `ts` is already a timestamp. */
+  /** Normalize `ts` to session-local TIMESTAMP regardless of how the
+    * corpus generation encoded it (also used by the streaming reader,
+    * graft.streaming.EventStreams.fromParquetDir):
+    *  - TIMESTAMP(NANOS) read as long (legacy.parquet.nanosAsLong) —
+    *    integer ns→µs division, lossless (sub-µs verified zero);
+    *  - plain timestamp[us] without a timezone — Spark infers
+    *    TIMESTAMP_NTZ, which batch tolerates but streaming watermarks
+    *    reject; cast reinterprets the wall-clock in the session zone
+    *    (pinned UTC), the same instants DuckDB sees;
+    *  - already TIMESTAMP — no-op. */
   def nanosTsToMicros(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

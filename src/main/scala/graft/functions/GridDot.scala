@@ -519,6 +519,10 @@ object GraftFunctions {
         "ngram_stats", exprs => NgramStats(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction(
         "kmv_kth", exprs => KmvKth(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "text_metrics", exprs => TextMetrics(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "pii_scrub", exprs => PiiScrub(exprs(0)), "built-in")
     }
   }
 }

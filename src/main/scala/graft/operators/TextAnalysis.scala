@@ -105,8 +105,12 @@ object TextAnalysis {
     */
   def ta02(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val nTok = size(ws).cast("double")
-    val punct = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double")
+    // text_metrics replaces the regex split (array built just to be
+    // counted) and the regexp_replace-then-length punct counter with one
+    // compiled pass — field-for-field spec-pinned (TextKernelsSpec)
+    val tm = call_function("text_metrics", col("text"))
+    val nTok = col("tm.n_ws_tokens").cast("double")
+    val punct = col("tm.n_punct").cast("double")
     // zero-length docs: Spark x/0.0 is NULL, DuckDB IEEE gives inf — guard
     val punctRatio =
       when(col("n_chars") > 0, punct / col("n_chars").cast("double")).otherwise(0.0)
@@ -117,7 +121,8 @@ object TextAnalysis {
       (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.3 +
       least(stopRatio * 5.0, lit(1.0)) * 0.3
     Tables.documents(s, dir)
-      .withColumn("n_tokens", size(ws))
+      .withColumn("tm", tm)
+      .withColumn("n_tokens", col("tm.n_ws_tokens"))
       .withColumn("punct_ratio", punctRatio)
       .withColumn("stop_ratio", stopRatio)
       .withColumn("score", score)
@@ -150,15 +155,19 @@ object TextAnalysis {
     * / digit runs / single punctuation), distinct-token ratio.
     */
   def ta03(s: SparkSession, dir: String): DataFrame = {
-    val bpe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    graft.functions.GraftFunctions.register(s)
+    // all four counts come from the one-pass text_metrics kernel — the
+    // regexp_extract_all form materialized every BPE token into an array
+    // just to take its size (the whole family's worst constant factor)
     Tables.documents(s, dir)
-      .withColumn("n_ws_tokens", size(ws))
-      .withColumn("n_bpe_tokens", size(regexp_extract_all(col("text"), lit(bpe), lit(0))))
-      .withColumn("n_distinct_tokens", size(array_distinct(ws)))
+      .withColumn("tm", call_function("text_metrics", col("text")))
+      .withColumn("n_ws_tokens", col("tm.n_ws_tokens"))
+      .withColumn("n_bpe_tokens", col("tm.n_bpe_tokens"))
+      .withColumn("n_distinct_tokens", col("tm.n_distinct_tokens"))
       .withColumn("type_token_ratio",
-        size(array_distinct(ws)).cast("double") / size(ws).cast("double"))
+        col("tm.n_distinct_tokens").cast("double") / col("tm.n_ws_tokens").cast("double"))
       .withColumn("chars_per_token",
-        col("n_chars").cast("double") / size(ws).cast("double"))
+        col("n_chars").cast("double") / col("tm.n_ws_tokens").cast("double"))
       .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_distinct_tokens",
         "type_token_ratio", "chars_per_token")
       .orderBy("doc_id")
@@ -304,10 +313,9 @@ object TextAnalysis {
     * lookaround-free so Java regex (Spark) and RE2 (DuckDB) agree
     * construct-for-construct: `\b`/`\d`/char classes mean the same in
     * both; lookaheads/backrefs (which RE2 lacks) are never used. */
-  private[graft] val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[graft] val Ipv4Pat =
-    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  private[graft] val PhonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private[graft] val EmailPat = graft.functions.PiiScrub.EmailPat
+  private[graft] val Ipv4Pat = graft.functions.PiiScrub.Ipv4Pat
+  private[graft] val PhonePat = graft.functions.PiiScrub.PhonePat
 
   /** PII detection + redaction — the curation step every training-data
     * pipeline runs before anything else touches the text. The synthetic
@@ -332,24 +340,21 @@ object TextAnalysis {
       lit(" call 555-867-"),
       lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
       when(col("doc_id") % 3 === 0, " cc admin@example.org").otherwise(""))
+    graft.functions.GraftFunctions.register(s)
+    // pii_scrub = the 9-regex-pass column program (3 regexp_count + 3
+    // chained regexp_replace + 3 audit regexp_count) fused into one
+    // kernel — same java.util.regex engine and Patterns, spec-pinned
+    // equal (TextKernelsSpec), 23.7 s -> single-digit at sf1.0
     Tables.documents(s, dir)
       .select(col("doc_id"), ptext.as("ptext"))
-      .withColumn("n_email", regexp_count(col("ptext"), lit(EmailPat)))
-      .withColumn("n_ipv4", regexp_count(col("ptext"), lit(Ipv4Pat)))
-      .withColumn("n_phone", regexp_count(col("ptext"), lit(PhonePat)))
-      .withColumn("redacted",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("ptext"), EmailPat, "[EMAIL]"),
-            Ipv4Pat, "[IP]"),
-          PhonePat, "[PHONE]"))
-      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ipv4"),
-        (col("n_email") + col("n_phone") + col("n_ipv4")).as("n_pii"),
-        col("redacted"),
-        ((regexp_count(col("redacted"), lit(EmailPat)) +
-          regexp_count(col("redacted"), lit(Ipv4Pat)) +
-          regexp_count(col("redacted"), lit(PhonePat))) === 0)
-          .cast("int").as("clean"))
+      .withColumn("ps", call_function("pii_scrub", col("ptext")))
+      .select(col("doc_id"),
+        col("ps.n_email").as("n_email"),
+        col("ps.n_phone").as("n_phone"),
+        col("ps.n_ipv4").as("n_ipv4"),
+        (col("ps.n_email") + col("ps.n_phone") + col("ps.n_ipv4")).as("n_pii"),
+        col("ps.redacted").as("redacted"),
+        col("ps.clean").as("clean"))
       .orderBy("doc_id")
   }
 
@@ -407,9 +412,10 @@ object TextAnalysis {
     * end-to-end manifest ([[Curation.cp01]]) evaluates the gate inline
     * off its own scan instead of joining ta08's output back on doc_id. */
   private[operators] def gateDf(docs: DataFrame): DataFrame = {
-    val nTok = size(ws).cast("double")
-    val punct =
-      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double")
+    // text_metrics: same one-pass swap as ta02 (the gate recomputes
+    // ta02's signals inline — see the join-vs-recompute note above)
+    val nTok = col("tm.n_ws_tokens").cast("double")
+    val punct = col("tm.n_punct").cast("double")
     val punctRatio =
       when(col("n_chars") > 0, punct / col("n_chars").cast("double")).otherwise(0.0)
     val stopRatio = call_function("stop_hits", col("text"),
@@ -419,7 +425,8 @@ object TextAnalysis {
       least(stopRatio * 5.0, lit(1.0)) * 0.3
     val sh = call_function("stop_hits", col("text"), lit(stopSpec))
     docs
-      .withColumn("n_tokens", size(ws))
+      .withColumn("tm", call_function("text_metrics", col("text")))
+      .withColumn("n_tokens", col("tm.n_ws_tokens"))
       .withColumn("lang_max",
         greatest(sh.getItem(0), sh.getItem(1), sh.getItem(2), sh.getItem(3)))
       .withColumn("st", expr("ngram_stats(text, 2)"))

@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.functions.{GraftFunctions, PiiScrub}
+
+/** text_metrics / pii_scrub native kernels: pinned field-for-field equal
+  * to the expression forms they replaced (the ta02/ta03/ta07/ta08 hot
+  * paths), in both codegen and interpreted paths, on edge-case fixtures
+  * the synthetic corpus never exercises.
+  */
+class TextKernelsSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Edge cases: empty, whitespace-only (space vs tab — Spark's trim
+    * strips only ASCII spaces, so a bare tab yields leading/trailing
+    * empty split fields), leading/trailing separators, mixed-class BPE
+    * runs, unicode (non-ASCII counts as punct; é is outside [A-Za-z]),
+    * repeated tokens for the distinct count, and case folding. */
+  private val fixtures = Seq(
+    "",
+    " ",
+    "\t",
+    " \t \n ",
+    "hello world",
+    "  leading and trailing  ",
+    "\ttab\tseparated\ttokens\n",
+    "Repeat repeat REPEAT rePeat",
+    "a1b2c3 mixed runs 42 abc123def",
+    "punct!!! lots, of; punct... (here) [ok]?",
+    "unicode café touché über naïve 世界",
+    "line\nbreaks\r\nandvertical\ftabs",
+    "single",
+    "a b c d e f g a b c",
+    "....", "@@@", "123 456 789",
+    "MiXeD CaSe ToKeNs mixed case tokens")
+
+  private def withCodegen[T](on: Boolean)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", on.toString)
+    try f finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("text_metrics == the four expression forms it replaced (codegen on/off)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    val bpe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      val rows = fixtures.toDF("text")
+        .select(
+          col("text"),
+          call_function("text_metrics", col("text")).as("tm"),
+          size(ws).as("e_ws"),
+          size(array_distinct(ws)).as("e_distinct"),
+          size(regexp_extract_all(col("text"), lit(bpe), lit(0))).as("e_bpe"),
+          length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).as("e_punct"))
+        .collect()
+      rows.foreach { r =>
+        val tm = r.getAs[Row]("tm")
+        val text = r.getAs[String]("text")
+        assert(tm.getAs[Int]("n_ws_tokens") == r.getAs[Int]("e_ws"),
+          s"n_ws_tokens codegen=$cg text=${text.take(40)}")
+        assert(tm.getAs[Int]("n_distinct_tokens") == r.getAs[Int]("e_distinct"),
+          s"n_distinct_tokens codegen=$cg text=${text.take(40)}")
+        assert(tm.getAs[Int]("n_bpe_tokens") == r.getAs[Int]("e_bpe"),
+          s"n_bpe_tokens codegen=$cg text=${text.take(40)}")
+        assert(tm.getAs[Int]("n_punct") == r.getAs[Int]("e_punct"),
+          s"n_punct codegen=$cg text=${text.take(40)}")
+      }
+    }
+  }
+
+  test("text_metrics: null in, null out") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val r = Seq[Option[String]](None).toDF("text")
+      .select(call_function("text_metrics", col("text"))).head()
+    assert(r.isNullAt(0))
+  }
+
+  /** PII fixtures include the adversarial shapes where fusing count and
+    * replace naively would diverge from the chained column program: an
+    * IPv4 inside an email's domain (counted by the independent n_ipv4
+    * scan, but gone from the string the IPv4 REPLACE sees, because the
+    * email pass already redacted it) and digits straddling redaction
+    * boundaries. */
+  private val piiFixtures = Seq(
+    "no pii here at all",
+    "",
+    "contact user5@mail.example.com from 10.5.0.5 call 555-867-5309",
+    "user@10.2.3.4 ip-in-email-domain",
+    "two emails a@b.co and c.d+e@f-g.org on one line",
+    "555-123-4567 and 555-123-4567 twice, 1.2.3.4 once",
+    "overlapping-ish 10.0.0.1.2.3.4.5 runs",
+    "trailing dot email a@b.com. and (1.2.3.4) parenthesized",
+    "not-an-ip 1234.5.6.7 and almost-phone 12-345-6789",
+    "e@mail.co,10.1.1.1,555-000-1111 comma packed")
+
+  test("pii_scrub == the 9-pass regexp column program (codegen on/off)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val E = PiiScrub.EmailPat; val I = PiiScrub.Ipv4Pat; val P = PiiScrub.PhonePat
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      val rows = piiFixtures.toDF("text")
+        .select(
+          col("text"),
+          call_function("pii_scrub", col("text")).as("ps"),
+          regexp_count(col("text"), lit(E)).as("e_email"),
+          regexp_count(col("text"), lit(I)).as("e_ipv4"),
+          regexp_count(col("text"), lit(P)).as("e_phone"),
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            E, "[EMAIL]"), I, "[IP]"), P, "[PHONE]").as("e_redacted"))
+        .withColumn("e_clean",
+          ((regexp_count(col("e_redacted"), lit(E)) +
+            regexp_count(col("e_redacted"), lit(I)) +
+            regexp_count(col("e_redacted"), lit(P))) === 0).cast("int"))
+        .collect()
+      rows.foreach { r =>
+        val ps = r.getAs[Row]("ps")
+        val text = r.getAs[String]("text")
+        assert(ps.getAs[Int]("n_email") == r.getAs[Int]("e_email"),
+          s"n_email codegen=$cg text=$text")
+        assert(ps.getAs[Int]("n_ipv4") == r.getAs[Int]("e_ipv4"),
+          s"n_ipv4 codegen=$cg text=$text")
+        assert(ps.getAs[Int]("n_phone") == r.getAs[Int]("e_phone"),
+          s"n_phone codegen=$cg text=$text")
+        assert(ps.getAs[String]("redacted") == r.getAs[String]("e_redacted"),
+          s"redacted codegen=$cg text=$text")
+        assert(ps.getAs[Int]("clean") == r.getAs[Int]("e_clean"),
+          s"clean codegen=$cg text=$text")
+      }
+    }
+  }
+
+  test("pii_scrub: null in, null out") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val r = Seq[Option[String]](None).toDF("text")
+      .select(call_function("pii_scrub", col("text"))).head()
+    assert(r.isNullAt(0))
+  }
+}
