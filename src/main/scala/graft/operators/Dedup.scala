@@ -524,7 +524,9 @@ object Dedup {
   // ---------------------------------------------------------------- dd05
   /** SimHash signature table: simhash + 4 banding chunks per doc. */
   def dd05(s: SparkSession, dir: String): DataFrame =
-    simhashSig(Tables.documents(s, dir)).orderBy("doc_id")
+    // Present.sorted: the simhash kernel pipeline is shuffle-free, so a
+    // bare orderBy would run it twice (range-bound sampling + real pass)
+    Present.sorted(simhashSig(Tables.documents(s, dir)), "doc_id")
 
   val dd05Sql: String =
     s"""WITH $simhashSqlCte

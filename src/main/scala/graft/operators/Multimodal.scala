@@ -165,7 +165,7 @@ object Multimodal {
       .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
       .as[(Long, String, String, Long)]
       .map { case (id, src, text, n) => MediaIn(id, src, synthPayload(id, text, n)) }
-    media.mapPartitions(decodeBatches).toDF().orderBy("doc_id")
+    Present.sorted(media.mapPartitions(decodeBatches).toDF(), "doc_id")
   }
 
   val mm01Sql: String =
@@ -195,7 +195,7 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(10))).as("frame_idx"))
       .withColumn("frame_hash",
         Dedup.h60(concat(col("doc_id").cast("string"), lit(":"), col("frame_idx").cast("string"))))
-      .orderBy("doc_id", "frame_idx")
+      .transform(Present.sorted(_, "doc_id", "frame_idx"))
 
   val mm02Sql: String =
     """WITH f AS (
@@ -235,7 +235,7 @@ object Multimodal {
         ResizePlan(m.doc_id, m.width, m.height, ow, oh,
           ow.toLong * oh, if (minSide < ShortSide) 1 else 0)
       }
-    }.toDF().orderBy("doc_id")
+    }.toDF().transform(Present.sorted(_, "doc_id"))
   }
 
   val mm03Sql: String =
@@ -294,7 +294,7 @@ object Multimodal {
         MediaFeatures(m.doc_id, m.content_md5,
           f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
       }
-    }.toDF().orderBy("doc_id")
+    }.toDF().transform(Present.sorted(_, "doc_id"))
   }
 
   val mm04Sql: String = {

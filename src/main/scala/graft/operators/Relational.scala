@@ -426,7 +426,7 @@ object Relational {
       .withColumn("n_words", size(split(trim(col("text")), " +")))
       .withColumn("has_spark", col("text").contains("spark").cast("int"))
       .select("doc_id", "first_word", "n_words", "has_spark", "n_chars")
-      .orderBy("doc_id")
+      .transform(Present.sorted(_, "doc_id"))
 
   val q12Sql: String =
     """SELECT doc_id,
@@ -446,7 +446,7 @@ object Relational {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .filter(col("k") > 80)
       .select("event_id", "event_type", "k")
-      .orderBy("event_id")
+      .transform(Present.sorted(_, "event_id"))
 
   val q13Sql: String =
     """SELECT event_id, event_type, CAST(props->>'$.k' AS INT) AS k

@@ -76,7 +76,7 @@ object TextAnalysis {
           .otherwise("es"))
       .withColumn("is_match", (col("predicted") === col("lang")).cast("int"))
       .select("doc_id", "s_en", "s_de", "s_fr", "s_es", "predicted", "lang", "is_match")
-      .orderBy("doc_id")
+      .transform(Present.sorted(_, "doc_id"))
   }
 
   val ta01Sql: String =
@@ -128,7 +128,7 @@ object TextAnalysis {
       .withColumn("score", score)
       .withColumn("low_quality", (score < 0.5).cast("int"))
       .select("doc_id", "n_tokens", "punct_ratio", "stop_ratio", "score", "low_quality")
-      .orderBy("doc_id")
+      .transform(Present.sorted(_, "doc_id"))
   }
 
   val ta02Sql: String =
@@ -170,7 +170,7 @@ object TextAnalysis {
         col("n_chars").cast("double") / col("tm.n_ws_tokens").cast("double"))
       .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_distinct_tokens",
         "type_token_ratio", "chars_per_token")
-      .orderBy("doc_id")
+      .transform(Present.sorted(_, "doc_id"))
   }
 
   val ta03Sql: String =
@@ -242,7 +242,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("st.vocab").as("vocab"),
         col("st.n_hapax").as("n_hapax"), col("st.top_token").as("top_token"),
         col("st.top_count").as("top_count"))
-      .orderBy("doc_id")
+      .transform(Present.sorted(_, "doc_id"))
   }
 
   val ta05Sql: String =
@@ -287,7 +287,7 @@ object TextAnalysis {
         col("st.top_gram").as("top_gram"),
         (col("st.top_count").cast("double") /
           col("st.n_grams").cast("double")).as("top_share"))
-      .orderBy("doc_id")
+      .transform(Present.sorted(_, "doc_id"))
   }
 
   val ta06Sql: String =
@@ -355,7 +355,7 @@ object TextAnalysis {
         (col("ps.n_email") + col("ps.n_phone") + col("ps.n_ipv4")).as("n_pii"),
         col("ps.redacted").as("redacted"),
         col("ps.clean").as("clean"))
-      .orderBy("doc_id")
+      .transform(Present.sorted(_, "doc_id"))
   }
 
   val ta07Sql: String = {
@@ -448,7 +448,7 @@ object TextAnalysis {
       .withColumn("keep", (col("drop_reason") === "keep").cast("int"))
       .select("doc_id", "n_tokens", "lang_max", "dup_frac", "score",
         "drop_reason", "keep")
-      .orderBy("doc_id")
+      .transform(Present.sorted(_, "doc_id"))
   }
 
   val ta08Sql: String = {
