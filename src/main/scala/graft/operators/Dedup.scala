@@ -653,6 +653,112 @@ object Dedup {
        |SELECT vec_id, cluster_id, cluster_size
        |FROM lab JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- dd11
+  /** Exact substring-span dedup — the span-level pass LLM curation runs
+    * after doc-level dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): any K-token span occurring >= 2
+    * times CORPUS-WIDE (any document, any position — within-doc
+    * self-repeats included) is duplicated text. Per document, the
+    * duplicated span starts merge into maximal islands
+    * (overlapping-or-adjacent [pos, pos+K) intervals — classic
+    * gaps-and-islands over a running max of prior span ends), and the
+    * query emits per-doc island stats for affected docs.
+    *
+    * Scale posture: the reference algorithm is a suffix array; the
+    * Spark-shaped equivalent is linear passes over the positional span
+    * relation, materialized once per corpus bucketed by h
+    * ([[DedupPrepare.spanPositions]]) so the duplicate-detection
+    * groupBy(h) and the position join-back both ride the bucket layout
+    * with zero exchange — and the md5-per-position span hashing is
+    * paid at layer-build time, not once per plan branch per run.
+    * Duplicate detection is groupBy(h)+join-back, NOT
+    * count-over-window: a boilerplate span with 10^8 occurrences at
+    * 100 TB would land in ONE window task, while groupBy combines
+    * map-side (hot h costs one row per map partition) and the
+    * join-back is an AQE-skew-splittable join. The island windows
+    * partition by doc_id — bounded by the doc's own span count. The
+    * per-doc groupBys ride the doc_id window partitioning (no extra
+    * exchange); only the bounded per-doc result is sorted.
+    */
+  /** The positional span relation dd11 is built on — (doc_id, n_tokens,
+    * pos, h), one row per K-token span position. Like wordShingles, the
+    * ws array rides the explode only inside the map stage — the
+    * projection to the 60-bit hash happens in the same codegen stage,
+    * so nothing downstream ever carries the array. Materialized
+    * bucketed by h ([[DedupPrepare.spanPositions]]); K is fixed at 10
+    * (the Lee-et-al span length scaled to this corpus's doc sizes).
+    */
+  private[operators] val SpanK = 10
+  private[operators] def spanPositionRows(docs: DataFrame): DataFrame = {
+    val K = SpanK
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    docs
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= K)
+      .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+        explode(sequence(lit(1), size(col("ws")) - (K - 1))).as("pos"),
+        col("ws"))
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        h60(array_join(slice(col("ws"), col("pos"), lit(K)), " ")).as("h"))
+  }
+
+  def dd11(s: SparkSession, dir: String): DataFrame = {
+    val K = SpanK
+    val spans = DedupPrepare.spanPositions(s, dir)
+    val dupH = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select("h")
+    val dupPos = spans.join(dupH, Seq("h"))
+      .select("doc_id", "n_tokens", "pos")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isl = dupPos
+      .withColumn("prev_end", max(col("pos") + K)
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("new_island"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    isl.groupBy(col("doc_id"), col("n_tokens"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + K).as("e"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        sum(col("e") - col("s")).cast("int").as("n_dup_tokens"))
+      .withColumn("dup_frac",
+        col("n_dup_tokens").cast("double") / col("n_tokens").cast("double"))
+      .select("doc_id", "n_tokens", "n_spans", "n_dup_tokens", "dup_frac")
+      .orderBy("doc_id")
+  }
+
+  val dd11Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |       FROM documents),
+       |wi AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens, ws,
+       |              unnest(range(1, len(ws) - 8)) AS pos
+       |       FROM w WHERE len(ws) >= 10),
+       |sp AS (SELECT doc_id, n_tokens, CAST(pos AS INT) AS pos,
+       |              ${h60Sql("array_to_string(list_slice(ws, pos, pos + 9), ' ')")} AS h
+       |       FROM wi),
+       |dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2),
+       |dp AS (SELECT doc_id, n_tokens, pos FROM sp JOIN dup USING (h)),
+       |i1 AS (SELECT doc_id, n_tokens, pos,
+       |              MAX(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |       FROM dp),
+       |i2 AS (SELECT doc_id, n_tokens, pos,
+       |              SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+       |                  THEN 1 ELSE 0 END)
+       |                OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |       FROM i1),
+       |isl AS (SELECT doc_id, n_tokens, island, MIN(pos) AS s, MAX(pos) + 10 AS e
+       |        FROM i2 GROUP BY doc_id, n_tokens, island)
+       |SELECT doc_id, n_tokens,
+       |       CAST(COUNT(*) AS INT) AS n_spans,
+       |       CAST(SUM(e - s) AS INT) AS n_dup_tokens,
+       |       CAST(SUM(e - s) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_frac
+       |FROM isl GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("dd01_exact_dedup", "exact dedup: content-hash groups + keeper", dd01, Some(dd01Sql)),
@@ -665,5 +771,6 @@ object Dedup {
     Q("dd06_simhash_hamming", "SimHash banded Hamming near-dup top-20", dd06, Some(dd06Sql)),
     Q("dd07_embedding_neardup", "label-blocked exact-cosine near-dup top-20", dd07, Some(dd07Sql)),
     Q("dd10_semantic_clusters", "connected components over top-cosine pairs", dd10, Some(dd10Sql)),
+    Q("dd11_substring_spans", "corpus-wide duplicated K-token span islands per doc", dd11, Some(dd11Sql)),
   )
 }

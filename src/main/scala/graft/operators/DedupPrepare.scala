@@ -162,6 +162,18 @@ object DedupPrepare {
       () => Dedup.minhashSigFromShingles(shingles3(s, dir)),
       Seq("doc_id"), Seq("doc_id"))
 
+  /** Positional K-token span hashes (doc_id, n_tokens, pos, h) for the
+    * substring-span dedup pass (dd11), bucketed+sorted by h: the
+    * duplicate-detection groupBy(h) and the join-back of positions
+    * against the duplicated-h set both ride the bucket partitioning —
+    * zero exchange — and the md5 span hashing (the layer's dominant
+    * cost: one hash per token position per document) is paid once per
+    * corpus instead of once per plan branch per run. */
+  def spanPositions(s: SparkSession, dir: String): DataFrame =
+    ensure(s, "spanpos", dir,
+      () => Dedup.spanPositionRows(Tables.documents(s, dir)),
+      Seq("h"), Seq("h"))
+
   /** The same shingle relation bucketed by the SHINGLE instead — the
     * inverted-index orientation: dd04's document-frequency cut
     * (groupBy s), its cut join (on s) and its pair self-join (on s) all

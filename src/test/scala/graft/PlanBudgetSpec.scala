@@ -26,6 +26,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "dd05_simhash_sig" -> 1, "dd06_simhash_hamming" -> 1,
     "dd07_embedding_neardup" -> 3, "dd08_neardup_clusters" -> 3,
     "dd09_cluster_keeper" -> 11, "dd10_semantic_clusters" -> 3,
+    // dd11: span layer bucketed by h (groupBy + join-back exchange-free)
+    // + doc_id window exchange + final sort; at sf0.001 the tiny dup-h
+    // side additionally broadcast-joins (one BroadcastExchange)
+    "dd11_substring_spans" -> 3,
     "mm01_media_decode_meta" -> 1, "mm02_frame_sample" -> 1,
     "mm03_resize_plan" -> 1, "mm04_feature_extract" -> 1,
     "q01_workload_share" -> 5, "q02_dim_join_revenue" -> 5,
@@ -68,7 +72,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "dd03_minhash_lsh_pairs" -> 8,  // verify-chain joins exceed broadcast threshold
     "dd09_cluster_keeper" -> 10,    // rides dd03/dd08's flips
     "q20_rollup_percentiles_3level" -> 12, // argmax join -> SMJ on partitioned sides
-    "sp04_contamination_ngram" -> 5) // train-side gram relation outgrows broadcast
+    "sp04_contamination_ngram" -> 5, // train-side gram relation outgrows broadcast
+    "dd11_substring_spans" -> 2)     // dup-h side outgrows broadcast -> bucketed SMJ
 
   private val sf1Dir = "testdata/sf1.0"
 
