@@ -458,6 +458,184 @@ object Similarity {
        |LEFT JOIN a3 ON ex.query_id = a3.query_id AND ex.neighbor_id = a3.neighbor_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- ss06
+  /** Product quantization: the compressed-vector serving path. At 100 TB
+    * the raw float vectors don't fit executor memory; PQ splits each
+    * 64-dim vector into [[PqM]] 8-dim sub-blocks, learns a [[PqK]]-entry
+    * codebook per sub-block (per-subspace k-means — same deterministic
+    * hash init + unrolled grid-integer Lloyd rounds as the IVF index,
+    * keyed by (vec_id, m)), and stores each vector as 8 small codes —
+    * a 32x compression of the scan side. Queries score candidates with
+    * asymmetric distance (ADC): one 10x8x16 lookup table of
+    * query-subblock x centroid grid dots, then approx_dot(v) =
+    * Σ_m LUT[m, code(v,m)] — a broadcast-join + partial-sum over the
+    * CODES table; the raw vectors are never read at query time.
+    * approx_cos normalizes by the PQ-reconstructed norm (Σ_m ‖c‖²),
+    * so everything stays grid-integer until one final IEEE division.
+    *
+    * Recall honesty: on the isotropic N(0, 0.1) synthetic corpus ADC
+    * recall@5 vs exact is ~0.16 — random gaussian directions have no
+    * cluster structure for codes to preserve (same data-intrinsic story
+    * as the IVF audit's 0.28). On clusterable data the OperatorsSpec
+    * fixture pins 100% neighborhood confinement and 0.8 exact-rank
+    * overlap (the missing tail is tie-ranked co-coded members —
+    * quantization definitionally discards within-cluster jitter).
+    */
+  val PqM = 8
+  val PqK = 16
+  val PqRounds = 2
+
+  /** (vec_id, m, pos, x): the sub-block view of the corpus. m is derived
+    * from the dimension index, so the two engines partition identically
+    * (Spark pos is 0-based: m = pos div 8; DuckDB 1-based: (pos-1)//8).
+    */
+  private def subEl(s: SparkSession, dir: String): DataFrame =
+    explodedEl(s, dir).withColumn("m", expr("pos div 8").cast("int"))
+
+  /** Per-(vec, sub-block) code assignment after [[PqRounds]] Lloyd
+    * rounds — the learned PQ encoding. Same closed-form determinism
+    * contract as [[kmeansAssign]]. */
+  private def pqAssignBuild(s: SparkSession, dir: String): DataFrame = {
+    val sel = subEl(s, dir)
+    val snorm = sel.groupBy(col("vec_id"), col("m"))
+      .agg(sum(Dedup.gridL(col("x") * col("x"))).as("vn2"))
+    var assign = Tables.embeddings(s, dir).select(col("vec_id"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .withColumn("code",
+        (Dedup.h60(concat(lit("pq"),
+          (col("vec_id") * PqM + col("m")).cast("string"))) % PqK).cast("int"))
+    for (_ <- 1 to PqRounds) {
+      val cb = sel.join(assign, Seq("vec_id", "m"))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg((sum(Dedup.gridL(col("x"))).cast("double") / 1e9 /
+          count(lit(1))).as("c"))
+      val cbn = cb.groupBy(col("m"), col("code"))
+        .agg(sum(Dedup.gridL(col("c") * col("c"))).as("cn2"))
+      assign = sel.join(broadcast(cb), Seq("m", "pos"))
+        .groupBy(col("vec_id"), col("m"), col("code"))
+        .agg(sum(Dedup.gridL(col("x") * col("c"))).as("dvc"))
+        .join(broadcast(cbn), Seq("m", "code"))
+        .join(snorm, Seq("vec_id", "m"))
+        .withColumn("d2", col("vn2") - lit(2L) * col("dvc") + col("cn2"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("code"))).as("mm"))
+        .select(col("vec_id"), col("m"), col("mm.code").as("code"))
+    }
+    assign
+  }
+
+  /** The PQ code table (vec_id, m, code), materialized — a deployment
+    * encodes the corpus once and serves many queries off the codes. */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "pqcodes", dir, () => pqAssignBuild(s, dir),
+      Seq("vec_id"), Seq("vec_id", "m"),
+      variant = s"_m${PqM}k${PqK}r$PqRounds", fpFile = "embeddings.parquet")
+
+  /** The PQ codebook (m, code, pos, c): closing M-step from the
+    * materialized codes, so codebook and codes agree by construction. */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "pqcb", dir,
+      () => subEl(s, dir).join(pqCodes(s, dir), Seq("vec_id", "m"))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg((sum(Dedup.gridL(col("x"))).cast("double") / 1e9 /
+          count(lit(1))).as("c")),
+      Seq("m"), Seq("m", "code", "pos"),
+      variant = s"_m${PqM}k${PqK}r$PqRounds", fpFile = "embeddings.parquet")
+
+  def ss06(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val codes = pqCodes(s, dir)
+    val cb = pqCodebook(s, dir)
+    val cbn = cb.groupBy(col("m"), col("code"))
+      .agg(sum(Dedup.gridL(col("c") * col("c"))).as("cn2"))
+    // PQ-reconstructed squared norm per vector: Σ_m ‖centroid(code)‖²
+    val rn2 = codes.join(broadcast(cbn), Seq("m", "code"))
+      .groupBy(col("vec_id")).agg(sum(col("cn2")).as("rn2"))
+    val qsub = subEl(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("m"), col("pos"),
+        col("x").as("qx"))
+    val qn2 = qsub.groupBy(col("query_id"))
+      .agg(sum(Dedup.gridL(col("qx") * col("qx"))).as("qn2"))
+    val lut = qsub.join(broadcast(cb), Seq("m", "pos"))
+      .groupBy(col("query_id"), col("m"), col("code"))
+      .agg(sum(Dedup.gridL(col("qx") * col("c"))).as("l"))
+    val scored = codes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("l")).as("adot"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qn2), Seq("query_id"))
+      .join(rn2, Seq("vec_id"))
+      .withColumn("approx_cos", cosine(col("adot"), col("qn2"), col("rn2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("approx_cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The per-subspace k-means CTE chain, mirrored from [[kmeansCtes]]
+    * with (vec_id, m) as the assignment key. */
+  private def pqCtes(rounds: Int): String = {
+    val grid = (e: String) => s"CAST(ROUND(($e) * 1e9) AS BIGINT)"
+    val init =
+      s"""sel AS (SELECT vec_id, CAST((pos - 1) // 8 AS INT) AS m, pos, x FROM el),
+         |snrm AS (SELECT vec_id, m, SUM(${grid("x * x")}) AS vn2
+         |         FROM sel GROUP BY 1, 2),
+         |p0 AS (SELECT vec_id, m,
+         |              CAST(CAST(concat('0x', substr(md5('pq' || (vec_id * $PqM + m)), 1, 15)) AS BIGINT) % $PqK AS INT) AS code
+         |       FROM (SELECT vec_id FROM embeddings)
+         |            CROSS JOIN (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS m))""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""b$r AS (SELECT m, code, pos, CAST(SUM(${grid("x")}) AS DOUBLE) / 1e9 / COUNT(*) AS c
+         |       FROM sel JOIN p${r - 1} USING (vec_id, m) GROUP BY 1, 2, 3),
+         |b${r}n AS (SELECT m, code, SUM(${grid("c * c")}) AS cn2 FROM b$r GROUP BY 1, 2),
+         |d$r AS (SELECT vec_id, sel.m AS m, code, SUM(${grid("x * c")}) AS dvc
+         |       FROM sel JOIN b$r ON sel.m = b$r.m AND sel.pos = b$r.pos
+         |       GROUP BY 1, 2, 3),
+         |p$r AS (SELECT vec_id, m, code FROM (
+         |         SELECT d.vec_id, d.m, d.code,
+         |                ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+         |                    ORDER BY vn2 - 2 * dvc + cn2, d.code) AS rn
+         |         FROM d$r d
+         |         JOIN b${r}n bn ON d.m = bn.m AND d.code = bn.code
+         |         JOIN snrm sn ON d.vec_id = sn.vec_id AND d.m = sn.m)
+         |       WHERE rn = 1)""".stripMargin
+    }
+    (init +: rs).mkString(",\n")
+  }
+
+  val ss06Sql: String = {
+    val grid = (e: String) => s"CAST(ROUND(($e) * 1e9) AS BIGINT)"
+    val pF = s"p$PqRounds"
+    s"""WITH $elCte,
+       |${pqCtes(PqRounds)},
+       |cb AS (SELECT m, code, pos, CAST(SUM(${grid("x")}) AS DOUBLE) / 1e9 / COUNT(*) AS c
+       |       FROM sel JOIN $pF USING (vec_id, m) GROUP BY 1, 2, 3),
+       |cbn AS (SELECT m, code, SUM(${grid("c * c")}) AS cn2 FROM cb GROUP BY 1, 2),
+       |rn2 AS (SELECT vec_id, SUM(cn2) AS rn2
+       |        FROM $pF JOIN cbn USING (m, code) GROUP BY 1),
+       |qsub AS (SELECT vec_id AS query_id, m, pos, x AS qx
+       |         FROM sel WHERE vec_id < 10),
+       |qn2 AS (SELECT query_id, SUM(${grid("qx * qx")}) AS qn2
+       |        FROM qsub GROUP BY 1),
+       |lut AS (SELECT query_id, cb.m AS m, cb.code AS code, SUM(${grid("qx * c")}) AS l
+       |        FROM qsub JOIN cb ON qsub.m = cb.m AND qsub.pos = cb.pos
+       |        GROUP BY 1, 2, 3),
+       |ad AS (SELECT query_id, vec_id, SUM(l) AS adot
+       |       FROM $pF JOIN lut USING (m, code) GROUP BY 1, 2),
+       |sc AS (SELECT query_id, vec_id AS neighbor_id,
+       |              CAST(adot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(rn2 AS DOUBLE))) AS approx_cos
+       |       FROM ad JOIN qn2 USING (query_id) JOIN rn2 USING (vec_id)
+       |       WHERE vec_id <> query_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY approx_cos DESC, neighbor_id) AS rank
+       |           FROM sc)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, approx_cos
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("ss01_knn_bruteforce", "broadcast brute-force cosine top-5", ss01, Some(ss01Sql)),
@@ -465,5 +643,6 @@ object Similarity {
     Q("ss03_knn_lsh", "random-hyperplane LSH sign-bucket ANN", ss03, Some(ss03Sql)),
     Q("ss04_knn_ivf_multiprobe", "IVF with nprobe=2 (recall/cost dial)", ss04, Some(ss04Sql)),
     Q("ss05_knn_recall_audit", "recall@5 of each ANN variant vs exact baseline", ss05, Some(ss05Sql)),
+    Q("ss06_knn_pq", "product-quantization ADC top-5 over the code table", ss06, Some(ss06Sql)),
   )
 }

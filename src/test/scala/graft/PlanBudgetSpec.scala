@@ -53,6 +53,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 12,
     "ss03_knn_lsh" -> 5, "ss04_knn_ivf_multiprobe" -> 12,
     "ss05_knn_recall_audit" -> 34,
+    // ss06: reads the materialized code+codebook layers; the censused
+    // exchanges are the small derived aggs (cbn/rn2/lut/qn2), the
+    // scored partial-sum and the per-query window + final sort
+    "ss06_knn_pq" -> 9,
     "ta01_langid" -> 1, "ta02_quality_score" -> 1,
     "ta03_token_counts" -> 1, "ta04_fingerprint" -> 1,
     "ta05_lexical_stats" -> 1, "ta06_repetition_stats" -> 1,
