@@ -399,7 +399,7 @@ object Similarity {
   // ---------------------------------------------------------------- ss05
   /** Recall audit: every ANN variant measured against the exact
     * brute-force baseline — recall@5 per query for IVF nprobe=1,
-    * IVF nprobe=2 and sign-bucket LSH. This is the evaluation query an
+    * IVF nprobe=2, sign-bucket LSH and PQ-ADC (ss06). This is the evaluation query an
     * ANN deployment runs before trusting an index; it also pins the
     * nprobe dial's monotonicity in data (ivf2 ⊇ ivf1 candidates).
     * Cost is the four underlying pipelines; the audit itself is three
@@ -424,38 +424,46 @@ object Similarity {
       .join(hit(ss02(s, dir), "h1"), Seq("query_id", "neighbor_id"), "left")
       .join(hit(ss04(s, dir), "h2"), Seq("query_id", "neighbor_id"), "left")
       .join(hit(ss03(s, dir), "h3"), Seq("query_id", "neighbor_id"), "left")
+      .join(hit(ss06(s, dir), "h4"), Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(
         count(lit(1)).as("n_exact"),
         sum(coalesce(col("h1"), lit(0L))).cast("long").as("hit_ivf1"),
         sum(coalesce(col("h2"), lit(0L))).cast("long").as("hit_ivf2"),
-        sum(coalesce(col("h3"), lit(0L))).cast("long").as("hit_lsh"))
+        sum(coalesce(col("h3"), lit(0L))).cast("long").as("hit_lsh"),
+        sum(coalesce(col("h4"), lit(0L))).cast("long").as("hit_pq"))
       .withColumn("recall_ivf1",
         col("hit_ivf1").cast("double") / col("n_exact").cast("double"))
       .withColumn("recall_ivf2",
         col("hit_ivf2").cast("double") / col("n_exact").cast("double"))
       .withColumn("recall_lsh",
         col("hit_lsh").cast("double") / col("n_exact").cast("double"))
+      .withColumn("recall_pq",
+        col("hit_pq").cast("double") / col("n_exact").cast("double"))
       .orderBy("query_id")
   }
 
-  val ss05Sql: String =
+  lazy val ss05Sql: String =
     s"""WITH ex AS (SELECT query_id, neighbor_id FROM (${ss01Sql})),
        |a1 AS (SELECT query_id, neighbor_id FROM (${ss02Sql})),
        |a2 AS (SELECT query_id, neighbor_id FROM (${ss04Sql})),
-       |a3 AS (SELECT query_id, neighbor_id FROM (${ss03Sql}))
+       |a3 AS (SELECT query_id, neighbor_id FROM (${ss03Sql})),
+       |a4 AS (SELECT query_id, neighbor_id FROM (${ss06Sql}))
        |SELECT ex.query_id,
        |       COUNT(*) AS n_exact,
        |       CAST(SUM(CASE WHEN a1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_ivf1,
        |       CAST(SUM(CASE WHEN a2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_ivf2,
        |       CAST(SUM(CASE WHEN a3.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_lsh,
+       |       CAST(SUM(CASE WHEN a4.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_pq,
        |       CAST(SUM(CASE WHEN a1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_ivf1,
        |       CAST(SUM(CASE WHEN a2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_ivf2,
-       |       CAST(SUM(CASE WHEN a3.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_lsh
+       |       CAST(SUM(CASE WHEN a3.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_lsh,
+       |       CAST(SUM(CASE WHEN a4.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_pq
        |FROM ex
        |LEFT JOIN a1 ON ex.query_id = a1.query_id AND ex.neighbor_id = a1.neighbor_id
        |LEFT JOIN a2 ON ex.query_id = a2.query_id AND ex.neighbor_id = a2.neighbor_id
        |LEFT JOIN a3 ON ex.query_id = a3.query_id AND ex.neighbor_id = a3.neighbor_id
+       |LEFT JOIN a4 ON ex.query_id = a4.query_id AND ex.neighbor_id = a4.neighbor_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------- ss06
@@ -606,7 +614,9 @@ object Similarity {
     (init +: rs).mkString(",\n")
   }
 
-  val ss06Sql: String = {
+  // lazy: ss05Sql (declared earlier in the object) interpolates this —
+  // as a strict val it would still be null during ss05Sql's init
+  lazy val ss06Sql: String = {
     val grid = (e: String) => s"CAST(ROUND(($e) * 1e9) AS BIGINT)"
     val pF = s"p$PqRounds"
     s"""WITH $elCte,

@@ -584,8 +584,10 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val audit = graft.operators.Similarity.ss05(spark, dir).collect()
     assert(audit.length == 10)
-    val r1 = audit.map(_.getDouble(5)).sum / 10.0
-    val r2 = audit.map(_.getDouble(6)).sum / 10.0
+    def mean(c: String) =
+      audit.map(r => r.getDouble(r.fieldIndex(c))).sum / 10.0
+    val r1 = mean("recall_ivf1")
+    val r2 = mean("recall_ivf2")
     info(f"clustered-fixture mean recall@5: ivf1=$r1%.2f ivf2=$r2%.2f")
     // the method is sound when the data has neighborhood structure —
     // the sf0.01 corpus's ~0.28 is the isotropic data, not the index

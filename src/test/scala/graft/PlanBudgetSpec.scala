@@ -52,7 +52,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "sp08_shuffle_order" -> 5, "sp09_source_cap" -> 7,
     "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 12,
     "ss03_knn_lsh" -> 5, "ss04_knn_ivf_multiprobe" -> 12,
-    "ss05_knn_recall_audit" -> 34,
+    "ss05_knn_recall_audit" -> 43,  // + ss06 PQ pipeline (r7)
     // ss06: reads the materialized code+codebook layers; the censused
     // exchanges are the small derived aggs (cbn/rn2/lut/qn2), the
     // scored partial-sum and the per-query window + final sort
