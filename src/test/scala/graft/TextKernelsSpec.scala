@@ -71,6 +71,76 @@ class TextKernelsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** Property fuzz: random strings over an alphabet chosen to stress
+    * every class boundary the kernels reason about — ASCII letters and
+    * digits, each Java-regex whitespace char, punctuation, and
+    * non-ASCII (including an astral code point, which regex classes
+    * match as ONE code point but UTF-16 stores as two chars). */
+  private val fuzzAlphabet: Seq[String] =
+    Seq("a", "B", "z", "0", "7", " ", "\t", "\n", "", "\f", "\r",
+      ".", ",", "@", "-", "_", "!", "é", "ß", "世", "😀")
+
+  private def fuzzStrings(n: Int): Seq[String] = {
+    import org.scalacheck.{Gen, rng}
+    val g = Gen.chooseNum(0, 40).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(fuzzAlphabet)).map(_.mkString))
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, rng.Seed(i.toLong)))
+  }
+
+  test("property: text_metrics == expression forms on 200 random strings") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    val bpe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    val rows = fuzzStrings(200).toDF("text")
+      .select(
+        col("text"),
+        call_function("text_metrics", col("text")).as("tm"),
+        size(ws).as("e_ws"),
+        size(array_distinct(ws)).as("e_distinct"),
+        size(regexp_extract_all(col("text"), lit(bpe), lit(0))).as("e_bpe"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).as("e_punct"))
+      .collect()
+    rows.foreach { r =>
+      val tm = r.getAs[Row]("tm")
+      val t = r.getAs[String]("text")
+      assert(tm.getAs[Int]("n_ws_tokens") == r.getAs[Int]("e_ws"), s"ws <$t>")
+      assert(tm.getAs[Int]("n_distinct_tokens") == r.getAs[Int]("e_distinct"), s"distinct <$t>")
+      assert(tm.getAs[Int]("n_bpe_tokens") == r.getAs[Int]("e_bpe"), s"bpe <$t>")
+      assert(tm.getAs[Int]("n_punct") == r.getAs[Int]("e_punct"), s"punct <$t>")
+    }
+  }
+
+  test("property: pii_scrub == regexp column program on 200 random PII-ish strings") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // splice PII-shaped fragments into random noise so matches actually occur
+    val frags = Seq("a@b.co", "1.2.3.4", "555-123-4567", "x@10.1.2.3",
+      "999.999.999.999", "12-345-6789", "user.name+tag@host-name.org")
+    val base = fuzzStrings(200)
+    val spliced = base.zipWithIndex.map { case (s, i) =>
+      if (i % 3 == 0) s + " " + frags(i % frags.length) + " " + s else s }
+    val E = PiiScrub.EmailPat; val I = PiiScrub.Ipv4Pat; val P = PiiScrub.PhonePat
+    val rows = spliced.toDF("text")
+      .select(
+        col("text"),
+        call_function("pii_scrub", col("text")).as("ps"),
+        regexp_count(col("text"), lit(E)).as("e_email"),
+        regexp_count(col("text"), lit(I)).as("e_ipv4"),
+        regexp_count(col("text"), lit(P)).as("e_phone"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          E, "[EMAIL]"), I, "[IP]"), P, "[PHONE]").as("e_redacted"))
+      .collect()
+    rows.foreach { r =>
+      val ps = r.getAs[Row]("ps")
+      val t = r.getAs[String]("text")
+      assert(ps.getAs[Int]("n_email") == r.getAs[Int]("e_email"), s"email <$t>")
+      assert(ps.getAs[Int]("n_ipv4") == r.getAs[Int]("e_ipv4"), s"ipv4 <$t>")
+      assert(ps.getAs[Int]("n_phone") == r.getAs[Int]("e_phone"), s"phone <$t>")
+      assert(ps.getAs[String]("redacted") == r.getAs[String]("e_redacted"), s"redacted <$t>")
+    }
+  }
+
   test("text_metrics: null in, null out") {
     GraftFunctions.register(spark)
     import spark.implicits._
