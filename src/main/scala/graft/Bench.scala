@@ -9,6 +9,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/S3Job: events timestamps are NTZ-reinterpreted in
+      // the session zone (Tables.nanosTsToMicros), so a non-UTC host would
+      // bench different instants than the verified semantics
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

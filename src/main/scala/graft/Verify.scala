@@ -16,7 +16,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated prefix filter (same semantics as Bench's
+    // SPARK_GRAFT_BENCH_ONLY): lets dev loops re-check one family, and
+    // lets a big-SF verification shard the 67 queries across processes
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
+    selected.foreach { case (name, fn) =>
       // NonFatal only: an OOM must kill the run, not corrupt the
       // remaining queries' output in a heap-exhausted JVM
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -30,6 +37,7 @@ object Verify {
       spark.catalog.clearCache()
     }
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${Json.quote(k)}: ${Json.quote(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

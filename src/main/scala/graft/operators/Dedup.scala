@@ -30,7 +30,7 @@ object Dedup {
   private val P = 2147483647L
 
   /** Hot-bucket membership cap for pair-forming self-joins (dd03 LSH
-    * band buckets, dd06 SimHash chunk buckets, dd07 label cells,
+    * band buckets, dd06 SimHash chunk buckets, dd07 learned IVF cells,
     * ss02 probe cells). A bucket with B members emits B²/2 pairs; one
     * degenerate bucket (boilerplate shingle, empty-text cluster, skewed
     * label) would otherwise go quadratic at 100 TB. Keeping the first
@@ -574,20 +574,27 @@ object Dedup {
        |FROM cand ORDER BY hamming, d1, d2 LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------- dd07
-  /** Embedding-cosine near-dup, blocked by the coarse `label` cluster
-    * (IVF-style blocking — the scale path: pairs only form inside a cell).
-    * Cosine = decimal-exact dot / (sqrt(norm1)·sqrt(norm2)); top 20 pairs.
+  /** Embedding-cosine near-dup, blocked by the LEARNED IVF coarse cell
+    * (the same materialized k-means index ss02 probes — one index build
+    * serves both ANN search and embedding dedup, exactly how a
+    * production near-dup pass rides the serving index). A real corpus
+    * has no ground-truth `label` column, so the blocking key must be
+    * unsupervised (r7 verdict #1); pairs only form inside a cell, so at
+    * 100 TB the self-join cost is Σ cellᵢ²/2, capped by [[BucketCap]].
+    * Cosine = grid-exact dot / (sqrt(norm1)·sqrt(norm2)); top 20 pairs.
     */
   def dd07(s: SparkSession, dir: String): DataFrame = {
     // array-carrying self-join on the blocking key + the native codegen'd
     // grid_dot expression: no 64× posexplode fan-out, the pair join moves
     // whole vectors once and scores inside one whole-stage-codegen loop
     graft.functions.GraftFunctions.register(s)
-    val e = capPerKey(Tables.embeddings(s, dir), Seq("label"), "vec_id", BucketCap)
+    val e = capPerKey(
+        Tables.embeddings(s, dir).join(Similarity.ivfAssign(s, dir), Seq("vec_id")),
+        Seq("cell"), "vec_id", BucketCap)
       .withColumn("n2", call_function("grid_dot", col("embedding"), col("embedding")))
-      .select(col("vec_id"), col("label"), col("embedding"), col("n2"))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("n2"))
     e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("dot",
         call_function("grid_dot", col("a.embedding"), col("b.embedding")))
       .withColumn("cosine",
@@ -599,23 +606,23 @@ object Dedup {
   }
 
   /** dd07's pair pipeline as a reusable CTE chain ending in `top20` —
-    * shared with dd10's cluster closure. */
-  private val dd07TopCte: String =
+    * shared with dd10's cluster closure. Builds on
+    * [[Similarity.ivfAssignSqlCtes]] (el/nrm + the unrolled Lloyd
+    * rounds), so the oracle blocks on the SAME learned cells the Spark
+    * side reads from the built index. */
+  private lazy val dd07TopCte: String =
     s"""capped AS (
-      |  SELECT vec_id, label, embedding FROM (
-      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-      |    FROM embeddings)
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+      |    FROM ${Similarity.ivfFinalAssignCte})
       |  WHERE rn <= $BucketCap),
-      |el AS (
-      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
-      |         generate_subscripts(embedding, 1) AS pos
-      |  FROM capped),
-      |nrm AS (SELECT vec_id, SUM(${gridSql("x * x")}) AS n2
-      |        FROM el GROUP BY vec_id),
-      |dot AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |dot AS (SELECT ca.vec_id AS v1, cb.vec_id AS v2,
       |               SUM(${gridSql("a.x * b.x")}) AS dot
-      |        FROM el a JOIN el b ON a.label = b.label AND a.pos = b.pos
-      |                          AND a.vec_id < b.vec_id
+      |        FROM capped ca JOIN capped cb
+      |               ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+      |             JOIN el a ON a.vec_id = ca.vec_id
+      |             JOIN el b ON b.vec_id = cb.vec_id AND a.pos = b.pos
       |        GROUP BY 1, 2),
       |top20 AS (
       |  SELECT v1, v2,
@@ -623,8 +630,9 @@ object Dedup {
       |  FROM dot JOIN nrm q1 ON v1 = q1.vec_id JOIN nrm q2 ON v2 = q2.vec_id
       |  ORDER BY cosine DESC, v1, v2 LIMIT 20)""".stripMargin
 
-  val dd07Sql: String =
-    s"""WITH $dd07TopCte
+  lazy val dd07Sql: String =
+    s"""WITH ${Similarity.ivfAssignSqlCtes},
+      |$dd07TopCte
       |SELECT v1, v2, cosine FROM top20 ORDER BY cosine DESC, v1, v2""".stripMargin
 
   // ---------------------------------------------------------------- dd10
@@ -640,8 +648,9 @@ object Dedup {
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
       .orderBy("vec_id")
 
-  val dd10Sql: String =
-    s"""WITH RECURSIVE $dd07TopCte,
+  lazy val dd10Sql: String =
+    s"""WITH RECURSIVE ${Similarity.ivfAssignSqlCtes},
+       |$dd07TopCte,
        |edges AS (SELECT v1 AS a, v2 AS b FROM top20
        |          UNION ALL SELECT v2, v1 FROM top20),
        |reach(a, b) AS (
@@ -731,19 +740,21 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // every span-length literal derives from SpanK (ADVICE r7): changing
+  // the one constant keeps both engines in lockstep
   val dd11Sql: String =
     s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
        |       FROM documents),
        |wi AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens, ws,
-       |              unnest(range(1, len(ws) - 8)) AS pos
-       |       FROM w WHERE len(ws) >= 10),
+       |              unnest(range(1, len(ws) - ${SpanK - 2})) AS pos
+       |       FROM w WHERE len(ws) >= $SpanK),
        |sp AS (SELECT doc_id, n_tokens, CAST(pos AS INT) AS pos,
-       |              ${h60Sql("array_to_string(list_slice(ws, pos, pos + 9), ' ')")} AS h
+       |              ${h60Sql(s"array_to_string(list_slice(ws, pos, pos + ${SpanK - 1}), ' ')")} AS h
        |       FROM wi),
        |dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2),
        |dp AS (SELECT doc_id, n_tokens, pos FROM sp JOIN dup USING (h)),
        |i1 AS (SELECT doc_id, n_tokens, pos,
-       |              MAX(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+       |              MAX(pos + $SpanK) OVER (PARTITION BY doc_id ORDER BY pos
        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
        |       FROM dp),
        |i2 AS (SELECT doc_id, n_tokens, pos,
@@ -751,7 +762,7 @@ object Dedup {
        |                  THEN 1 ELSE 0 END)
        |                OVER (PARTITION BY doc_id ORDER BY pos) AS island
        |       FROM i1),
-       |isl AS (SELECT doc_id, n_tokens, island, MIN(pos) AS s, MAX(pos) + 10 AS e
+       |isl AS (SELECT doc_id, n_tokens, island, MIN(pos) AS s, MAX(pos) + $SpanK AS e
        |        FROM i2 GROUP BY doc_id, n_tokens, island)
        |SELECT doc_id, n_tokens,
        |       CAST(COUNT(*) AS INT) AS n_spans,
@@ -769,7 +780,7 @@ object Dedup {
     Q("dd04_ngram_jaccard_topk", "top-20 word-3-gram Jaccard pairs (inverted index)", dd04, Some(dd04Sql)),
     Q("dd05_simhash_sig", "60-bit SimHash + 15-bit banding chunks", dd05, Some(dd05Sql)),
     Q("dd06_simhash_hamming", "SimHash banded Hamming near-dup top-20", dd06, Some(dd06Sql)),
-    Q("dd07_embedding_neardup", "label-blocked exact-cosine near-dup top-20", dd07, Some(dd07Sql)),
+    Q("dd07_embedding_neardup", "IVF-cell-blocked exact-cosine near-dup top-20", dd07, Some(dd07Sql)),
     Q("dd10_semantic_clusters", "connected components over top-cosine pairs", dd10, Some(dd10Sql)),
     Q("dd11_substring_spans", "corpus-wide duplicated K-token span islands per doc", dd11, Some(dd11Sql)),
   )

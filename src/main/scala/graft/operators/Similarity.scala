@@ -52,7 +52,7 @@ object Similarity {
     * Spark side folds sequentially; grid integers make the order moot.
     * Deliberately label-free: no ss query reads the ground-truth `label`
     * column (a real corpus has none — r5 verdict #4). */
-  private val elCte: String =
+  private[operators] val elCte: String =
     """el AS (
       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
       |         generate_subscripts(embedding, 1) AS pos
@@ -183,7 +183,7 @@ object Similarity {
     * centroids are recomputed FROM the final assignment (the standard
     * closing M-step), so the centroid layer derives from the
     * materialized assignment layer and the two agree. */
-  private def ivfAssign(s: SparkSession, dir: String): DataFrame =
+  private[operators] def ivfAssign(s: SparkSession, dir: String): DataFrame =
     DedupPrepare.ensure(s, "ivfassign", dir, () => kmeansAssign(s, dir),
       Seq("vec_id"), Seq("vec_id"),
       variant = s"_k${IvfK}r$IvfRounds", fpFile = "embeddings.parquet")
@@ -268,6 +268,18 @@ object Similarity {
     }
     (init +: rs).mkString(",\n")
   }
+
+  /** The learned-index CTE chain for REUSE outside this family
+    * (dd07/dd10 block their pair search on the same built index —
+    * r7 verdict #1): `el`/`nrm` plus [[IvfRounds]] unrolled Lloyd
+    * rounds; the final assignment CTE is named [[ivfFinalAssignCte]].
+    * One definition, one index: the dedup oracle and the ANN oracle
+    * can never drift apart. */
+  private[operators] def ivfAssignSqlCtes: String =
+    s"$elCte,\n${kmeansCtes(IvfRounds)}"
+
+  /** Name of the final-assignment CTE inside [[ivfAssignSqlCtes]]. */
+  private[operators] def ivfFinalAssignCte: String = s"a$IvfRounds"
 
   private def ivfSql(nprobe: Int): String = {
     val cF = "cf"             // final centroids: closing M-step from aF

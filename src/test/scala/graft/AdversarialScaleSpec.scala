@@ -10,7 +10,7 @@ import graft.operators.{Dedup, DedupPrepare, Similarity, TextAnalysis}
   *       shingle),
   *   (b) one exact-duplicate cluster LARGER than [[Dedup.BucketCap]]
   *       (1150 identical docs → every LSH band bucket, SimHash chunk
-  *       bucket and embedding label cell is degenerate),
+  *       bucket and learned embedding cell is degenerate),
   *   (c) an empty/whitespace-text block (degenerate tokenization).
   * The assertions are on CANDIDATE COUNTS and retained-member semantics,
   * not wall time: the caps must bound every pair join at C(cap, 2) with
@@ -125,7 +125,7 @@ class AdversarialScaleSpec extends AnyFunSuite with SparkTestBase {
       (1 to 20).map(j => (0L, j.toLong)))
   }
 
-  test("dd07: hot label cell capped; top-20 are exact-tie lowest retained ids") {
+  test("dd07: hot learned cell capped; top-20 are exact-tie lowest retained ids") {
     val top = Dedup.dd07(spark, dir).collect()
     assert(top.length == 20)
     assert(top.forall(r => math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9))

@@ -595,6 +595,50 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(r2 >= r1 - 1e-9)
   }
 
+  test("dd07 on clusterable data: IVF-cell blocking recovers the exact top pairs, label-free") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ddfix").toString
+    // same separable 8-block fixture as the ss05/ss06 tests: the learned
+    // k-means cells recover the true clusters, so blocking on them must
+    // not lose the global top-cosine pairs (r7 verdict #1 — the blocking
+    // key is now unsupervised, and this pins that it still FINDS things)
+    val vecs = (0 until 200).map { i =>
+      val g = i % 8
+      val emb = Array.tabulate(64) { d =>
+        val base = if (d >= 8 * g && d < 8 * g + 8) 1.0f else 0.0f
+        base + 0.02f * (((i * 31 + d * 17) % 7) - 3)
+      }
+      (i.toLong, emb.toSeq, g)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding",
+        "CAST(label AS INT) AS label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val q = Dedup.dd07(spark, dir)
+    // the pair path must never read the ground-truth label column — a
+    // real corpus has none (grep-clean contract from the r7 verdict).
+    // Physical plan: the logical Relation node prints the file's FULL
+    // schema, but FileScan prints only the pruned read columns
+    assert(!q.queryExecution.executedPlan.toString.contains("label"),
+      "dd07 physical plan reads the ground-truth label column")
+    val blocked = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact (unblocked) top-20 over all 19 900 pairs, same grid-dot path
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, dir)
+      .withColumn("n2", call_function("grid_dot", col("embedding"), col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("n2"))
+    val exact = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        call_function("grid_dot", col("a.embedding"), col("b.embedding")).cast("double") /
+          (sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double"))))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("cosine"))
+      .orderBy(col("cosine").desc, col("v1"), col("v2")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (blocked & exact).size.toDouble / exact.size
+    info(f"clustered-fixture dd07 pair recall vs exact top-20: $recall%.2f")
+    assert(recall >= 0.9, s"IVF-blocked pair recall $recall on separable data")
+  }
+
   test("ss06 on clusterable data: PQ-ADC recall is high (low recall is the data)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pqfix").toString
