@@ -194,15 +194,15 @@ object Similarity {
       Seq("cell"), Seq("cell", "pos"),
       variant = s"_k${IvfK}r$IvfRounds", fpFile = "embeddings.parquet")
 
-  private def ivf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val e = Tables.embeddings(s, dir)
-    val (assign, cent) = (ivfAssign(s, dir), ivfCent(s, dir))
+  /** IVF routing: each query's best `nprobe` coarse cells by
+    * query↔centroid cosine (tie-break cell asc) → (query_id, ccell).
+    * Shared by ss02/ss04 (exact in-cell scoring) and ss07 (ADC scoring):
+    * one routing definition, every probe path agrees on where to look. */
+  private def bestCells(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val cent = ivfCent(s, dir)
     val centNorm = cent.groupBy(col("cell"))
       .agg(sum(Dedup.gridL(col("c") * col("c"))).as("cn2"))
-    val el = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .withColumn("x", col("x").cast("double"))
-    val qel = el.filter(col("vec_id") < 10)
+    val qel = explodedEl(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("pos"), col("x").as("qx"))
     val qNorm = qel.groupBy(col("query_id")).agg(sum(Dedup.gridL(col("qx") * col("qx"))).as("qn2"))
     val qc = qel.join(cent.withColumnRenamed("cell", "ccell"), Seq("pos"))
@@ -213,8 +213,15 @@ object Similarity {
       .withColumn("ccos", cosine(col("dotqc"), col("qn2"), col("cn2")))
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("ccell"))
-    val best = qc.withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobe)
+    qc.withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobe)
       .select(col("query_id"), col("ccell"))
+  }
+
+  private def ivf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val assign = ivfAssign(s, dir)
+    val best = bestCells(s, dir, nprobe)
     // exact search inside the chosen cell(s), membership = the learned
     // assignment
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -281,12 +288,15 @@ object Similarity {
   /** Name of the final-assignment CTE inside [[ivfAssignSqlCtes]]. */
   private[operators] def ivfFinalAssignCte: String = s"a$IvfRounds"
 
-  private def ivfSql(nprobe: Int): String = {
+  /** Oracle twin of [[bestCells]] + the capped cell membership, as a CTE
+    * chain: closing-M-step centroids `cf`/`cfn`, query routing
+    * `qel`/`qnorm`/`qc`/`qcs`/`best`, capped membership `cappedc`.
+    * Expects `el`/`nrm` ([[elCte]]) and the unrolled Lloyd chain
+    * ([[kmeansCtes]]) in scope. Shared by ss02/ss04/ss07's oracles. */
+  private def ivfRouteCtes(nprobe: Int): String = {
     val cF = "cf"             // final centroids: closing M-step from aF
     val aF = s"a$IvfRounds"   // final assignment
-    s"""WITH $elCte,
-       |${kmeansCtes(IvfRounds)},
-       |$cF AS (SELECT cell, pos,
+    s"""$cF AS (SELECT cell, pos,
        |              CAST(SUM(CAST(ROUND((x) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS c
        |       FROM el JOIN $aF USING (vec_id) GROUP BY 1, 2),
        |${cF}n AS (SELECT cell, SUM(CAST(ROUND((c * c) * 1e9) AS BIGINT)) AS cn2
@@ -308,7 +318,13 @@ object Similarity {
        |cappedc AS (SELECT vec_id, cell FROM (
        |              SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
        |              FROM $aF)
-       |            WHERE rn <= ${Dedup.BucketCap}),
+       |            WHERE rn <= ${Dedup.BucketCap})""".stripMargin
+  }
+
+  private def ivfSql(nprobe: Int): String = {
+    s"""WITH $elCte,
+       |${kmeansCtes(IvfRounds)},
+       |${ivfRouteCtes(nprobe)},
        |dot AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, b.ccell,
        |               SUM(CAST(ROUND((q.x * c.x) * 1e9) AS BIGINT)) AS dot
        |        FROM el q JOIN best b ON q.vec_id = b.query_id AND q.vec_id < 10
@@ -411,10 +427,11 @@ object Similarity {
   // ---------------------------------------------------------------- ss05
   /** Recall audit: every ANN variant measured against the exact
     * brute-force baseline — recall@5 per query for IVF nprobe=1,
-    * IVF nprobe=2, sign-bucket LSH and PQ-ADC (ss06). This is the evaluation query an
+    * IVF nprobe=2, sign-bucket LSH, PQ-ADC (ss06) and IVF-PQ with
+    * exact rerank (ss07). This is the evaluation query an
     * ANN deployment runs before trusting an index; it also pins the
     * nprobe dial's monotonicity in data (ivf2 ⊇ ivf1 candidates).
-    * Cost is the four underlying pipelines; the audit itself is three
+    * Cost is the five underlying pipelines; the audit itself is five
     * 50-row joins.
     *
     * Measured on the synthetic corpus (sf0.01, r6): mean recall@5 ≈
@@ -437,13 +454,15 @@ object Similarity {
       .join(hit(ss04(s, dir), "h2"), Seq("query_id", "neighbor_id"), "left")
       .join(hit(ss03(s, dir), "h3"), Seq("query_id", "neighbor_id"), "left")
       .join(hit(ss06(s, dir), "h4"), Seq("query_id", "neighbor_id"), "left")
+      .join(hit(ss07(s, dir), "h5"), Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(
         count(lit(1)).as("n_exact"),
         sum(coalesce(col("h1"), lit(0L))).cast("long").as("hit_ivf1"),
         sum(coalesce(col("h2"), lit(0L))).cast("long").as("hit_ivf2"),
         sum(coalesce(col("h3"), lit(0L))).cast("long").as("hit_lsh"),
-        sum(coalesce(col("h4"), lit(0L))).cast("long").as("hit_pq"))
+        sum(coalesce(col("h4"), lit(0L))).cast("long").as("hit_pq"),
+        sum(coalesce(col("h5"), lit(0L))).cast("long").as("hit_ivfpq"))
       .withColumn("recall_ivf1",
         col("hit_ivf1").cast("double") / col("n_exact").cast("double"))
       .withColumn("recall_ivf2",
@@ -452,6 +471,8 @@ object Similarity {
         col("hit_lsh").cast("double") / col("n_exact").cast("double"))
       .withColumn("recall_pq",
         col("hit_pq").cast("double") / col("n_exact").cast("double"))
+      .withColumn("recall_ivfpq",
+        col("hit_ivfpq").cast("double") / col("n_exact").cast("double"))
       .orderBy("query_id")
   }
 
@@ -460,22 +481,26 @@ object Similarity {
        |a1 AS (SELECT query_id, neighbor_id FROM (${ss02Sql})),
        |a2 AS (SELECT query_id, neighbor_id FROM (${ss04Sql})),
        |a3 AS (SELECT query_id, neighbor_id FROM (${ss03Sql})),
-       |a4 AS (SELECT query_id, neighbor_id FROM (${ss06Sql}))
+       |a4 AS (SELECT query_id, neighbor_id FROM (${ss06Sql})),
+       |a5 AS (SELECT query_id, neighbor_id FROM (${ss07Sql}))
        |SELECT ex.query_id,
        |       COUNT(*) AS n_exact,
        |       CAST(SUM(CASE WHEN a1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_ivf1,
        |       CAST(SUM(CASE WHEN a2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_ivf2,
        |       CAST(SUM(CASE WHEN a3.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_lsh,
        |       CAST(SUM(CASE WHEN a4.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_pq,
+       |       CAST(SUM(CASE WHEN a5.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_ivfpq,
        |       CAST(SUM(CASE WHEN a1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_ivf1,
        |       CAST(SUM(CASE WHEN a2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_ivf2,
        |       CAST(SUM(CASE WHEN a3.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_lsh,
-       |       CAST(SUM(CASE WHEN a4.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_pq
+       |       CAST(SUM(CASE WHEN a4.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_pq,
+       |       CAST(SUM(CASE WHEN a5.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_ivfpq
        |FROM ex
        |LEFT JOIN a1 ON ex.query_id = a1.query_id AND ex.neighbor_id = a1.neighbor_id
        |LEFT JOIN a2 ON ex.query_id = a2.query_id AND ex.neighbor_id = a2.neighbor_id
        |LEFT JOIN a3 ON ex.query_id = a3.query_id AND ex.neighbor_id = a3.neighbor_id
        |LEFT JOIN a4 ON ex.query_id = a4.query_id AND ex.neighbor_id = a4.neighbor_id
+       |LEFT JOIN a5 ON ex.query_id = a5.query_id AND ex.neighbor_id = a5.neighbor_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------- ss06
@@ -608,17 +633,19 @@ object Similarity {
          |       FROM (SELECT vec_id FROM embeddings)
          |            CROSS JOIN (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS m))""".stripMargin
     val rs = (1 to rounds).map { r =>
+      // round CTEs are pd$r (not d$r): ss07Sql composes this chain with
+      // kmeansCtes, whose per-round dot CTEs already own the d$r names
       s"""b$r AS (SELECT m, code, pos, CAST(SUM(${grid("x")}) AS DOUBLE) / 1e9 / COUNT(*) AS c
          |       FROM sel JOIN p${r - 1} USING (vec_id, m) GROUP BY 1, 2, 3),
          |b${r}n AS (SELECT m, code, SUM(${grid("c * c")}) AS cn2 FROM b$r GROUP BY 1, 2),
-         |d$r AS (SELECT vec_id, sel.m AS m, code, SUM(${grid("x * c")}) AS dvc
+         |pd$r AS (SELECT vec_id, sel.m AS m, code, SUM(${grid("x * c")}) AS dvc
          |       FROM sel JOIN b$r ON sel.m = b$r.m AND sel.pos = b$r.pos
          |       GROUP BY 1, 2, 3),
          |p$r AS (SELECT vec_id, m, code FROM (
          |         SELECT d.vec_id, d.m, d.code,
          |                ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
          |                    ORDER BY vn2 - 2 * dvc + cn2, d.code) AS rn
-         |         FROM d$r d
+         |         FROM pd$r d
          |         JOIN b${r}n bn ON d.m = bn.m AND d.code = bn.code
          |         JOIN snrm sn ON d.vec_id = sn.vec_id AND d.m = sn.m)
          |       WHERE rn = 1)""".stripMargin
@@ -626,14 +653,14 @@ object Similarity {
     (init +: rs).mkString(",\n")
   }
 
-  // lazy: ss05Sql (declared earlier in the object) interpolates this —
-  // as a strict val it would still be null during ss05Sql's init
-  lazy val ss06Sql: String = {
+  /** The PQ serving layer as CTEs — codebook `cb`/`cbn`, reconstructed
+    * norms `rn2`, query sub-blocks `qsub`/`qn2`, the ADC lookup table
+    * `lut`. Expects `el` + the [[pqCtes]] chain in scope. Shared by
+    * ss06 (full-corpus ADC) and ss07 (cell-routed ADC). */
+  private def pqServeCtes: String = {
     val grid = (e: String) => s"CAST(ROUND(($e) * 1e9) AS BIGINT)"
     val pF = s"p$PqRounds"
-    s"""WITH $elCte,
-       |${pqCtes(PqRounds)},
-       |cb AS (SELECT m, code, pos, CAST(SUM(${grid("x")}) AS DOUBLE) / 1e9 / COUNT(*) AS c
+    s"""cb AS (SELECT m, code, pos, CAST(SUM(${grid("x")}) AS DOUBLE) / 1e9 / COUNT(*) AS c
        |       FROM sel JOIN $pF USING (vec_id, m) GROUP BY 1, 2, 3),
        |cbn AS (SELECT m, code, SUM(${grid("c * c")}) AS cn2 FROM cb GROUP BY 1, 2),
        |rn2 AS (SELECT vec_id, SUM(cn2) AS rn2
@@ -644,7 +671,16 @@ object Similarity {
        |        FROM qsub GROUP BY 1),
        |lut AS (SELECT query_id, cb.m AS m, cb.code AS code, SUM(${grid("qx * c")}) AS l
        |        FROM qsub JOIN cb ON qsub.m = cb.m AND qsub.pos = cb.pos
-       |        GROUP BY 1, 2, 3),
+       |        GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  // lazy: ss05Sql (declared earlier in the object) interpolates this —
+  // as a strict val it would still be null during ss05Sql's init
+  lazy val ss06Sql: String = {
+    val pF = s"p$PqRounds"
+    s"""WITH $elCte,
+       |${pqCtes(PqRounds)},
+       |$pqServeCtes,
        |ad AS (SELECT query_id, vec_id, SUM(l) AS adot
        |       FROM $pF JOIN lut USING (m, code) GROUP BY 1, 2),
        |sc AS (SELECT query_id, vec_id AS neighbor_id,
@@ -658,13 +694,125 @@ object Similarity {
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- ss07
+  /** IVF-PQ: the composed index production ANN serving deploys at
+    * 100 TB — route by the learned coarse cell (ss02's index), scan the
+    * routed cell's PQ CODES with ADC (ss06's layer), then exact-rerank
+    * only the ADC top-[[IvfPqShortlist]] shortlist with raw vectors.
+    * Per-query cost: (N/cells) code rows scanned (32× compressed) +
+    * [[IvfPqShortlist]] raw-vector reads — the raw corpus is never
+    * scanned. Both halves are the already-materialized built indexes;
+    * this query only composes them, exactly like a deployment wiring a
+    * coarse quantizer in front of an ADC scan (IVFADC, Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search").
+    *
+    * The exact rerank makes the composed index's recall ≥ plain PQ's
+    * inside the routed cell by construction: ADC only has to get the
+    * true neighbors into the top-32, not rank them.
+    */
+  val IvfPqShortlist = 32
+
+  def ss07(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val best = bestCells(s, dir, nprobe = 1)
+    val codes = pqCodes(s, dir)
+    val cb = pqCodebook(s, dir)
+    // candidates: capped members of each query's routed cell
+    val cand = Dedup.capPerKey(ivfAssign(s, dir), Seq("cell"), "vec_id", Dedup.BucketCap)
+      .join(broadcast(best), col("cell") === col("ccell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("ccell"), col("vec_id"))
+    // ADC over the candidates' code rows only — the compressed scan
+    val cbn = cb.groupBy(col("m"), col("code"))
+      .agg(sum(Dedup.gridL(col("c") * col("c"))).as("cn2"))
+    val rn2 = codes.join(broadcast(cbn), Seq("m", "code"))
+      .groupBy(col("vec_id")).agg(sum(col("cn2")).as("rn2"))
+    val qsub = subEl(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("m"), col("pos"),
+        col("x").as("qx"))
+    val qn2 = qsub.groupBy(col("query_id"))
+      .agg(sum(Dedup.gridL(col("qx") * col("qx"))).as("qn2"))
+    val lut = qsub.join(broadcast(cb), Seq("m", "pos"))
+      .groupBy(col("query_id"), col("m"), col("code"))
+      .agg(sum(Dedup.gridL(col("qx") * col("c"))).as("l"))
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("ccell"), col("vec_id"))
+      .agg(sum(col("l")).as("adot"))
+      .join(broadcast(qn2), Seq("query_id"))
+      .join(rn2, Seq("vec_id"))
+      .withColumn("approx_cos", cosine(col("adot"), col("qn2"), col("rn2")))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    val shortlist = adc.withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= IvfPqShortlist)
+      .select(col("query_id"), col("ccell"), col("vec_id"))
+    // exact rerank: raw vectors for ≤ shortlist×queries rows only
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .filter(col("query_id") < 10)
+      .withColumn("qn2e", normL(col("qe")))
+    val rer = e.select(col("vec_id"), col("embedding").as("ne"))
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .withColumn("nn2", normL(col("ne")))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", cosine(dotL(col("qe"), col("ne")), col("qn2e"), col("nn2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("ccell").as("cell"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  lazy val ss07Sql: String = {
+    val grid = (e: String) => s"CAST(ROUND(($e) * 1e9) AS BIGINT)"
+    val pF = s"p$PqRounds"
+    s"""WITH $elCte,
+       |${kmeansCtes(IvfRounds)},
+       |${ivfRouteCtes(nprobe = 1)},
+       |${pqCtes(PqRounds)},
+       |$pqServeCtes,
+       |cand AS (SELECT b.query_id, b.ccell, cc.vec_id
+       |         FROM cappedc cc JOIN best b ON cc.cell = b.ccell
+       |         WHERE cc.vec_id <> b.query_id),
+       |ad AS (SELECT c.query_id, c.ccell, c.vec_id, SUM(l) AS adot
+       |       FROM cand c JOIN $pF p ON c.vec_id = p.vec_id
+       |            JOIN lut ON lut.query_id = c.query_id
+       |                    AND lut.m = p.m AND lut.code = p.code
+       |       GROUP BY 1, 2, 3),
+       |sl AS (SELECT query_id, ccell, vec_id FROM (
+       |         SELECT ad.query_id, ad.ccell, ad.vec_id,
+       |                ROW_NUMBER() OVER (PARTITION BY ad.query_id ORDER BY
+       |                  CAST(adot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(rn2 AS DOUBLE))) DESC,
+       |                  ad.vec_id) AS srn
+       |         FROM ad JOIN qn2 USING (query_id) JOIN rn2 USING (vec_id))
+       |       WHERE srn <= $IvfPqShortlist),
+       |rdot AS (SELECT s.query_id, s.ccell, s.vec_id,
+       |                SUM(${grid("q.x * c.x")}) AS dot
+       |         FROM sl s JOIN el q ON q.vec_id = s.query_id
+       |              JOIN el c ON c.vec_id = s.vec_id AND q.pos = c.pos
+       |         GROUP BY 1, 2, 3),
+       |rsc AS (SELECT query_id, ccell, rdot.vec_id AS neighbor_id,
+       |               CAST(dot AS DOUBLE) / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE))) AS cosine
+       |        FROM rdot JOIN nrm n1 ON rdot.query_id = n1.vec_id
+       |                  JOIN nrm n2 ON rdot.vec_id = n2.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |           FROM rsc)
+       |SELECT query_id, ccell AS cell, CAST(rank AS INT) AS rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("ss01_knn_bruteforce", "broadcast brute-force cosine top-5", ss01, Some(ss01Sql)),
-    Q("ss02_knn_ivf", "IVF: label-cell centroids, probe best cell", ss02, Some(ss02Sql)),
+    Q("ss02_knn_ivf", "IVF: learned k-means cells, probe best cell", ss02, Some(ss02Sql)),
     Q("ss03_knn_lsh", "random-hyperplane LSH sign-bucket ANN", ss03, Some(ss03Sql)),
     Q("ss04_knn_ivf_multiprobe", "IVF with nprobe=2 (recall/cost dial)", ss04, Some(ss04Sql)),
     Q("ss05_knn_recall_audit", "recall@5 of each ANN variant vs exact baseline", ss05, Some(ss05Sql)),
     Q("ss06_knn_pq", "product-quantization ADC top-5 over the code table", ss06, Some(ss06Sql)),
+    Q("ss07_knn_ivfpq", "IVF-PQ: cell-routed ADC scan + exact shortlist rerank", ss07, Some(ss07Sql)),
   )
 }

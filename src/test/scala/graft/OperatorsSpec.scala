@@ -588,11 +588,17 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       audit.map(r => r.getDouble(r.fieldIndex(c))).sum / 10.0
     val r1 = mean("recall_ivf1")
     val r2 = mean("recall_ivf2")
-    info(f"clustered-fixture mean recall@5: ivf1=$r1%.2f ivf2=$r2%.2f")
+    val rivfpq = mean("recall_ivfpq")
+    info(f"clustered-fixture mean recall@5: ivf1=$r1%.2f ivf2=$r2%.2f ivfpq=$rivfpq%.2f")
     // the method is sound when the data has neighborhood structure —
     // the sf0.01 corpus's ~0.28 is the isotropic data, not the index
     assert(r1 >= 0.8, s"ivf1 recall $r1 — learned cells failed clusterable data")
     assert(r2 >= r1 - 1e-9)
+    // IVF-PQ's exact rerank must recover IVF-alone recall here: the
+    // 25-member true cells fit the 32-candidate ADC shortlist, so the
+    // composed index degrades only where ADC misranks BEYOND rank 32
+    assert(rivfpq >= r1 - 1e-9,
+      s"ivfpq recall $rivfpq < ivf1 recall $r1 — rerank lost the cell")
   }
 
   test("dd07 on clusterable data: IVF-cell blocking recovers the exact top pairs, label-free") {

@@ -24,7 +24,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "dd01_exact_dedup" -> 2, "dd02_minhash_sig" -> 1,
     "dd03_minhash_lsh_pairs" -> 6, "dd04_ngram_jaccard_topk" -> 1,
     "dd05_simhash_sig" -> 1, "dd06_simhash_hamming" -> 1,
-    "dd07_embedding_neardup" -> 3, "dd08_neardup_clusters" -> 3,
+    // dd07: +1 exchange in r8 — the join against the materialized IVF
+    // assignment that replaced the ground-truth label blocking key
+    "dd07_embedding_neardup" -> 4, "dd08_neardup_clusters" -> 3,
     "dd09_cluster_keeper" -> 11, "dd10_semantic_clusters" -> 3,
     // dd11: span layer bucketed by h (groupBy + join-back exchange-free)
     // + doc_id window exchange + final sort; at sf0.001 the tiny dup-h
@@ -52,11 +54,15 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "sp08_shuffle_order" -> 5, "sp09_source_cap" -> 7,
     "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 12,
     "ss03_knn_lsh" -> 5, "ss04_knn_ivf_multiprobe" -> 12,
-    "ss05_knn_recall_audit" -> 43,  // + ss06 PQ pipeline (r7)
+    "ss05_knn_recall_audit" -> 64,  // + ss06 PQ (r7) + ss07 IVF-PQ (r8)
     // ss06: reads the materialized code+codebook layers; the censused
     // exchanges are the small derived aggs (cbn/rn2/lut/qn2), the
     // scored partial-sum and the per-query window + final sort
     "ss06_knn_pq" -> 9,
+    // ss07: composes the two built indexes — IVF routing (cell probe
+    // chain) + ADC partial-sum over candidate codes + shortlist window
+    // + broadcast exact rerank + final sort
+    "ss07_knn_ivfpq" -> 21,
     "ta01_langid" -> 1, "ta02_quality_score" -> 1,
     "ta03_token_counts" -> 1, "ta04_fingerprint" -> 1,
     "ta05_lexical_stats" -> 1, "ta06_repetition_stats" -> 1,
