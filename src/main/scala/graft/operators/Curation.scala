@@ -239,6 +239,151 @@ object Curation {
        |            AS INT) AS n_in_seq
        |FROM pack ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- cp03
+  /** The SpanK-token-span duplication fraction at or above which a doc is
+    * dropped as `span_dup`: a mostly-duplicated document contributes
+    * almost no novel tokens even when no single whole-doc twin exists
+    * (the doc-level signal of Lee et al.'s span-level pass). The sf
+    * corpus is bimodal around this cut — span-carrying docs measure
+    * dup_frac ≥ 0.92, everything else 0. */
+  val SpanDupMax = 0.5
+
+  /** Manifest v2 — cp01's stages composed with the FULL dedup stack
+    * (r7 verdict #4: the near-dup machinery and span stats never fed the
+    * capstone). Stage precedence, first match wins:
+    *   gate reasons (content-intrinsic)
+    *   > `exact_dup`  (not the sig-group's min-doc_id keeper)
+    *   > `near_dup`   (in a dd08 LSH cluster, not its dd09 quality
+    *                   keeper — doc-level dedup runs exact THEN near)
+    *   > `span_dup`   (dd11-style dup_frac ≥ [[SpanDupMax]], computed
+    *                   over the POST-doc-level-dedup survivors only —
+    *                   the span-level pass runs after doc-level dedup,
+    *                   so dropped twins' spans don't count)
+    *   > `contaminated` (train doc whose content appears in eval splits)
+    *   > keep.
+    * A cluster whose quality keeper is itself gate-dropped ships NO
+    * member — deliberate and conservative: every other member is a
+    * near-dup of rejected content. Same built-artifact form as cp01
+    * (the cluster closure, keeper argmax and span stats are paid once
+    * at layer-write time); carries span_dup_frac as the signal column
+    * (named apart from the gate's own within-doc bigram dup_frac).
+    */
+  private def manifestV2(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "manifest2", dir, () => {
+      graft.functions.GraftFunctions.register(s)
+      val d = Tables.documents(s, dir)
+        .withColumn("bucket", Sampling.bucket)
+        .withColumn("sig",
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")))
+      val sigStats = d.groupBy(col("sig")).agg(
+        min(col("doc_id")).as("keeper"),
+        max((col("bucket") >= 90).cast("int")).as("in_eval"))
+      val clusters = Dedup.connectedComponents(
+          Dedup.dd03Pairs(s, dir).select(col("d1"), col("d2")))
+        .select(col("doc_id"), col("cluster_id"))
+      val quality = TextAnalysis.ta02(s, dir).select(col("doc_id"), col("score"))
+      val scored = clusters.join(quality, Seq("doc_id"))
+      val best = scored.groupBy(col("cluster_id"))
+        .agg(max(col("score")).as("ks"))
+      val keepers = scored.join(best, Seq("cluster_id"))
+        .filter(col("score") === col("ks"))
+        .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("keeper_id"))
+      val base = TextAnalysis.gateDf(d)
+        .join(sigStats, Seq("sig"))
+        .join(clusters, Seq("doc_id"), "left")
+        .join(keepers, Seq("cluster_id"), "left")
+      // the span pass runs on the POST-doc-level-dedup corpus (Lee et
+      // al.'s ordering): only survivors' spans count, so a near-dup
+      // KEEPER isn't span-dropped merely because its own dropped twins
+      // carry the same spans — which would annihilate whole families
+      val surv = base.filter(col("drop_reason") === "keep" &&
+          col("doc_id") === col("keeper") &&
+          (col("cluster_id").isNull || col("doc_id") === col("keeper_id")))
+        .select("doc_id")
+      val spans = Dedup.spanStatsOf(
+          DedupPrepare.spanPositions(s, dir).join(surv, Seq("doc_id")))
+        .select(col("doc_id"), col("dup_frac").as("span_dup_frac"))
+      base
+        .join(spans, Seq("doc_id"), "left")
+        .withColumn("span_dup_frac", coalesce(col("span_dup_frac"), lit(0.0)))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val").otherwise("test"))
+        .withColumn("reason",
+          when(col("drop_reason") =!= "keep", col("drop_reason"))
+            .when(col("doc_id") =!= col("keeper"), "exact_dup")
+            .when(col("cluster_id").isNotNull && col("doc_id") =!= col("keeper_id"),
+              "near_dup")
+            .when(col("span_dup_frac") >= SpanDupMax, "span_dup")
+            .when(col("split") === "train" && col("in_eval") === 1,
+              "contaminated")
+            .otherwise("keep"))
+        .withColumn("keep", (col("reason") === "keep").cast("int"))
+        .select("doc_id", "lang", "split", "reason", "keep", "span_dup_frac")
+    }, Seq("doc_id"), Seq("doc_id"))
+
+  /** cp03: the v2 manifest rows — cp01's shape plus the near-dup and
+    * span-dup stages and the span_dup_frac signal column. */
+  def cp03(s: SparkSession, dir: String): DataFrame =
+    manifestV2(s, dir)
+      .select("doc_id", "split", "reason", "keep", "span_dup_frac")
+      .orderBy("doc_id")
+
+  /** Oracle: cp01's stage CTEs + the dd03 verified-pair chain, the dd08
+    * recursive closure, the dd09 keeper argmax and the dd11 span-frac
+    * chain — all composed into the one precedence CASE. */
+  lazy val cp03Sql: String = {
+    val reason =
+      s"""CASE WHEN g.drop_reason <> 'keep' THEN g.drop_reason
+         |            WHEN d.doc_id <> k.keeper THEN 'exact_dup'
+         |            WHEN lab.cluster_id IS NOT NULL AND d.doc_id <> kp.keeper_id THEN 'near_dup'
+         |            WHEN COALESCE(spanfrac.dup_frac, 0.0) >= $SpanDupMax THEN 'span_dup'
+         |            WHEN bucket < 90 AND e.sig IS NOT NULL THEN 'contaminated'
+         |            ELSE 'keep' END""".stripMargin
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, ${Sampling.bucketSql} AS bucket,
+       |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS sig
+       |  FROM documents),
+       |g AS (SELECT doc_id, drop_reason FROM (${TextAnalysis.ta08Sql}) t),
+       |k AS (SELECT sig, MIN(doc_id) AS keeper FROM d GROUP BY sig),
+       |e AS (SELECT DISTINCT sig FROM d WHERE bucket >= 90),
+       |${Dedup.dd03PairsCte},
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |          UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT e2.a, r.b FROM edges e2 JOIN reach r ON e2.b = r.a),
+       |lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+       |nq AS (SELECT doc_id, score FROM (${TextAnalysis.ta02Sql}) tq),
+       |nsc AS (SELECT lab.doc_id, lab.cluster_id, nq.score
+       |        FROM lab JOIN nq USING (doc_id)),
+       |nbest AS (SELECT cluster_id, MAX(score) AS ks FROM nsc GROUP BY cluster_id),
+       |kp AS (SELECT cluster_id, MIN(doc_id) AS keeper_id
+       |       FROM nsc JOIN nbest USING (cluster_id)
+       |       WHERE score = ks GROUP BY cluster_id),
+       |surv AS (SELECT d.doc_id
+       |         FROM d JOIN g USING (doc_id) JOIN k USING (sig)
+       |              LEFT JOIN lab ON d.doc_id = lab.doc_id
+       |              LEFT JOIN kp ON lab.cluster_id = kp.cluster_id
+       |         WHERE g.drop_reason = 'keep' AND d.doc_id = k.keeper
+       |               AND (lab.cluster_id IS NULL OR d.doc_id = kp.keeper_id)),
+       |${Dedup.spanFracSqlCte(Some("surv"))}
+       |SELECT d.doc_id,
+       |       CASE WHEN bucket < 90 THEN 'train'
+       |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+       |       $reason AS reason,
+       |       CAST($reason = 'keep' AS INT) AS keep,
+       |       COALESCE(spanfrac.dup_frac, 0.0) AS span_dup_frac
+       |FROM d JOIN g USING (doc_id)
+       |       JOIN k USING (sig)
+       |       LEFT JOIN e ON d.sig = e.sig
+       |       LEFT JOIN lab ON d.doc_id = lab.doc_id
+       |       LEFT JOIN kp ON lab.cluster_id = kp.cluster_id
+       |       LEFT JOIN spanfrac ON d.doc_id = spanfrac.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Streaming ingest chain — the ONLINE front half of the pipeline:
     * the stateless quality gate first ([[TextAnalysis.gateDf]] — pure
     * column program, no state), watermarked exact-dedup second
@@ -267,5 +412,8 @@ object Curation {
     Q("cp02_training_batches",
       "manifest keepers > mixture > shuffle > packed training sequences",
       cp02, Some(cp02Sql)),
+    Q("cp03_manifest_v2",
+      "manifest v2: gate > exact_dup > near_dup > span_dup > contaminated",
+      cp03, Some(cp03Sql)),
   )
 }

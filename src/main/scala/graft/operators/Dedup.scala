@@ -192,7 +192,7 @@ object Dedup {
   /** dd03's verified near-dup pair relation, unsorted — the shared input
     * of dd03 (which adds the presentation sort) and dd08 (where a sort
     * before the component iteration would be wasted work). */
-  private def dd03Pairs(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def dd03Pairs(s: SparkSession, dir: String): DataFrame = {
     // both the band self-join and the 3-way shingle verify read the
     // materialized layer: the per-query persist() of r2 becomes a
     // corpus-wide bucketed table — lshBands is bucketed on (b, bh), so
@@ -232,7 +232,7 @@ object Dedup {
 
   /** CTE chain through the verified pair relation — shared by dd03 (the
     * pair listing) and dd08 (the cluster assignment over those pairs). */
-  private val dd03PairsCte: String =
+  private[operators] val dd03PairsCte: String =
     s"""$minhashSigSqlCte,
        |bl0 AS (SELECT doc_id, b, CASE b WHEN 0 THEN bh0 WHEN 1 THEN bh1
        |                                 WHEN 2 THEN bh2 ELSE bh3 END AS bh
@@ -711,9 +711,21 @@ object Dedup {
         h60(array_join(slice(col("ws"), col("pos"), lit(K)), " ")).as("h"))
   }
 
-  def dd11(s: SparkSession, dir: String): DataFrame = {
+  def dd11(s: SparkSession, dir: String): DataFrame =
+    dd11Stats(s, dir).orderBy("doc_id")
+
+  /** dd11's per-doc span stats, unsorted — shared by dd11 (which adds
+    * the presentation sort) and cp03's manifest build (where dup_frac
+    * is a drop signal and a sort would be wasted work). */
+  private[operators] def dd11Stats(s: SparkSession, dir: String): DataFrame =
+    spanStatsOf(DedupPrepare.spanPositions(s, dir))
+
+  /** The span-stats pipeline over an arbitrary (doc_id, n_tokens, pos,
+    * h) span relation — dd11 feeds it the whole corpus; cp03 feeds it
+    * only the doc-level-dedup survivors, so a near-dup KEEPER's spans
+    * are not "duplicated" merely by its own dropped twins. */
+  private[operators] def spanStatsOf(spans: DataFrame): DataFrame = {
     val K = SpanK
-    val spans = DedupPrepare.spanPositions(s, dir)
     val dupH = spans.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
@@ -737,7 +749,43 @@ object Dedup {
       .withColumn("dup_frac",
         col("n_dup_tokens").cast("double") / col("n_tokens").cast("double"))
       .select("doc_id", "n_tokens", "n_spans", "n_dup_tokens", "dup_frac")
-      .orderBy("doc_id")
+  }
+
+  /** dd11's per-doc dup_frac as a composable CTE chain ending in
+    * `spanfrac (doc_id, dup_frac)` — names prefixed `sp_` so it composes
+    * with the shingle CTEs (`w`/`wi` would collide) inside cp03's
+    * oracle. Same SpanK-derived literals as [[dd11Sql]]. `survCte`
+    * optionally names a 1-column (doc_id) CTE restricting whose spans
+    * count — the [[spanStatsOf]] twin knob. */
+  private[operators] def spanFracSqlCte(survCte: Option[String] = None): String = {
+    val src = survCte
+      .map(sv => s"(SELECT sp_sp0.* FROM sp_sp0 JOIN $sv USING (doc_id))")
+      .getOrElse("sp_sp0")
+    s"""sp_w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+       |       FROM documents),
+       |sp_wi AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens, ws,
+       |              unnest(range(1, len(ws) - ${SpanK - 2})) AS pos
+       |       FROM sp_w WHERE len(ws) >= $SpanK),
+       |sp_sp0 AS (SELECT doc_id, n_tokens, CAST(pos AS INT) AS pos,
+       |              ${h60Sql(s"array_to_string(list_slice(ws, pos, pos + ${SpanK - 1}), ' ')")} AS h
+       |       FROM sp_wi),
+       |sp_sp AS (SELECT * FROM $src),
+       |sp_dup AS (SELECT h FROM sp_sp GROUP BY h HAVING COUNT(*) >= 2),
+       |sp_dp AS (SELECT doc_id, n_tokens, pos FROM sp_sp JOIN sp_dup USING (h)),
+       |sp_i1 AS (SELECT doc_id, n_tokens, pos,
+       |              MAX(pos + $SpanK) OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |       FROM sp_dp),
+       |sp_i2 AS (SELECT doc_id, n_tokens, pos,
+       |              SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+       |                  THEN 1 ELSE 0 END)
+       |                OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |       FROM sp_i1),
+       |sp_isl AS (SELECT doc_id, n_tokens, island, MIN(pos) AS s, MAX(pos) + $SpanK AS e
+       |        FROM sp_i2 GROUP BY doc_id, n_tokens, island),
+       |spanfrac AS (SELECT doc_id,
+       |               CAST(SUM(e - s) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_frac
+       |             FROM sp_isl GROUP BY doc_id, n_tokens)""".stripMargin
   }
 
   // every span-length literal derives from SpanK (ADVICE r7): changing

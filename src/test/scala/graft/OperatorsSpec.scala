@@ -685,6 +685,65 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.6, s"PQ recall $recall — codebooks failed clusterable data")
   }
 
+  test("cp03: every stage fires; span pass sees only doc-level-dedup survivors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cp03").toString
+    val probe = (1L to 300L).toDF("doc_id")
+    val buckets = graft.operators.Sampling.sp01Buckets(probe)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val train = (1L to 300L).filter(buckets(_) < 90)
+    val eval_ = (1L to 300L).filter(buckets(_) >= 90)
+    // every doc alternates "the <tok>": gate-passing (stop ratio 0.5,
+    // zero bigram repetition) with fully controlled token content
+    def toks(tags: Seq[String]) = tags.flatMap(t => Seq("the", t)).mkString(" ")
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    val c1 = uniq("c1x", 6) // 12-token boilerplate chunk (> SpanK)
+    val c2 = uniq("c2x", 6)
+    val Seq(tShort, tDupA, tDupB, tNearA, tNearB, tSpanX, tSpanP1, tSpanP2) =
+      train.take(8)
+    val tContam = train.drop(8).find(t => eval_.exists(_ > t)).get
+    val eContam = eval_.find(_ > tContam).get
+    val docs = Seq(
+      tShort -> "one two three",                          // gate: too_short
+      tDupA -> toks(uniq("d", 30)),                       // exact pair —
+      tDupB -> ("  " + toks(uniq("d", 30)).toUpperCase),  // same normalized
+      // near pair: one differing token — same length/stop profile, so
+      // quality ties and the min-id member keeps
+      tNearA -> toks(uniq("n", 30)),
+      tNearB -> toks(uniq("n", 29) :+ "nX"),
+      // span trio: X is covered 24/34 by chunks it shares with P1/P2,
+      // but pairwise 3-gram Jaccard with either stays under the 0.2
+      // LSH-verify cut (P1/P2 carry 28 unique tokens), so NO doc-level
+      // dedup fires and the span stage is the only thing left to catch X
+      tSpanX -> (toks(c1) + " " + toks(c2) + " " + toks(uniq("xu", 5))),
+      tSpanP1 -> (toks(c1) + " " + toks(uniq("pu", 14))),
+      tSpanP2 -> (toks(c2) + " " + toks(uniq("qu", 14))),
+      tContam -> toks(uniq("k", 30)), eContam -> toks(uniq("k", 30)))
+    docs.map { case (id, t) => (id, t, "en", "u", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Curation.cp03(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getInt(3), r.getDouble(4)))).toMap
+    assert(out(tShort)._2 == "too_short")
+    assert(out(math.min(tDupA, tDupB))._2 == "keep")
+    assert(out(math.max(tDupA, tDupB))._2 == "exact_dup")
+    // near pair: quality tie -> min id keeps; and crucially the KEEPER
+    // is NOT span_dup — its spans are "shared" only with its dropped
+    // twin, which the survivor-restricted span pass no longer counts
+    assert(out(math.min(tNearA, tNearB))._2 == "keep",
+      s"near keeper: ${out(math.min(tNearA, tNearB))}")
+    assert(out(math.max(tNearA, tNearB))._2 == "near_dup")
+    // span trio: only X crosses the 0.5 coverage cut
+    assert(out(tSpanX)._2 == "span_dup" && out(tSpanX)._4 >= 0.5,
+      s"spanX: ${out(tSpanX)}")
+    assert(out(tSpanP1)._2 == "keep" && out(tSpanP1)._4 > 0.0 &&
+      out(tSpanP1)._4 < 0.5, s"spanP1: ${out(tSpanP1)}")
+    assert(out(tSpanP2)._2 == "keep")
+    assert(out(tContam) == (("train", "contaminated", 0, 0.0)))
+    assert(out(eContam)._2 == "exact_dup")
+  }
+
   test("cp01: every stage fires with the documented precedence") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cp01").toString

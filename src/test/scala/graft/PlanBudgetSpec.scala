@@ -51,6 +51,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "sp05_temporal_split_audit" -> 3, "sp06_sequence_pack" -> 2,
     "sp07_mixture_resample" -> 7, "cp01_corpus_manifest" -> 1,
     "cp02_training_batches" -> 5,
+    // cp03: a read of the materialized v2 manifest + presentation sort
+    // (the cluster closure / keeper argmax / span pass are layer-write
+    // costs, like cp01's gate pass)
+    "cp03_manifest_v2" -> 1,
     "sp08_shuffle_order" -> 5, "sp09_source_cap" -> 7,
     "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 12,
     "ss03_knn_lsh" -> 5, "ss04_knn_ivf_multiprobe" -> 12,
