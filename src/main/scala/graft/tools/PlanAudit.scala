@@ -4,6 +4,32 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: dump formatted plans for a few representative queries to
   * audit pushdown / pruning / join strategy (run via tools symlink). */
 object PlanAudit {
+
+  /** Exchange census of a query's pre-AQE physical plan, by TREE WALK
+    * (shared with PlanBudgetSpec so tool and gate can't drift). A tree
+    * walk, not a toString grep: `InMemoryRelation` PRINTS its cached
+    * child plan once per reference, so a textual count multiplies a
+    * cached subplan's exchanges by its fan-out — a persisted 5-row
+    * rate table read on two branches would read as double its real
+    * exchange cost. The walk counts each node once and stops at
+    * InMemoryTableScan leaves (the cached build is paid once, like a
+    * DedupPrepare layer write). */
+  def exchangeCount(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    // explicit walk: AdaptiveSparkPlanExec is a collect() leaf (its
+    // inner plan is not a `children` member), so unwrap it by hand
+    def walk(p: SparkPlan): Int = {
+      val self = p match { case _: Exchange => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children
+      }
+      self + kids.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
   def main(args: Array[String]): Unit = {
     // same session shape as Bench so audited plans match benched plans
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,9 +44,7 @@ object PlanAudit {
       // exchange census over every registered query (pre-AQE initial
       // plans — deterministic), the input to PlanBudgetSpec's budgets
       for (name <- SparkEntry.queries.keys.toSeq.sorted) {
-        val plan = SparkEntry.queries(name)(spark, dir)
-          .queryExecution.executedPlan.toString
-        val ex = "Exchange ".r.findAllIn(plan).length
+        val ex = exchangeCount(SparkEntry.queries(name)(spark, dir))
         println(s"COUNT $name $ex")
       }
     } else for (name <- args) {

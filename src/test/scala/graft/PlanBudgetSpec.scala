@@ -49,13 +49,17 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "sp01_split_assign" -> 1, "sp02_stratified_sample" -> 2,
     "sp03_contamination_exact" -> 3, "sp04_contamination_ngram" -> 4,
     "sp05_temporal_split_audit" -> 3, "sp06_sequence_pack" -> 2,
-    "sp07_mixture_resample" -> 7, "cp01_corpus_manifest" -> 1,
+    // sp07/sp09: 7 -> 3 in r8 — the empty-partition windows became
+    // 1-row broadcast-totals joins over persisted bounded audit
+    // relations (counts are of the tree-walk census, which reads a
+    // persisted subplan's exchanges once, not per reference)
+    "sp07_mixture_resample" -> 3, "cp01_corpus_manifest" -> 1,
     "cp02_training_batches" -> 5,
     // cp03: a read of the materialized v2 manifest + presentation sort
     // (the cluster closure / keeper argmax / span pass are layer-write
     // costs, like cp01's gate pass)
     "cp03_manifest_v2" -> 1,
-    "sp08_shuffle_order" -> 5, "sp09_source_cap" -> 7,
+    "sp08_shuffle_order" -> 5, "sp09_source_cap" -> 3,
     "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 12,
     "ss03_knn_lsh" -> 5, "ss04_knn_ivf_multiprobe" -> 12,
     "ss05_knn_recall_audit" -> 64,  // + ss06 PQ (r7) + ss07 IVF-PQ (r8)
@@ -98,10 +102,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
 
   private def auditAgainst(d: String, expected: String => Int): Unit = {
     val off = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val plan = SparkEntry.queries(name)(spark, d)
-        .queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
-      val ex = "Exchange ".r.findAllIn(plan).length
+      val df = SparkEntry.queries(name)(spark, d)
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        s"$name has a cartesian product")
+      val ex = PlanAudit.exchangeCount(df)
       if (ex == expected(name)) None else Some(s"$name: $ex != ${expected(name)}")
     }
     assert(off.isEmpty, s"plan-shape drift:\n${off.mkString("\n")}")
@@ -130,7 +134,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // is pinned so a new one must be justified here.
     val allowedNl = Set(
       "ss01_knn_bruteforce", "ss05_knn_recall_audit", // 10-row broadcast
-      "q01_workload_share")                           // 1-row totals
+      "q01_workload_share",                           // 1-row totals
+      // r8: mixRates/sp07/sp09 swapped their empty-partition windows
+      // for the same 1-row broadcast-totals crossJoin (r7 verdict #2)
+      "sp07_mixture_resample", "sp09_source_cap", "cp02_training_batches")
     val nl = Set.newBuilder[String]
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = SparkEntry.queries(name)(spark, dir)
