@@ -18,14 +18,44 @@ import org.apache.spark.storage.StorageLevel
   * compute; MEMORY_AND_DISK spills instead of OOMing, and at cluster
   * scale the same shape is a staging write before a sorted export.
   *
-  * The persist is deliberately left for the session to manage: the
-  * returned DataFrame is lazy, so there is no post-materialization
-  * hook to unpersist from, and the cached relation is the query's own
-  * bounded output projection, not the corpus.
+  * Cache lifetime (r7 verdict #3): persists registered here live in a
+  * bounded FIFO pool of [[CachePool]] relations — registering a new one
+  * evicts (unpersists) the oldest beyond the cap. A long-lived session
+  * running the full query surface therefore holds at most [[CachePool]]
+  * result-sized cached relations, instead of one per
+  * presentation-sorted query invoked since session start. FIFO is safe
+  * for the sequential-action sessions this engine runs (Bench/Verify/a
+  * notebook): a query's own cache cannot be evicted between its persist
+  * and its action unless more than [[CachePool]] OTHER queries persist
+  * concurrently in between — and eviction is never a correctness event,
+  * only a recompute.
   */
 object Present {
+
+  /** Max presentation caches retained; the pool holds the most recent
+    * N so a repeated query (Bench's warm runs re-clear anyway, but a
+    * notebook re-showing a result) still hits its cache. */
+  val CachePool = 4
+
+  private val pool = new java.util.ArrayDeque[DataFrame]
+
+  /** Persist `df` under pool management: the returned DataFrame is
+    * cached MEMORY_AND_DISK and the OLDEST pooled relation beyond
+    * [[CachePool]] is unpersisted. Also the lifecycle home for other
+    * bounded presentation persists (sp07/sp09's audit relations). */
+  private[graft] def pooled(df: DataFrame): DataFrame = synchronized {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    pool.addLast(df)
+    while (pool.size > CachePool)
+      pool.removeFirst().unpersist(blocking = false)
+    df
+  }
+
+  /** Number of live pooled caches — spec hook. */
+  private[graft] def pooledCount: Int = synchronized { pool.size }
+
   def sorted(df: DataFrame, cols: Column*): DataFrame =
-    df.persist(StorageLevel.MEMORY_AND_DISK).orderBy(cols: _*)
+    pooled(df).orderBy(cols: _*)
 
   def sorted(df: DataFrame, first: String, rest: String*): DataFrame =
     sorted(df, (first +: rest).map(col): _*)

@@ -370,9 +370,9 @@ object Sampling {
     // because the totals crossJoin reads it on BOTH branches and
     // Catalyst shares no subplans — without it the corpus groupBy
     // re-expands per branch (the connectedComponents pairs precedent)
-    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-      .withColumn("weight", mixWeight)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = Present.pooled(
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("weight", mixWeight))
     val scale = counts.agg(
       min(when(col("weight") > 0,
         col("n_docs").cast("double") / col("weight").cast("double"))).as("scale"))
@@ -394,9 +394,9 @@ object Sampling {
       .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
     // audit is lang-bounded but its kept branch scans the corpus — the
     // persist keeps the totals crossJoin from scanning it twice
-    val audit = rated.join(kept, Seq("lang"), "left")
-      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val audit = Present.pooled(
+      rated.join(kept, Seq("lang"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L))))
     val tot = audit.agg(sum(col("n_kept")).as("tot_kept"))
     audit.crossJoin(broadcast(tot))
       .withColumn("achieved_share",
@@ -516,9 +516,9 @@ object Sampling {
     // the mixRates note on the r7 verdict's warning-noise finding
     // source-cardinality-bounded; persisted for the same two-branch
     // reuse reason as mixRates' counts
-    val counts = Tables.documents(s, dir)
-      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = Present.pooled(
+      Tables.documents(s, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs")))
     val totDocs = counts.agg(sum(col("n_docs")).as("tot_docs"))
     val rated = counts.crossJoin(broadcast(totDocs))
       .withColumn("cap_docs",
@@ -531,9 +531,9 @@ object Sampling {
       .join(broadcast(rated.select(col("source"), col("thr"))), Seq("source"))
       .filter(Dedup.h60(concat(lit("cap:"), col("doc_id"))) % 1000000L < col("thr"))
       .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
-    val audit = rated.join(kept, Seq("source"), "left")
-      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val audit = Present.pooled(
+      rated.join(kept, Seq("source"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L))))
     val totKept = audit.agg(sum(col("n_kept")).as("tot_kept"))
     audit.crossJoin(broadcast(totKept))
       .withColumn("kept_share",

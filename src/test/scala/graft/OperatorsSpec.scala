@@ -685,6 +685,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.6, s"PQ recall $recall — codebooks failed clusterable data")
   }
 
+  test("Present pool: a long session's presentation caches stay bounded") {
+    import spark.implicits._
+    import graft.operators.Present
+    // r7 verdict #3: before the pool, every presentation-sorted query
+    // left one cached result for the life of the session. Run more
+    // queries than the pool holds; the oldest must be unpersisted.
+    val dfs = (1 to Present.CachePool + 4).map { i =>
+      (1 to 50).map(j => (j.toLong * i, i)).toDF("id", "k")
+    }
+    dfs.foreach(d => Present.sorted(d, "id").count())
+    assert(Present.pooledCount <= Present.CachePool)
+    // eviction really unpersisted the oldest and kept the newest
+    assert(dfs.head.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(dfs.last.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    // and an evicted query is still CORRECT on re-action (recompute)
+    assert(Present.sorted(dfs.head, "id").count() == 50)
+  }
+
   test("cp03: every stage fires; span pass sees only doc-level-dedup survivors") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cp03").toString
