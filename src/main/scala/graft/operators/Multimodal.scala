@@ -252,14 +252,172 @@ object Multimodal {
       |       CAST(LEAST(width, height) < $ShortSide AS INT) AS upscaled
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- PNG pixel I/O
+  /** Standard PNG Paeth predictor (PNG spec §9.4). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** A REAL (tool-loadable) PNG carrying deterministic pixels: 8-bit
+    * gray/truecolor/RGBA by doc_id mod 3, FIXTURE-SIZED dimensions
+    * (4..15 per side — the closed forms below), zlib-deflated IDAT with
+    * row filter type y mod 5 (all five PNG filters exercised in every
+    * image taller than 4 rows), real CRCs. pixel(x, y, c) =
+    * (docId·31 + x·7 + y·13 + c·5) mod 256 — closed-form so the DuckDB
+    * oracle can recompute pixel STATISTICS without a decoder, while the
+    * Spark side must actually inflate + unfilter to see them.
+    *
+    * Separate from [[synthPayload]] on purpose: mm01's oracle pins
+    * n_bytes exactly, and a deflated IDAT's length has no closed form —
+    * the metadata fixture keeps its text body, the pixel fixture is
+    * mm04's.
+    */
+  private[graft] def pngPixelPayload(docId: Long, nChars: Long): Array[Byte] = {
+    val w = (nChars * 7 % 12 + 4).toInt
+    val h = (nChars * 13 % 12 + 4).toInt
+    val colorType = Array(0, 2, 6)((docId % 3).toInt)
+    val ch = pngChannels(colorType)
+    val stride = w * ch
+    val px = Array.tabulate(h * stride) { k =>
+      val y = k / stride
+      val i = k % stride
+      val x = i / ch
+      val c = i % ch
+      ((docId * 31 + x * 7 + y * 13 + c * 5) % 256).toByte
+    }
+    // filter each scanline (filter byte + filtered row), type = y mod 5
+    val raw = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      val t = y % 5
+      raw(y * (stride + 1)) = t.toByte
+      for (i <- 0 until stride) {
+        val x = px(y * stride + i) & 0xFF
+        val a = if (i >= ch) px(y * stride + i - ch) & 0xFF else 0
+        val b = if (y > 0) px((y - 1) * stride + i) & 0xFF else 0
+        val c = if (y > 0 && i >= ch) px((y - 1) * stride + i - ch) & 0xFF else 0
+        val enc = t match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 => x - paeth(a, b, c)
+        }
+        raw(y * (stride + 1) + 1 + i) = (enc & 0xFF).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = defl.deflate(buf)
+    defl.end()
+    val idat = java.util.Arrays.copyOf(buf, n)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+        .putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** REAL pixel decode from bytes only — no codec library: walk the
+    * chunk stream collecting IDAT segments, zlib-inflate
+    * (java.util.zip.Inflater), reverse the per-scanline filter (all
+    * five PNG filter types). Returns (w, h, channels, pixels) with
+    * pixels row-major, channel-fastest — or None for anything that is
+    * not a parseable 8-bit PNG.
+    */
+  private[graft] def decodePngPixels(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    parsePng(p).flatMap { case (w, h, ch, _) =>
+      // 8-bit, deflate(0), adaptive-filter(0), NON-interlaced(0) only —
+      // an Adam7 stream would unfilter to garbage, so refuse it
+      if ((p(24) & 0xFF) != 8 || (p(26) & 0xFF) != 0 ||
+          (p(27) & 0xFF) != 0 || (p(28) & 0xFF) != 0) None
+      else {
+        val idat = new java.io.ByteArrayOutputStream()
+        var i = 8
+        var end = false
+        while (!end && i + 8 <= p.length) {
+          val len = beInt(p, i)
+          val typ = new String(p, i + 4, 4, "US-ASCII")
+          if (typ == "IDAT" && i + 8 + len <= p.length) idat.write(p, i + 8, len)
+          if (typ == "IEND") end = true
+          i += 12 + len // len + type + data + CRC
+        }
+        val comp = idat.toByteArray
+        val stride = w * ch
+        val out = new Array[Byte]((stride + 1) * h)
+        val inflated =
+          if (comp.isEmpty) false
+          else {
+            val inf = new java.util.zip.Inflater()
+            try {
+              inf.setInput(comp)
+              var off = 0
+              var stuck = false
+              while (!inf.finished() && off < out.length && !stuck) {
+                val n = inf.inflate(out, off, out.length - off)
+                if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stuck = true
+                off += n
+              }
+              off == out.length
+            } catch {
+              case _: java.util.zip.DataFormatException => false
+            } finally inf.end()
+          }
+        if (!inflated) None
+        else {
+          val px = new Array[Byte](stride * h)
+          var bad = false
+          for (y <- 0 until h if !bad) {
+            val t = out(y * (stride + 1)) & 0xFF
+            for (i2 <- 0 until stride) {
+              val x = out(y * (stride + 1) + 1 + i2) & 0xFF
+              val a = if (i2 >= ch) px(y * stride + i2 - ch) & 0xFF else 0
+              val b = if (y > 0) px((y - 1) * stride + i2) & 0xFF else 0
+              val c = if (y > 0 && i2 >= ch) px((y - 1) * stride + i2 - ch) & 0xFF else 0
+              val v = t match {
+                case 0 => x
+                case 1 => x + a
+                case 2 => x + b
+                case 3 => x + (a + b) / 2
+                case 4 => x + paeth(a, b, c)
+                case _ => bad = true; 0
+              }
+              px(y * stride + i2) = (v & 0xFF).toByte
+            }
+          }
+          if (bad) None else Some((w, h, ch, px))
+        }
+      }
+    }
+
   // ---------------------------------------------------------------- mm04
-  /** Feature extraction (stub codec, real plumbing): payload bytes →
-    * decode → an 8-dim float embedding per doc, batched executor-side.
-    * The "model" is a deterministic hash of the decoded BODY bytes (the
-    * stub for the real encoder forward pass — the prompt's contract:
-    * stub the codec, make schema/batching/UDF shape real); the oracle
-    * recomputes it in closed form from the text the synthetic payload
-    * wraps, so a body-extraction bug upstream fails the hash.
+  /** Feature extraction — REAL pixel statistics where a JDK-only decode
+    * exists, stub only where a codec library or model weights would be
+    * required (r7 verdict #8):
+    *  - even doc_ids carry [[pngPixelPayload]] (a real PNG) and are
+    *    DECODED FOR REAL — inflate + unfilter — with features from the
+    *    decoded pixels: f0..f3 per-channel means, f4 overall mean,
+    *    f5/f6 min/max (all exact integer sums, one final IEEE division,
+    *    so the closed-form oracle agrees bit-for-bit), f7 the one
+    *    remaining ENCODER stub dim (a forward pass needs weights no
+    *    offline container has);
+    *  - odd doc_ids are JPEG — entropy decode needs a codec library, so
+    *    the whole feature row stays the deterministic hash stub.
+    * content_md5 fingerprints what the stage actually consumed: the
+    * DECODED pixel stream (as a comma-joined int string both engines
+    * can construct) for PNGs, the text body for JPEGs — an unfilter bug
+    * upstream fails the hash.
     */
   private val FeatureDims = 8
 
@@ -282,28 +440,96 @@ object Multimodal {
     val media = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
       .as[(Long, String, String, Long)]
-      .map { case (id, src, text, n) => MediaIn(id, src, synthPayload(id, text, n)) }
-    media.mapPartitions { it =>
-      decodeBatches(it).map { m =>
-        // fixed-dim feature row (flat floats, not list<float>: the
-        // arrow-level list element name/nullability differs between the
-        // engines and the driver's compare is type-sensitive)
-        val f = Array.tabulate(FeatureDims) { j =>
-          ((h60OfString(s"${m.content_md5}:$j") % 1000L) / 1000.0).toFloat
-        }
-        MediaFeatures(m.doc_id, m.content_md5,
-          f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+      .map { case (id, src, text, n) =>
+        MediaIn(id, src,
+          if (id % 2 == 0) pngPixelPayload(id, n) else synthPayload(id, text, n))
       }
+    media.mapPartitions { it =>
+      // fixed-dim feature rows (flat floats, not list<float>: the
+      // arrow-level list element name/nullability differs between the
+      // engines and the driver's compare is type-sensitive)
+      it.grouped(DecodeBatch).flatMap(_.map { m =>
+        decodePngPixels(m.payload) match {
+          case Some((w, h, ch, px)) =>
+            // REAL path: statistics of the DECODED pixels. Integer sums
+            // (exact), one double division each, float cast — portable.
+            val sums = new Array[Long](4)
+            var tot = 0L
+            var mn = 255
+            var mx = 0
+            var k = 0
+            while (k < px.length) {
+              val v = px(k) & 0xFF
+              sums(k % ch) += v; tot += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              k += 1
+            }
+            val n = w * h
+            val csv = px.map(_ & 0xFF).mkString(",")
+            val md = md5Hex(csv.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            def chMean(c: Int): Float =
+              if (c < ch) (sums(c).toDouble / (n * 255.0)).toFloat else 0f
+            MediaFeatures(m.doc_id, md,
+              chMean(0), chMean(1), chMean(2), chMean(3),
+              (tot.toDouble / (n.toLong * ch * 255.0)).toFloat,
+              (mn.toDouble / 255.0).toFloat, (mx.toDouble / 255.0).toFloat,
+              // the ENCODER stub dim: a forward pass needs weights
+              ((h60OfString(s"$md:enc") % 1000L) / 1000.0).toFloat)
+          case None =>
+            // JPEG (codec-library territory): the full-row hash stub
+            val bodyMd5 = decodeBatches(Iterator(m)).next().content_md5
+            val f = Array.tabulate(FeatureDims) { j =>
+              ((h60OfString(s"$bodyMd5:$j") % 1000L) / 1000.0).toFloat
+            }
+            MediaFeatures(m.doc_id, bodyMd5,
+              f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+        }
+      })
     }.toDF().transform(Present.sorted(_, "doc_id"))
   }
 
   val mm04Sql: String = {
-    val dims = (0 until FeatureDims).map { j =>
+    val jpegDims = (0 until FeatureDims).map { j =>
       s"CAST(CAST(concat('0x', substr(md5(md5(text) || ':' || '$j'), 1, 15)) AS BIGINT) % 1000 / 1000.0 AS REAL) AS f$j"
     }.mkString(",\n       ")
-    s"""SELECT doc_id, md5(text) AS content_md5,
-       |       $dims
-       |FROM documents ORDER BY doc_id""".stripMargin
+    // even docs: regenerate the pixel FORMULA (the Spark side had to
+    // inflate+unfilter real bytes to see the same values)
+    s"""WITH de AS (
+       |  SELECT doc_id,
+       |         CAST(n_chars * 7 % 12 + 4 AS INT) AS w,
+       |         CAST(n_chars * 13 % 12 + 4 AS INT) AS h,
+       |         CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS nc
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |xs AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS x),
+       |ys AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS y),
+       |cs AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS c),
+       |pxe AS (SELECT doc_id, w, h, nc, x, y, c,
+       |               (doc_id * 31 + x * 7 + y * 13 + c * 5) % 256 AS v
+       |        FROM de JOIN xs ON x < w JOIN ys ON y < h JOIN cs ON c < nc),
+       |agg AS (SELECT doc_id, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+       |               ANY_VALUE(nc) AS nc,
+       |               string_agg(CAST(v AS VARCHAR), ',' ORDER BY y, x, c) AS csv,
+       |               SUM(CASE WHEN c = 0 THEN v END) AS s0,
+       |               SUM(CASE WHEN c = 1 THEN v END) AS s1,
+       |               SUM(CASE WHEN c = 2 THEN v END) AS s2,
+       |               SUM(CASE WHEN c = 3 THEN v END) AS s3,
+       |               SUM(v) AS st, MIN(v) AS mn, MAX(v) AS mx
+       |        FROM pxe GROUP BY doc_id),
+       |png AS (SELECT doc_id, md5(csv) AS content_md5,
+       |               CAST(CAST(s0 AS DOUBLE) / (w * h * 255.0) AS REAL) AS f0,
+       |               CAST(COALESCE(CAST(s1 AS DOUBLE) / (w * h * 255.0), 0.0) AS REAL) AS f1,
+       |               CAST(COALESCE(CAST(s2 AS DOUBLE) / (w * h * 255.0), 0.0) AS REAL) AS f2,
+       |               CAST(COALESCE(CAST(s3 AS DOUBLE) / (w * h * 255.0), 0.0) AS REAL) AS f3,
+       |               CAST(CAST(st AS DOUBLE) / (CAST(w AS BIGINT) * h * nc * 255.0) AS REAL) AS f4,
+       |               CAST(CAST(mn AS DOUBLE) / 255.0 AS REAL) AS f5,
+       |               CAST(CAST(mx AS DOUBLE) / 255.0 AS REAL) AS f6,
+       |               CAST(CAST(concat('0x', substr(md5(md5(csv) || ':enc'), 1, 15)) AS BIGINT) % 1000 / 1000.0 AS REAL) AS f7
+       |        FROM agg),
+       |jpeg AS (SELECT doc_id, md5(text) AS content_md5,
+       |       $jpegDims
+       |FROM documents WHERE doc_id % 2 = 1)
+       |SELECT * FROM png UNION ALL SELECT * FROM jpeg ORDER BY doc_id""".stripMargin
   }
 
   /** Registry of this family. */
@@ -311,6 +537,6 @@ object Multimodal {
     Q("mm01_media_decode_meta", "binary payload → batched typed decode (stub codec)", mm01, Some(mm01Sql)),
     Q("mm02_frame_sample", "every-10th-frame sampling with per-frame hash", mm02, Some(mm02Sql)),
     Q("mm03_resize_plan", "aspect-preserving short-side-224 resize planning", mm03, Some(mm03Sql)),
-    Q("mm04_feature_extract", "batched stub-encoder 8-dim feature embedding", mm04, Some(mm04Sql)),
+    Q("mm04_feature_extract", "real PNG pixel decode (inflate+unfilter) stats; stub only for JPEG codec + encoder dim", mm04, Some(mm04Sql)),
   )
 }

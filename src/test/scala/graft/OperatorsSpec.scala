@@ -685,6 +685,51 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.6, s"PQ recall $recall — codebooks failed clusterable data")
   }
 
+  test("mm04 decoder: a JDK-encoder PNG round-trips known pixel sums") {
+    // javax.imageio is an INDEPENDENT encoder with its own filter
+    // heuristics — if the hand-rolled inflate+unfilter reproduces exact
+    // per-channel sums from its output, the decode is real, not a
+    // fixture echo (r7 verdict #8)
+    val (w, h) = (23, 17)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val exp = new Array[Long](3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 11 + y * 3) % 256
+      val g = (x * 5 + y * 7) % 256
+      val b = (x + y * 19) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      exp(0) += r; exp(1) += g; exp(2) += b
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val dec = graft.operators.Multimodal.decodePngPixels(bos.toByteArray)
+    assert(dec.isDefined, "decoder rejected a JDK-written PNG")
+    val (dw, dh, ch, px) = dec.get
+    assert((dw, dh, ch) == ((w, h, 3)))
+    val sums = new Array[Long](3)
+    px.zipWithIndex.foreach { case (v, k) => sums(k % 3) += (v & 0xFF) }
+    assert(sums.toSeq == exp.toSeq)
+  }
+
+  test("mm04 fixture: writer/decoder round-trip across all five PNG filters") {
+    import graft.operators.Multimodal
+    for (docId <- Seq(0L, 2L, 4L); nChars <- Seq(29L, 101L, 997L)) {
+      val dec = Multimodal.decodePngPixels(Multimodal.pngPixelPayload(docId, nChars))
+      assert(dec.isDefined)
+      val (w, h, ch, px) = dec.get
+      // h >= 5 in at least some cases => every filter type 0..4 exercised
+      px.zipWithIndex.foreach { case (v, k) =>
+        val stride = w * ch
+        val y = k / stride; val i = k % stride
+        val x = i / ch; val c = i % ch
+        assert((v & 0xFF) ==
+          ((docId * 31 + x * 7 + y * 13 + c * 5) % 256).toInt,
+          s"pixel ($x,$y,$c) of doc $docId")
+      }
+    }
+  }
+
   test("Present pool: a long session's presentation caches stay bounded") {
     import spark.implicits._
     import graft.operators.Present
