@@ -116,6 +116,13 @@ class AdversarialScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.dd04(spark, dir).count() == 0)
   }
 
+  test("dd12: LSH gate + df cut — candidates exist but zero scored pairs") {
+    // the cluster docs DO co-bucket in the LSH bands (they're identical),
+    // but every shingle they own dies at the df cut, so the exact-Jaccard
+    // stage has nothing to score — the gate and the cut compose
+    assert(Dedup.dd12(spark, dir).count() == 0)
+  }
+
   test("dd06: top-20 all Hamming-0 pairs from the capped retained set") {
     val top = Dedup.dd06(spark, dir).collect()
     assert(top.length == 20)

@@ -24,6 +24,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "dd01_exact_dedup" -> 2, "dd02_minhash_sig" -> 1,
     "dd03_minhash_lsh_pairs" -> 6, "dd04_ngram_jaccard_topk" -> 1,
     "dd05_simhash_sig" -> 1, "dd06_simhash_hamming" -> 1,
+    // dd12: bucketed band self-join (no exchange) -> distinct + the
+    // two kept joins + pair agg + final sort
+    "dd12_ngram_jaccard_lsh" -> 5,
     // dd07: +1 exchange in r8 — the join against the materialized IVF
     // assignment that replaced the ground-truth label blocking key
     "dd07_embedding_neardup" -> 4, "dd08_neardup_clusters" -> 3,
@@ -91,7 +94,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "dd09_cluster_keeper" -> 10,    // rides dd03/dd08's flips
     "q20_rollup_percentiles_3level" -> 12, // argmax join -> SMJ on partitioned sides
     "sp04_contamination_ngram" -> 5, // train-side gram relation outgrows broadcast
-    "dd11_substring_spans" -> 2)     // dup-h side outgrows broadcast -> bucketed SMJ
+    "dd11_substring_spans" -> 2,     // dup-h side outgrows broadcast -> bucketed SMJ
+    "dd12_ngram_jaccard_lsh" -> 7)   // kept/denominator sides outgrow broadcast
 
   private val sf1Dir = "testdata/sf1.0"
 
