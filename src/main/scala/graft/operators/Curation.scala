@@ -384,6 +384,145 @@ object Curation {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- cp04
+  /** cp04: INCREMENTAL batch ingest — "today's crawl vs yesterday's
+    * corpus": decide per NEW document whether it is an exact duplicate
+    * of a corpus document, a verified near-duplicate of one, or fresh —
+    * WITHOUT recomputing anything corpus-sized at query time. The fixture
+    * split is deterministic (`doc_id % 10 == 7` is the incoming batch,
+    * the rest is the standing corpus).
+    *
+    * This is the shape that makes dedup viable at 100 TB: a daily crawl
+    * is ~0.1% of the corpus, so re-running dd01/dd03 over the union per
+    * ingest (corpus-sized work per batch) is the canonical scale-killer.
+    * Instead the standing corpus publishes two BUILT ARTIFACTS — the
+    * exact-signature keeper manifest (sig-bucketed, [[corpusKeepers]])
+    * and the capped LSH band index (the dedup family's OWN
+    * [[DedupPrepare.lshBands]] layer, partition-filtered to the corpus
+    * half) — and every per-batch stage is batch-sized: batch sigs probe
+    * the keeper manifest (one batch-sized shuffle onto sig buckets),
+    * batch band rows probe the band index on its (b, bh) bucketing, and
+    * only surviving candidates pay the exact shingle-Jaccard verify
+    * (dd03's ≥ 0.2 rule, corpus shingles read from the doc_id-bucketed
+    * layer). Decision precedence: drop_exact > drop_neardup > ingest;
+    * `match_id` is the exact keeper, else the smallest verified corpus
+    * near-match; band candidates that FAIL the verify still ingest (and
+    * are visible in `n_cand` vs `n_near`).
+    *
+    * The band index is capped per (b, bh) over the WHOLE table before
+    * the corpus filter (the cap is the layer's write-time semantics, and
+    * yesterday's index was of course built before today's batch was
+    * known — the oracle mirrors cap-then-filter exactly). Intra-batch
+    * duplicates are out of scope by design: the batch self-dedups with
+    * dd01 before probing (the stages compose; running both is the full
+    * ingest chain, and this operator pins the corpus-probe half).
+    */
+  private[operators] val BatchMod = 10
+  private[operators] val BatchRes = 7
+
+  private def isBatchCol = (col("doc_id") % BatchMod) === BatchRes
+
+  /** The standing corpus's exact-dup manifest: (sig, exact_keeper),
+    * bucketed+sorted by sig — published once per corpus version, probed
+    * by every ingest batch. */
+  private def corpusKeepers(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "cp04keeper", dir,
+      () => Tables.documents(s, dir)
+        .filter((col("doc_id") % BatchMod) =!= BatchRes)
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+            .cast("binary")).as("sig"))
+        .groupBy(col("sig")).agg(min(col("doc_id")).as("exact_keeper")),
+      Seq("sig"), Seq("sig"))
+
+  def cp04(s: SparkSession, dir: String): DataFrame = {
+    val bands = DedupPrepare.lshBands(s, dir)
+    val corpusBands = bands.filter((col("doc_id") % BatchMod) =!= BatchRes)
+    val batchBands = bands.filter(isBatchCol)
+    // candidate probe: both sides read the same (b, bh)-bucketed layer —
+    // co-partitioned, no exchange; distinct shuffles candidate-sized data
+    val cand = batchBands.as("x").join(corpusBands.as("y"),
+        col("x.b") === col("y.b") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("d"), col("y.doc_id").as("m"))
+      .distinct()
+    // exact shingle-Jaccard verify (dd03's rule) on candidates only;
+    // shingle counts and rows ride the doc_id-bucketed layer
+    val sh = DedupPrepare.shingles3(s, dir)
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("s1"), col("d") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("m") === col("s2.doc_id") && col("s1.s") === col("s2.s"))
+      .groupBy(col("d"), col("m")).agg(count(lit(1)).as("c"))
+    val ver = inter
+      .join(n.as("n1"), col("d") === col("n1.doc_id"))
+      .join(n.as("n2"), col("m") === col("n2.doc_id"))
+      .filter(col("c").cast("double") /
+        (col("n1.n") + col("n2.n") - col("c")).cast("double") >= 0.2)
+      .select(col("d"), col("m"))
+    val candAgg = cand.groupBy(col("d")).agg(count(lit(1)).as("n_cand"))
+    val nearAgg = ver.groupBy(col("d"))
+      .agg(min(col("m")).as("near_id"), count(lit(1)).as("n_near"))
+    // batch sigs are a map-side scan of the batch slice; the keeper
+    // manifest join shuffles only the batch onto the layer's sig buckets
+    val batchSig = Tables.documents(s, dir).filter(isBatchCol)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+          .cast("binary")).as("sig"))
+    batchSig
+      .join(corpusKeepers(s, dir), Seq("sig"), "left")
+      .join(candAgg.withColumnRenamed("d", "doc_id"), Seq("doc_id"), "left")
+      .join(nearAgg.withColumnRenamed("d", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("n_cand", coalesce(col("n_cand"), lit(0L)))
+      .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
+      .withColumn("match_id",
+        when(col("exact_keeper").isNotNull, col("exact_keeper"))
+          .otherwise(col("near_id")))
+      .withColumn("decision",
+        when(col("exact_keeper").isNotNull, "drop_exact")
+          .when(col("n_near") > 0, "drop_neardup")
+          .otherwise("ingest"))
+      .select("doc_id", "n_cand", "n_near", "match_id", "decision")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the band-layer CTE (cap-then-filter, exactly the layer's
+    * write-time semantics) + the dd03 verify rule + the keeper manifest,
+    * composed into the one decision CASE. */
+  val cp04Sql: String =
+    s"""WITH ${Dedup.bandsSqlCte},
+       |cb AS (SELECT * FROM bl WHERE doc_id % $BatchMod <> $BatchRes),
+       |bb AS (SELECT * FROM bl WHERE doc_id % $BatchMod = $BatchRes),
+       |cand AS (SELECT DISTINCT bb.doc_id AS d, cb.doc_id AS m
+       |         FROM bb JOIN cb ON bb.b = cb.b AND bb.bh = cb.bh),
+       |n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT d, m, COUNT(*) AS c
+       |          FROM cand JOIN sh s1 ON d = s1.doc_id
+       |                    JOIN sh s2 ON m = s2.doc_id AND s1.s = s2.s
+       |          GROUP BY d, m),
+       |ver AS (SELECT d, m
+       |        FROM inter JOIN n n1 ON d = n1.doc_id JOIN n n2 ON m = n2.doc_id
+       |        WHERE CAST(c AS DOUBLE) / CAST(n1.n + n2.n - c AS DOUBLE) >= 0.2),
+       |sigs AS (SELECT doc_id,
+       |                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS sig
+       |         FROM documents),
+       |ck AS (SELECT sig, MIN(doc_id) AS exact_keeper FROM sigs
+       |       WHERE doc_id % $BatchMod <> $BatchRes GROUP BY sig),
+       |bs AS (SELECT doc_id, sig FROM sigs WHERE doc_id % $BatchMod = $BatchRes),
+       |ca AS (SELECT d, COUNT(*) AS n_cand FROM cand GROUP BY d),
+       |na AS (SELECT d, MIN(m) AS near_id, COUNT(*) AS n_near FROM ver GROUP BY d)
+       |SELECT bs.doc_id,
+       |       CAST(COALESCE(ca.n_cand, 0) AS BIGINT) AS n_cand,
+       |       CAST(COALESCE(na.n_near, 0) AS BIGINT) AS n_near,
+       |       CASE WHEN ck.exact_keeper IS NOT NULL THEN ck.exact_keeper
+       |            ELSE na.near_id END AS match_id,
+       |       CASE WHEN ck.exact_keeper IS NOT NULL THEN 'drop_exact'
+       |            WHEN COALESCE(na.n_near, 0) > 0 THEN 'drop_neardup'
+       |            ELSE 'ingest' END AS decision
+       |FROM bs LEFT JOIN ck USING (sig)
+       |        LEFT JOIN ca ON bs.doc_id = ca.d
+       |        LEFT JOIN na ON bs.doc_id = na.d
+       |ORDER BY bs.doc_id""".stripMargin
+
   /** Streaming ingest chain — the ONLINE front half of the pipeline:
     * the stateless quality gate first ([[TextAnalysis.gateDf]] — pure
     * column program, no state), watermarked exact-dedup second
@@ -415,5 +554,8 @@ object Curation {
     Q("cp03_manifest_v2",
       "manifest v2: gate > exact_dup > near_dup > span_dup > contaminated",
       cp03, Some(cp03Sql)),
+    Q("cp04_incremental_ingest",
+      "batch-sized ingest probe of the corpus's built sig + band indexes",
+      cp04, Some(cp04Sql)),
   )
 }

@@ -230,9 +230,10 @@ object Dedup {
   def dd03(s: SparkSession, dir: String): DataFrame =
     dd03Pairs(s, dir).orderBy("d1", "d2")
 
-  /** CTE chain through the verified pair relation — shared by dd03 (the
-    * pair listing) and dd08 (the cluster assignment over those pairs). */
-  private[operators] val dd03PairsCte: String =
+  /** CTE chain through the capped band relation (`sig` + `bl`) — the SQL
+    * mirror of the [[DedupPrepare.lshBands]] layer, shared by the
+    * dd03/dd08 pair chain, dd12's pregate, and cp04's incremental probe. */
+  private[operators] val bandsSqlCte: String =
     s"""$minhashSigSqlCte,
        |bl0 AS (SELECT doc_id, b, CASE b WHEN 0 THEN bh0 WHEN 1 THEN bh1
        |                                 WHEN 2 THEN bh2 ELSE bh3 END AS bh
@@ -240,7 +241,12 @@ object Dedup {
        |bl AS (SELECT doc_id, b, bh FROM (
        |         SELECT bl0.*, ROW_NUMBER() OVER (PARTITION BY b, bh ORDER BY doc_id) AS rn
        |         FROM bl0)
-       |       WHERE rn <= $BucketCap),
+       |       WHERE rn <= $BucketCap)""".stripMargin
+
+  /** CTE chain through the verified pair relation — shared by dd03 (the
+    * pair listing) and dd08 (the cluster assignment over those pairs). */
+  private[operators] val dd03PairsCte: String =
+    s"""$bandsSqlCte,
        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
        |         FROM bl x JOIN bl y ON x.b = y.b AND x.bh = y.bh
        |                            AND x.doc_id < y.doc_id),

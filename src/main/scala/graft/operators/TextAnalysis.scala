@@ -727,6 +727,136 @@ object TextAnalysis {
        |FROM ss LEFT JOIN tpl ON ss.source = tpl.source AND ss.s = tpl.s
        |GROUP BY 1, 2 ORDER BY ss.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- ta12
+  /** Unigram-LM cross-entropy / perplexity filter — the CCNet-shaped
+    * quality signal (Wenzek et al. 2020 filter CommonCrawl by KenLM
+    * perplexity; with no model weights available offline, the LM here is
+    * the corpus's own unigram distribution — the same serving shape, a
+    * per-token `-log2 p(tok)` lookup + per-doc mean). High perplexity =
+    * tokens the corpus rarely sees (noise, junk encodings); anomalously
+    * low = degenerate repetition of head tokens. Differs from ta09's
+    * rarity (mean 1/c): cross-entropy is the information-theoretic
+    * quantity pipelines actually threshold on, in bits/token, with
+    * `ppl = 2^xent` reported alongside.
+    *
+    * Scale posture: identical to ta09's — the (tok, c) lookup table is
+    * the MATERIALIZED unigram layer ([[langFreq]] aggregated, vocab-
+    * sized), split at [[RarityHeadCut]] so the Zipf head (a few hundred
+    * tokens carrying most token mass) joins broadcast and only the tail
+    * takes the shuffle join; the corpus-total scalar rides a 1-row
+    * broadcast (the broadcast-totals idiom, never a global window).
+    *
+    * Cross-engine floats: each per-token term `log2 N − log2 c` is
+    * quantized to the 1e-9 grid ([[Dedup.gridL]]) so the SUM is exact
+    * integer arithmetic (order-independent AND engine-identical — libm
+    * log ulp skew is ~1e-14 on these magnitudes, far inside the grid);
+    * `ppl` re-grids the single `pow(2, xent)` at 1e-6 (ppl is bounded by
+    * corpus token count N, and N·1e6 stays inside double-exact range at
+    * every soak scale, where N·1e9 would not).
+    */
+  def ta12(s: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(ws).as("tok"))
+      .filter(col("tok") =!= "")
+    val freq = uniFreq(s, dir)
+    val nTot = freq.agg(sum(col("c")).cast("long").as("nc"))
+    val head = freq.filter(col("c") >= RarityHeadCut)
+    val tail = freq.filter(col("c") < RarityHeadCut)
+    val scored = tk.join(broadcast(head), Seq("tok"))
+      .unionByName(tk.join(tail, Seq("tok")))
+    val term = Dedup.gridL(
+      log(2.0, col("nc").cast("double")) - log(2.0, col("c").cast("double")))
+    val perDoc = scored.crossJoin(broadcast(nTot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(term).cast("double") / 1e9 / count(lit(1)).cast("double"))
+          .as("xent"))
+    val p = pow(lit(2.0), col("xent")) * 1e6
+    perDoc
+      .withColumn("ppl",
+        (when(p >= 0, floor(p + 0.5)).otherwise(ceil(p - 0.5)).cast("long")
+          .cast("double") / 1e6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  val ta12Sql: String =
+    s"""WITH $wsSqlCte,
+       |tk AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+       |tkf AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+       |freq AS (SELECT tok, COUNT(*) AS c FROM tkf GROUP BY tok),
+       |n AS (SELECT CAST(SUM(c) AS BIGINT) AS nc FROM freq),
+       |j AS (SELECT doc_id,
+       |             CAST(ROUND((log2(CAST(nc AS DOUBLE)) - log2(CAST(c AS DOUBLE))) * 1e9)
+       |                  AS BIGINT) AS g
+       |      FROM tkf JOIN freq USING (tok) CROSS JOIN n),
+       |d AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |             CAST(SUM(g) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE) AS xent
+       |      FROM j GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, xent,
+       |       CAST(CAST(ROUND(pow(2.0, xent) * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS ppl
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- ta13
+  /** Hashed-feature linear classifier scoring — the fastText/CCNet-style
+    * model-based quality filter's SERVING shape: tokens → feature hash →
+    * weight lookup → mean margin → sigmoid → keep/drop. No trained
+    * weights exist offline, so the weight table is a deterministic
+    * function of the feature hash itself (`w(tok) = (h60(tok) mod 2001
+    * − 1000) / 1000` — uniform in [−1, 1]); the Spark-side shape (the
+    * thing this operator exercises and pins) is exactly what a real
+    * exported linear model runs at 100 TB.
+    *
+    * Scale posture: ZERO-shuffle map-side column program — the weight
+    * "lookup" is pure per-token arithmetic inside higher-order array
+    * functions (filter → aggregate), no explode, no join, no weight
+    * broadcast needed; a real weight table would ride the same shape as
+    * a broadcast map. Per-doc margin accumulates in exact INTEGER
+    * weight-millis (the /1000 division happens once per doc, after the
+    * sum), so no float-order or engine skew exists anywhere before the
+    * final sigmoid, which is re-gridded at 1e-9 ([[Dedup.gridL]] — the
+    * margin is bounded in [−1, 1], sigmoid in [0.27, 0.73], ulp skew in
+    * libm exp is ~1e-16 here).
+    *
+    * Docs with no non-empty token have no margin and are excluded (same
+    * contract as the shingle family's ≥n-token floor).
+    */
+  def ta13(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(ws, t => t =!= "")
+    val wMilli = aggregate(toks, lit(0L),
+      (acc, t) => acc + (Dedup.h60(t) % 2001L - 1000L))
+    val margin =
+      (col("w_milli").cast("double") / 1000.0) / col("n_tokens").cast("double")
+    val sig = lit(1.0) / (lit(1.0) + exp(-col("margin")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks).as("n_tokens"), wMilli.as("w_milli"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("margin", margin)
+      .withColumn("score", Dedup.gridL(sig).cast("double") / 1e9)
+      .withColumn("keep", (col("score") >= 0.5).cast("int"))
+      .select("doc_id", "n_tokens", "margin", "score", "keep")
+      .transform(Present.sorted(_, "doc_id"))
+  }
+
+  val ta13Sql: String = {
+    val h60 = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+    s"""WITH $wsSqlCte,
+       |m AS (SELECT doc_id,
+       |             CAST(len(list_filter(ws, t -> t <> '')) AS INT) AS n_tokens,
+       |             CAST(coalesce(list_sum(list_transform(
+       |               list_filter(ws, t -> t <> ''),
+       |               t -> $h60 % 2001 - 1000)), 0) AS BIGINT) AS w_milli
+       |      FROM w),
+       |d AS (SELECT doc_id, n_tokens,
+       |             (CAST(w_milli AS DOUBLE) / 1000.0) / CAST(n_tokens AS DOUBLE) AS margin
+       |      FROM m WHERE n_tokens > 0)
+       |SELECT doc_id, n_tokens, margin,
+       |       CAST(CAST(ROUND((1.0 / (1.0 + exp(-margin))) * 1e9) AS BIGINT) AS DOUBLE)
+       |         / 1e9 AS score,
+       |       CAST(CAST(CAST(ROUND((1.0 / (1.0 + exp(-margin))) * 1e9) AS BIGINT) AS DOUBLE)
+       |         / 1e9 >= 0.5 AS INT) AS keep
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("ta01_langid", "stopword-heuristic language ID + accuracy flag", ta01, Some(ta01Sql)),
@@ -740,5 +870,7 @@ object TextAnalysis {
     Q("ta09_rarity_score", "corpus-frequency rarity (unigram surprisal proxy)", ta09, Some(ta09Sql)),
     Q("ta10_corpus_diagnostics", "per-lang vocab / TTR / hapax / head-coverage report", ta10, Some(ta10Sql)),
     Q("ta11_boilerplate", "per-source template shingles + per-doc boilerplate fraction", ta11, Some(ta11Sql)),
+    Q("ta12_lm_perplexity", "unigram-LM cross-entropy + perplexity (CCNet-shaped filter)", ta12, Some(ta12Sql)),
+    Q("ta13_hash_classifier", "hashed-feature linear classifier scoring (fastText serving shape)", ta13, Some(ta13Sql)),
   )
 }

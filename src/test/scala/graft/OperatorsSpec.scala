@@ -429,6 +429,106 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ta12: cross-entropy matches a reference fold; ppl = 2^xent on the grid") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ta12").toString
+    val texts = Map(
+      1L -> "the the the rare1",
+      2L -> "the unique2",
+      3L -> "the the zz zz",
+      // head token over RarityHeadCut -> broadcast branch must carry it
+      4L -> Seq.fill(1200)("the").mkString(" "),
+      5L -> "")
+    texts.toSeq.map { case (id, t) => (id, t, "en", "u", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val toks = texts.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    val cnt = toks.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val nTot = toks.values.map(_.size).sum
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val out = graft.operators.TextAnalysis.ta12(spark, dir).collect()
+    // the zero-token doc has no LM terms and is excluded, like ta09
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    for (r <- out) {
+      val ts = toks(r.getLong(0))
+      assert(r.getLong(1) == ts.size) // n_tokens
+      val grid = ts.map(t =>
+        math.floor((lg2(nTot.toDouble) - lg2(cnt(t).toDouble)) * 1e9 + 0.5).toLong).sum
+      val xent = grid.toDouble / 1e9 / ts.size
+      assert(r.getDouble(2) == xent)
+      assert(r.getDouble(3) ==
+        math.floor(math.pow(2.0, xent) * 1e6 + 0.5) / 1e6) // ppl
+    }
+    // all-head doc: every token is the corpus's most common -> lowest
+    // xent; the hapax-heavy doc 2 is the most surprising per token
+    val byDoc = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byDoc(4L) == byDoc.values.min && byDoc(2L) == byDoc.values.max)
+  }
+
+  test("ta13: margin folds exact integer weight-millis; sigmoid on the grid") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ta13").toString
+    val texts = Map(
+      1L -> "Hello   world",   // multi-space: empty tokens must not count
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "",                // no tokens -> excluded
+      4L -> "zzz")
+    texts.toSeq.map { case (id, t) => (id, t, "en", "u", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def h60(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val out = graft.operators.TextAnalysis.ta13(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    for (r <- out) {
+      val ts = texts(r.getLong(0)).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      assert(r.getInt(1) == ts.length) // n_tokens
+      val milli = ts.map(t => h60(t) % 2001L - 1000L).sum
+      val margin = (milli.toDouble / 1000.0) / ts.length
+      assert(r.getDouble(2) == margin)
+      val sig = 1.0 / (1.0 + math.exp(-margin))
+      val g = (if (sig >= 0) math.floor(sig * 1e9 + 0.5)
+               else math.ceil(sig * 1e9 - 0.5)).toLong
+      assert(r.getDouble(3) == g.toDouble / 1e9)       // score
+      assert(r.getInt(4) == (if (g.toDouble / 1e9 >= 0.5) 1 else 0))
+    }
+  }
+
+  test("cp04: batch probes corpus indexes — exact > neardup > ingest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cp04").toString
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      // corpus (doc_id % 10 != 7)
+      1L -> base,
+      2L -> ((1 to 50).map(i => s"alpha$i").mkString(" ")),
+      3L -> "a short unrelated corpus doc",
+      // batch (doc_id % 10 == 7)
+      7L -> ("  " + base.toUpperCase + "  "), // normalizes to doc 1 -> exact
+      17L -> ((1 to 50).map(i => s"alpha$i").mkString(" ") + " extra"), // near-dup of 2
+      27L -> "completely fresh crawl content never seen before")
+    docs.map { case (id, t) => (id, t, "en", "u", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Curation.cp04(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(7L, 17L, 27L)) // batch only
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getString(4), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(byId(7L) == ("drop_exact", 1L))
+    assert(byId(17L) == ("drop_neardup", 2L))
+    assert(byId(27L) == ("ingest", -1L))
+    // the near-dup went through the band probe, not the sig manifest
+    val r17 = out.find(_.getLong(0) == 17L).get
+    assert(r17.getLong(1) >= 1L && r17.getLong(2) >= 1L) // n_cand, n_near
+    val r27 = out.find(_.getLong(0) == 27L).get
+    assert(r27.getLong(1) == 0L && r27.getLong(2) == 0L)
+  }
+
   test("sp07: binding language keeps all, others derate; weight-0 lang drops") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sp07").toString

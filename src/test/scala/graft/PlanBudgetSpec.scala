@@ -62,6 +62,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // (the cluster closure / keeper argmax / span pass are layer-write
     // costs, like cp01's gate pass)
     "cp03_manifest_v2" -> 1,
+    // cp04: batch-sized probes of the built sig + band indexes — the
+    // candidate distinct, the verify-chain joins/aggs and the final
+    // left-join assembly; every input is a bucketed layer read
+    "cp04_incremental_ingest" -> 13,
     "sp08_shuffle_order" -> 5, "sp09_source_cap" -> 3,
     "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 12,
     "ss03_knn_lsh" -> 5, "ss04_knn_ivf_multiprobe" -> 12,
@@ -79,7 +83,12 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "ta05_lexical_stats" -> 1, "ta06_repetition_stats" -> 1,
     "ta07_pii_scrub" -> 1, "ta08_quality_gate" -> 1,
     "ta09_rarity_score" -> 4, "ta10_corpus_diagnostics" -> 6,
-    "ta11_boilerplate" -> 1)
+    "ta11_boilerplate" -> 1,
+    // ta12: ta09's head/tail lookup-join shape + the vocab-sized corpus
+    // total agg and its 1-row broadcast-totals crossJoin
+    "ta12_lm_perplexity" -> 6,
+    // ta13: zero-shuffle map-side column program + presentation sort
+    "ta13_hash_classifier" -> 1)
 
   /** sf1.0 budgets where they differ from the small tree — all four are
     * SIZE-DRIVEN STRATEGY FLIPS (a side outgrowing the broadcast
@@ -95,7 +104,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "q20_rollup_percentiles_3level" -> 12, // argmax join -> SMJ on partitioned sides
     "sp04_contamination_ngram" -> 5, // train-side gram relation outgrows broadcast
     "dd11_substring_spans" -> 2,     // dup-h side outgrows broadcast -> bucketed SMJ
-    "dd12_ngram_jaccard_lsh" -> 7)   // kept/denominator sides outgrow broadcast
+    "dd12_ngram_jaccard_lsh" -> 7,   // kept/denominator sides outgrow broadcast
+    "cp04_incremental_ingest" -> 15) // verify-chain sides outgrow broadcast (dd03's flip)
 
   private val sf1Dir = "testdata/sf1.0"
 
@@ -141,7 +151,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
       "q01_workload_share",                           // 1-row totals
       // r8: mixRates/sp07/sp09 swapped their empty-partition windows
       // for the same 1-row broadcast-totals crossJoin (r7 verdict #2)
-      "sp07_mixture_resample", "sp09_source_cap", "cp02_training_batches")
+      "sp07_mixture_resample", "sp09_source_cap", "cp02_training_batches",
+      // r8: ta12's corpus-total scalar rides the same 1-row shape
+      "ta12_lm_perplexity")
     val nl = Set.newBuilder[String]
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = SparkEntry.queries(name)(spark, dir)
