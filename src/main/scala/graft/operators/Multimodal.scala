@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
 
 /** Opaque media payload carried as a binary column + provenance. */
@@ -532,11 +533,114 @@ object Multimodal {
        |SELECT * FROM png UNION ALL SELECT * FROM jpeg ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- mm05
+  /** Perceptual-hash image dedup — the LAION-style pass: decode each
+    * image FOR REAL ([[decodePngPixels]] — inflate + unfilter), compute
+    * a 64-bit difference-hash (dHash) from the decoded pixels, and drop
+    * exact pHash matches (keeper = min doc_id per hash, dd01's contract
+    * on a perceptual rather than byte signature). JPEG docs (odd ids)
+    * need a codec library and are excluded — the honest boundary mm04
+    * draws.
+    *
+    * dHash here SAMPLES the 9×8 luma grid (`x_i = i·w/9`, `y_j = j·h/8`,
+    * integer division; luma = integer mean of the first min(ch,3)
+    * channels) instead of area-averaging the downscale — every
+    * operation stays exact integer arithmetic, so the Spark value from
+    * DECODED BYTES and the oracle's closed-form pixel regeneration
+    * agree bit-for-bit (area-averaging would too, but at 4-16 px
+    * fixture sizes sampling ≡ the standard algorithm's shape while
+    * keeping the oracle's point lookups linear). The 64 bits are packed
+    * as two 32-bit halves (rows 0-3 → lo, rows 4-7 → hi): bit 63 of a
+    * single BIGINT pack would flip its sign, and signed-shift overflow
+    * is exactly the kind of cross-engine edge the grid rules exist to
+    * avoid.
+    *
+    * Scale posture: map-side decode+hash off the scan (the decode is
+    * the same per-row cost mm04 already pays), ONE shuffle on the hash
+    * for the keeper window — dd01's shape. A Hamming-banded near-dup
+    * variant composes with dd06's chunk machinery; the exact-match pass
+    * is what LAION-5B actually deduped on.
+    */
+  private[graft] def dhashHalves(w: Int, h: Int, ch: Int,
+      px: Array[Byte]): (Long, Long) = {
+    val cmin = math.min(ch, 3)
+    def lum(x: Int, y: Int): Int = {
+      var s = 0
+      var c = 0
+      while (c < cmin) { s += px((y * w + x) * ch + c) & 0xFF; c += 1 }
+      s / cmin
+    }
+    var lo = 0L
+    var hi = 0L
+    for (j <- 0 until 8; i <- 0 until 8) {
+      val y = j * h / 8
+      val b = if (lum((i + 1) * w / 9, y) > lum(i * w / 9, y)) 1L else 0L
+      if (j < 4) lo |= b << (j * 8 + i)
+      else hi |= b << ((j - 4) * 8 + i)
+    }
+    (hi, lo)
+  }
+
+  final case class PhashRow(doc_id: Long, phash_hi: Long, phash_lo: Long)
+
+  def mm05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables.documents(s, dir)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, n) =>
+        val Some((w, h, ch, px)) = decodePngPixels(pngPixelPayload(id, n))
+        val (hi, lo) = dhashHalves(w, h, ch, px)
+        PhashRow(id, hi, lo)
+      }.toDF()
+    val win = Window.partitionBy(col("phash_hi"), col("phash_lo"))
+    hashes
+      .withColumn("keeper_id", min(col("doc_id")).over(win))
+      .withColumn("group_n", count(lit(1)).over(win))
+      .withColumn("is_dup", (col("doc_id") =!= col("keeper_id")).cast("int"))
+      .transform(Present.sorted(_, "doc_id"))
+  }
+
+  val mm05Sql: String = {
+    // closed-form pixel term (the Spark side had to decode real bytes)
+    def term(x: String, y: String, c: Int) =
+      s"(doc_id * 31 + ($x) * 7 + ($y) * 13 + $c * 5) % 256"
+    def lum(x: String, y: String) =
+      s"""CASE WHEN nc = 1 THEN ${term(x, y, 0)}
+         |ELSE (${term(x, y, 0)} + ${term(x, y, 1)} + ${term(x, y, 2)}) // 3 END"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH de AS (
+       |  SELECT doc_id,
+       |         CAST(n_chars * 7 % 12 + 4 AS INT) AS w,
+       |         CAST(n_chars * 13 % 12 + 4 AS INT) AS h,
+       |         CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS nc
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |ij AS (SELECT CAST(a.i AS INT) AS i, CAST(b.j AS INT) AS j
+       |       FROM (SELECT unnest(range(0, 8)) AS i) a,
+       |            (SELECT unnest(range(0, 8)) AS j) b),
+       |bits AS (SELECT doc_id, i, j,
+       |                CASE WHEN (${lum("(i + 1) * w // 9", "j * h // 8")})
+       |                        > (${lum("i * w // 9", "j * h // 8")})
+       |                     THEN 1 ELSE 0 END AS b
+       |         FROM de, ij),
+       |ph AS (SELECT doc_id,
+       |              CAST(SUM(CASE WHEN j >= 4 THEN b * (1::BIGINT << ((j - 4) * 8 + i)) ELSE 0 END) AS BIGINT) AS phash_hi,
+       |              CAST(SUM(CASE WHEN j < 4 THEN b * (1::BIGINT << (j * 8 + i)) ELSE 0 END) AS BIGINT) AS phash_lo
+       |       FROM bits GROUP BY doc_id)
+       |SELECT doc_id, phash_hi, phash_lo,
+       |       MIN(doc_id) OVER (PARTITION BY phash_hi, phash_lo) AS keeper_id,
+       |       COUNT(*) OVER (PARTITION BY phash_hi, phash_lo) AS group_n,
+       |       CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY phash_hi, phash_lo) AS INT) AS is_dup
+       |FROM ph ORDER BY doc_id""".stripMargin
+  }
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("mm01_media_decode_meta", "binary payload → batched typed decode (stub codec)", mm01, Some(mm01Sql)),
     Q("mm02_frame_sample", "every-10th-frame sampling with per-frame hash", mm02, Some(mm02Sql)),
     Q("mm03_resize_plan", "aspect-preserving short-side-224 resize planning", mm03, Some(mm03Sql)),
     Q("mm04_feature_extract", "real PNG pixel decode (inflate+unfilter) stats; stub only for JPEG codec + encoder dim", mm04, Some(mm04Sql)),
+    Q("mm05_phash_dedup", "decoded-pixel dHash + exact perceptual-hash dedup (LAION-style)", mm05, Some(mm05Sql)),
   )
 }

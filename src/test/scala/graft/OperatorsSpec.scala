@@ -499,6 +499,41 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mm05: decoded dHash equals the closed form; mod-768 twins dedup") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm05").toString
+    // doc 770 ≡ 2 (mod 768): same additive pixel offset (docId*31 mod
+    // 256), same colorType (mod 3) — with equal n_chars the IMAGES are
+    // byte-identical, so their perceptual hashes must collide
+    val docs = Seq(2L -> "aaaa", 770L -> "bbbb", 4L -> "ccccccccc", 7L -> "odd")
+    docs.map { case (id, t) => (id, t, "en", "u", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Multimodal.mm05(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 4L, 770L)) // evens only
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(770L).getLong(3) == 2L && byId(770L).getInt(5) == 1) // keeper, is_dup
+    assert(byId(2L).getLong(4) == 2L && byId(2L).getInt(5) == 0)     // group_n
+    // independent closed-form dHash (no decode): pins decode -> formula
+    for ((id, t) <- docs if id % 2 == 0) {
+      val n = t.length.toLong
+      val w = (n * 7 % 12 + 4).toInt
+      val h = (n * 13 % 12 + 4).toInt
+      val nc = Array(1, 3, 4)((id % 3).toInt)
+      val cmin = math.min(nc, 3)
+      def lum(x: Int, y: Int): Int =
+        (0 until cmin).map(c => ((id * 31 + x * 7 + y * 13 + c * 5) % 256).toInt).sum / cmin
+      var lo = 0L
+      var hi = 0L
+      for (j <- 0 until 8; i <- 0 until 8) {
+        val y = j * h / 8
+        val b = if (lum((i + 1) * w / 9, y) > lum(i * w / 9, y)) 1L else 0L
+        if (j < 4) lo |= b << (j * 8 + i) else hi |= b << ((j - 4) * 8 + i)
+      }
+      assert(byId(id).getLong(1) == hi && byId(id).getLong(2) == lo)
+    }
+  }
+
   test("cp04: batch probes corpus indexes — exact > neardup > ingest") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cp04").toString

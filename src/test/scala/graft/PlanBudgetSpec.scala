@@ -37,6 +37,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "dd11_substring_spans" -> 3,
     "mm01_media_decode_meta" -> 1, "mm02_frame_sample" -> 1,
     "mm03_resize_plan" -> 1, "mm04_feature_extract" -> 1,
+    // mm05: map-side decode+dHash; the keeper window's phash shuffle
+    "mm05_phash_dedup" -> 1,
     "q01_workload_share" -> 5, "q02_dim_join_revenue" -> 5,
     "q03_rf_normalize" -> 4, "q04_percentiles_positional" -> 12,
     "q05_rollup_minmax_argmax" -> 2, "q06_threshold_severity" -> 1,
