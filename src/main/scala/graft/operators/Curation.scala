@@ -523,6 +523,68 @@ object Curation {
        |        LEFT JOIN na ON bs.doc_id = na.d
        |ORDER BY bs.doc_id""".stripMargin
 
+  /** Per-row MinHash band columns bh0..bh3 — VALUE-IDENTICAL to the
+    * batch layer's ([[Dedup]] `minhashSigFromShingles`, spec-pinned) but
+    * computed entirely map-side with array higher-order functions: the
+    * shingle set via `transform` + `array_distinct`, each of the 16
+    * universal-hash minima via `array_min(transform(...))`. No groupBy,
+    * no distinct shuffle — which is what makes it legal in an
+    * APPEND-MODE STREAM (a streaming aggregation would demand watermarks
+    * and break the one-row-in/one-row-out probe contract). Docs with <3
+    * tokens have no shingles → NULL bands (never a band hit). */
+  private[graft] def bandCols(text: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
+    val P = 2147483647L
+    val ws = split(lower(trim(text)), "\\s+")
+    val sh = when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ",
+          element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
+    val hh = transform(sh, s0 => Dedup.h60(s0) % P)
+    val mhs = (0 to 15).map(i => array_min(transform(hh,
+      v => (lit(1L + 604271L * i) * v + lit(7L + 202409L * i)) % P)))
+    (0 to 3).map(b => Dedup.h60(
+      concat_ws(",", mhs(b * 4), mhs(b * 4 + 1), mhs(b * 4 + 2), mhs(b * 4 + 3))))
+  }
+
+  /** The ONLINE half of cp04: probe a STREAM of arriving documents
+    * against the standing corpus's built indexes — the sig-bucketed
+    * keeper manifest and the (b, bh) band layer — with stream-static
+    * joins only. Per arriving doc: `drop_exact` (normalized content
+    * already in the corpus), `flag_near` (shares an LSH band bucket with
+    * a corpus doc — the cheap synchronous signal; the exact Jaccard
+    * VERIFY is corpus-shingle-sized and stays in the async batch pass,
+    * cp04), or `ingest`. Every stream-side column is map-side
+    * ([[bandCols]]); the static sides are bounded derived relations
+    * (per-band DISTINCT bucket sets, the keeper manifest), re-read per
+    * micro-batch exactly as a production probe service would hold them.
+    * Append-safe end to end: no stream-side aggregation, no watermark
+    * needed, one output row per arrival. Input needs (doc_id, text). */
+  def probeStream(s: SparkSession, docs: DataFrame, dir: String): DataFrame = {
+    val corpus = (col("doc_id") % BatchMod) =!= BatchRes
+    val keepers = corpusKeepers(s, dir)
+    val bands = DedupPrepare.lshBands(s, dir).filter(corpus)
+    val bcols = bandCols(col("text"))
+    var df = docs.withColumn("sig",
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")))
+    for (b <- 0 to 3) df = df.withColumn(s"bh$b", bcols(b))
+    for (b <- 0 to 3) {
+      val bs = bands.filter(col("b") === b)
+        .select(col("bh").as(s"k$b")).distinct()
+        .withColumn(s"hit$b", lit(1))
+      df = df.join(bs, df(s"bh$b") === bs(s"k$b"), "left")
+    }
+    df.join(keepers, Seq("sig"), "left")
+      .withColumn("n_band_hits",
+        (0 to 3).map(b => coalesce(col(s"hit$b"), lit(0))).reduce(_ + _))
+      .withColumn("decision",
+        when(col("exact_keeper").isNotNull, "drop_exact")
+          .when(col("n_band_hits") > 0, "flag_near")
+          .otherwise("ingest"))
+      .select(col("doc_id"), col("sig"), col("exact_keeper"),
+        col("n_band_hits"), col("decision"))
+  }
+
   /** Streaming ingest chain — the ONLINE front half of the pipeline:
     * the stateless quality gate first ([[TextAnalysis.gateDf]] — pure
     * column program, no state), watermarked exact-dedup second

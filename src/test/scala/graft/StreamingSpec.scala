@@ -204,6 +204,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 3L)) // first arrival per content survives
   }
 
+  test("probeStream: arrivals probe corpus indexes via stream-static joins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_probe").toString
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val alpha = (1 to 50).map(i => s"alpha$i").mkString(" ")
+    Seq(1L -> base, 2L -> alpha, 3L -> "a short unrelated corpus doc")
+      .map { case (id, t) => (id, t, "en", "u", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the per-row HOF bands are value-identical to the batch layer's
+    val batchSig = graft.operators.DedupPrepare.minhashSig(spark, dir)
+      .select("doc_id", "bh0", "bh1", "bh2", "bh3").collect()
+      .map(r => r.getLong(0) -> (0 to 3).map(b => r.getLong(1 + b))).toMap
+    val bc = graft.operators.Curation.bandCols(col("text"))
+    val hofSig = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id") +: bc.zipWithIndex.map { case (c, b) => c.as(s"bh$b") }: _*)
+      .collect().map(r => r.getLong(0) -> (0 to 3).map(b => r.getLong(1 + b))).toMap
+    assert(hofSig == batchSig)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.Curation
+      .probeStream(spark, mem.toDF().toDF("doc_id", "text"), dir)
+      .writeStream.format("memory").queryName("probe").outputMode("append").start()
+    mem.addData(
+      (101L, "  " + base.toUpperCase + "  "), // normalizes to corpus doc 1
+      (102L, alpha + " extra"))               // near-dup of corpus doc 2
+    q.processAllAvailable()
+    // second micro-batch: the probe is stateless per arrival
+    mem.addData((103L, "completely fresh crawl content never seen before"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("probe").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(4), if (r.isNullAt(2)) -1L else r.getLong(2), r.getInt(3)))
+      .toMap
+    assert(got(101L) == ("drop_exact", 1L, got(101L)._3))
+    assert(got(102L)._1 == "flag_near" && got(102L)._2 == -1L && got(102L)._3 >= 1)
+    assert(got(103L) == ("ingest", -1L, 0))
+  }
+
   test("quality gate runs statelessly on a stream and matches the batch gate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
