@@ -278,8 +278,9 @@ object Curation {
       val sigStats = d.groupBy(col("sig")).agg(
         min(col("doc_id")).as("keeper"),
         max((col("bucket") >= 90).cast("int")).as("in_eval"))
-      val clusters = Dedup.connectedComponents(
-          Dedup.dd03Pairs(s, dir).select(col("d1"), col("d2")))
+      // the materialized cluster layer (r8): the CC fixpoint is paid
+      // once per corpus by whichever of dd08/dd09/cp03 runs first
+      val clusters = Dedup.shingleClusters(s, dir)
         .select(col("doc_id"), col("cluster_id"))
       val quality = TextAnalysis.ta02(s, dir).select(col("doc_id"), col("score"))
       val scored = clusters.join(quality, Seq("doc_id"))

@@ -419,14 +419,26 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
+  /** The shingle-pair cluster assignment as a BUILT LAYER (r8): the CC
+    * fixpoint is the engine's most shuffle-heavy computation (one
+    * node-keyed shuffle per BSP round), and THREE consumers each re-ran
+    * it per query — dd08, dd09 and the cp03 manifest build. A real
+    * pipeline publishes the cluster map once per corpus version and
+    * every retention job probes it; doc_id-bucketed so dd09's quality
+    * join and cp03's manifest join ride the bucketing. */
+  private[operators] def shingleClusters(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "ddclusters", dir,
+      () => connectedComponents(dd03Pairs(s, dir).select(col("d1"), col("d2"))),
+      Seq("doc_id"), Seq("doc_id"))
+
   /** Near-dup cluster assignment: connected components over the dd03
     * verified-pair graph — the step a real dedup pipeline runs after
     * pair generation (keep one doc per cluster). cluster_id = min doc_id
-    * in the component; only docs with ≥1 near-dup appear.
+    * in the component; only docs with ≥1 near-dup appear. Reads the
+    * materialized [[shingleClusters]] layer.
     */
   def dd08(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(dd03Pairs(s, dir).select(col("d1"), col("d2")))
-      .orderBy("doc_id")
+    shingleClusters(s, dir).orderBy("doc_id")
 
   /** Oracle twin: transitive closure as a recursive CTE (reachability
     * pairs dedup'd by UNION), cluster = MIN reachable node — the same
@@ -455,7 +467,7 @@ object Dedup {
     * job actually materializes: (cluster, keeper, size, score).
     */
   def dd09(s: SparkSession, dir: String): DataFrame = {
-    val clusters = connectedComponents(dd03Pairs(s, dir).select(col("d1"), col("d2")))
+    val clusters = shingleClusters(s, dir)
     val quality = TextAnalysis.ta02(s, dir).select(col("doc_id"), col("score"))
     val scored = clusters.join(quality, Seq("doc_id"))
     val best = scored.groupBy(col("cluster_id"))
@@ -713,10 +725,17 @@ object Dedup {
     * shingle-based clusters, completing the pairs → clusters progression
     * for the second dedup modality. Same distributed BSP label
     * propagation ([[connectedComponents]]), same oracle shape (recursive
-    * closure), vec_id instead of doc_id.
+    * closure), vec_id instead of doc_id. Like [[shingleClusters]], the
+    * assignment is a built layer (fingerprinted on embeddings.parquet).
     */
+  private def semClusters(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "semclusters", dir,
+      () => connectedComponents(
+        dd07(s, dir).select(col("v1").as("d1"), col("v2").as("d2"))),
+      Seq("doc_id"), Seq("doc_id"), fpFile = "embeddings.parquet")
+
   def dd10(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(dd07(s, dir).select(col("v1").as("d1"), col("v2").as("d2")))
+    semClusters(s, dir)
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
       .orderBy("vec_id")
 

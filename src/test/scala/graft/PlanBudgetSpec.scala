@@ -29,8 +29,11 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "dd12_ngram_jaccard_lsh" -> 5,
     // dd07: +1 exchange in r8 — the join against the materialized IVF
     // assignment that replaced the ground-truth label blocking key
-    "dd07_embedding_neardup" -> 4, "dd08_neardup_clusters" -> 3,
-    "dd09_cluster_keeper" -> 11, "dd10_semantic_clusters" -> 3,
+    "dd07_embedding_neardup" -> 4,
+    // dd08/dd10: reads of the materialized cluster layers (r8) + sort;
+    // dd09: cluster-layer read + quality join + two-pass argmax
+    "dd08_neardup_clusters" -> 1,
+    "dd09_cluster_keeper" -> 7, "dd10_semantic_clusters" -> 1,
     // dd11: span layer bucketed by h (groupBy + join-back exchange-free)
     // + doc_id window exchange + final sort; at sf0.001 the tiny dup-h
     // side additionally broadcast-joins (one BroadcastExchange)
@@ -102,7 +105,6 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     * #5). Queries absent here budget identically at both scales. */
   private val sf1Overrides = Map(
     "dd03_minhash_lsh_pairs" -> 8,  // verify-chain joins exceed broadcast threshold
-    "dd09_cluster_keeper" -> 10,    // rides dd03/dd08's flips
     "q20_rollup_percentiles_3level" -> 12, // argmax join -> SMJ on partitioned sides
     "sp04_contamination_ngram" -> 5, // train-side gram relation outgrows broadcast
     "dd11_substring_spans" -> 2,     // dup-h side outgrows broadcast -> bucketed SMJ
