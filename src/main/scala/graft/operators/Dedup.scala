@@ -106,17 +106,26 @@ object Dedup {
   // ---------------------------------------------------------------- dd01
   /** Exact dedup: hash-groupBy on normalized text. Every doc gets its
     * content signature, the group's keeper (min doc_id) and group size —
-    * the standard "keep one per content hash" pass, expressed so the
-    * keeper assignment is one shuffle on the signature.
+    * the standard "keep one per content hash" pass.
+    *
+    * Keeper/size are computed as `groupBy(sig).agg(min, count)` joined
+    * back on sig — NEVER `min/count over Window.partitionBy(sig)`. A
+    * WindowExec partition holds the whole duplicate group in one task
+    * with no map-side combine, and at 100 TB the content-hash key is
+    * guaranteed skewed (empty docs, boilerplate pages: dup groups of
+    * 10⁶–10⁸ are normal in web corpora). The partial aggregation makes a
+    * 10⁸-member group cost one row per map partition, and the join-back
+    * is AQE-skew-splittable — the same rule dd11's span layer follows.
     */
   def dd01(s: SparkSession, dir: String): DataFrame = {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-    val w = Window.partitionBy(col("sig"))
-    Tables.documents(s, dir)
+    val sigs = Tables.documents(s, dir)
       .select(col("doc_id"), md5(norm.cast("binary")).as("sig"))
-      .withColumn("keeper_id", min(col("doc_id")).over(w))
-      .withColumn("group_n", count(lit(1)).over(w))
-      .withColumn("is_dup", (col("doc_id") =!= col("keeper_id")).cast("int"))
+    val groups = sigs.groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_n"))
+    sigs.join(groups, "sig")
+      .select(col("doc_id"), col("sig"), col("keeper_id"), col("group_n"),
+        (col("doc_id") =!= col("keeper_id")).cast("int").as("is_dup"))
       .orderBy("doc_id")
   }
 

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
 
 /** Opaque media payload carried as a binary column + provenance. */
@@ -556,8 +555,9 @@ object Multimodal {
     * avoid.
     *
     * Scale posture: map-side decode+hash off the scan (the decode is
-    * the same per-row cost mm04 already pays), ONE shuffle on the hash
-    * for the keeper window — dd01's shape. A Hamming-banded near-dup
+    * the same per-row cost mm04 already pays), keeper/size via
+    * groupBy(hash) + join-back — dd01's shape, skew-safe under
+    * million-member dup groups. A Hamming-banded near-dup
     * variant composes with dd06's chunk machinery; the exact-match pass
     * is what LAION-5B actually deduped on.
     */
@@ -585,7 +585,9 @@ object Multimodal {
 
   def mm05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashes = Tables.documents(s, dir)
+    // pooled: the decode-bearing relation feeds BOTH sides of the
+    // keeper join-back below — persist so pixels decode once, not twice
+    val hashes = Present.pooled(Tables.documents(s, dir)
       .filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
@@ -593,13 +595,18 @@ object Multimodal {
         val Some((w, h, ch, px)) = decodePngPixels(pngPixelPayload(id, n))
         val (hi, lo) = dhashHalves(w, h, ch, px)
         PhashRow(id, hi, lo)
-      }.toDF()
-    val win = Window.partitionBy(col("phash_hi"), col("phash_lo"))
-    hashes
-      .withColumn("keeper_id", min(col("doc_id")).over(win))
-      .withColumn("group_n", count(lit(1)).over(win))
-      .withColumn("is_dup", (col("doc_id") =!= col("keeper_id")).cast("int"))
-      .transform(Present.sorted(_, "doc_id"))
+      }.toDF())
+    // keeper/size via groupBy + join-back, NOT min/count over
+    // Window.partitionBy(phash) — a boilerplate/blank image's dup group
+    // (10⁶+ members in web image corpora) must partial-aggregate
+    // map-side instead of landing in one window task (dd01's rule)
+    val groups = hashes.groupBy(col("phash_hi"), col("phash_lo"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_n"))
+    hashes.join(groups, Seq("phash_hi", "phash_lo"))
+      .select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+        col("keeper_id"), col("group_n"),
+        (col("doc_id") =!= col("keeper_id")).cast("int").as("is_dup"))
+      .orderBy("doc_id")
   }
 
   val mm05Sql: String = {

@@ -253,4 +253,44 @@ class AdversarialScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(agg.getLong(0) == 2L && agg.getLong(1) == 100L && agg.getLong(2) == 5000L)
     assert(g.filter(col("is_dup") === 0).count() == 2) // one keeper per group
   }
+
+  test("dd01: one sig owning 50% of all docs partial-aggregates map-side, no window task") {
+    import spark.implicits._
+    // r8 verdict #1: keeper/group-size must NEVER be min/count over
+    // Window.partitionBy(sig) — a WindowExec partition holds the whole
+    // dup group in one task. At 100 TB the content-hash key is
+    // GUARANTEED skewed (empty docs, boilerplate pages: 10⁶–10⁸-member
+    // groups are normal in web corpora). Pin both the plan shape (partial
+    // min/count BEFORE the shuffle, zero WindowExec) and the semantics
+    // under a sig owning half the corpus.
+    val d = java.nio.file.Files.createTempDirectory("graft_dd01skew").toString
+    val hot = (0 until 2500).map(i =>
+      (i.toLong, "the exact same boilerplate page", "en", "hot", 31L))
+    val uniq = (0 until 2500).map(i =>
+      (10000L + i, s"unique document $i body", "en", "uniq", 20L))
+    (hot ++ uniq).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(8).write.parquet(s"$d/documents.parquet")
+
+    val df = Dedup.dd01(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "dd01 must not window over the content-hash key")
+    assert(plan.contains("partial_min") && plan.contains("partial_count"),
+      "keeper/group_n must partial-aggregate before the shuffle")
+
+    val rows = df.collect()
+    val hotRows = rows.filter(_.getAs[Long]("group_n") == 2500L)
+    assert(hotRows.length == 2500)
+    assert(hotRows.forall(_.getAs[Long]("keeper_id") == 0L))
+    assert(hotRows.count(_.getAs[Int]("is_dup") == 0) == 1)
+    assert(rows.count(_.getAs[Long]("group_n") == 1L) == 2500)
+
+    // mm05 shares the contract on the perceptual hash key: same plan
+    // shape — partial aggregation, no window over (phash_hi, phash_lo)
+    val mplan = graft.operators.Multimodal.mm05(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!mplan.contains("Window"),
+      "mm05 must not window over the perceptual-hash key")
+    assert(mplan.contains("partial_min") && mplan.contains("partial_count"))
+  }
 }

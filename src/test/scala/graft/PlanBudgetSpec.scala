@@ -21,7 +21,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     * multi-stage pipelines (histogram percentiles, k-NN probe chains);
     * ss05 = sum of its four audited pipelines by construction. */
   private val budget = Map(
-    "dd01_exact_dedup" -> 2, "dd02_minhash_sig" -> 1,
+    // dd01 (r9): keeper via groupBy(sig)+join-back, not a sig window —
+    // partial-agg shuffle + keeper-side exchange + presentation sort
+    "dd01_exact_dedup" -> 3, "dd02_minhash_sig" -> 1,
     "dd03_minhash_lsh_pairs" -> 6, "dd04_ngram_jaccard_topk" -> 1,
     "dd05_simhash_sig" -> 1, "dd06_simhash_hamming" -> 1,
     // dd12: bucketed band self-join (no exchange) -> distinct + the
@@ -40,8 +42,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "dd11_substring_spans" -> 3,
     "mm01_media_decode_meta" -> 1, "mm02_frame_sample" -> 1,
     "mm03_resize_plan" -> 1, "mm04_feature_extract" -> 1,
-    // mm05: map-side decode+dHash; the keeper window's phash shuffle
-    "mm05_phash_dedup" -> 1,
+    // mm05 (r9): map-side decode+dHash into a pooled relation; keeper
+    // via groupBy(phash)+join-back (dd01's shape) + presentation sort
+    "mm05_phash_dedup" -> 3,
     "q01_workload_share" -> 5, "q02_dim_join_revenue" -> 5,
     "q03_rf_normalize" -> 4, "q04_percentiles_positional" -> 12,
     "q05_rollup_minmax_argmax" -> 2, "q06_threshold_severity" -> 1,

@@ -8,14 +8,21 @@ Usage: python3 tools/recheck_one.py <out_dir> <sf_dir> <name> <artifact.json>
 Builder-side dev tool only (driver python env), not part of the library.
 """
 import json
+import os
 import sys
 
-sys.path.insert(0, "tools")
+# anchor the import on this file's directory, not the cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from check_oracle_par import check_one  # noqa: E402
 
 out_dir, sf_dir, name, artifact = sys.argv[1:5]
-sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
-n, rec, secs = check_one((name, sql, out_dir, sf_dir))
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+if name not in oracle:
+    print(f"unknown query '{name}'; available:", file=sys.stderr)
+    for k in sorted(oracle):
+        print(f"  {k}", file=sys.stderr)
+    sys.exit(2)
+n, rec, secs = check_one((name, oracle[name], out_dir, sf_dir))
 status = "OK  " if rec["hash_match"] else "FAIL"
 print(f"{status}  {n} ({rec['spark_rows']} rows, {secs:.1f}s)  "
       f"{rec['err'] or ''}", flush=True)
@@ -24,5 +31,9 @@ try:
 except FileNotFoundError:
     art = {}
 art[name] = rec
-json.dump(art, open(artifact, "w"), indent=1, sort_keys=True)
+# atomic replace: never truncate the artifact on an interrupted dump
+tmp = artifact + ".tmp"
+with open(tmp, "w") as f:
+    json.dump(art, f, indent=1, sort_keys=True)
+os.replace(tmp, artifact)
 sys.exit(0 if rec["hash_match"] else 1)
