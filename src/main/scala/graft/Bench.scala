@@ -44,29 +44,44 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
+    // layer-build attribution (r8 verdict #7): ensure() logs every layer
+    // it actually builds; draining per query pins each build to the
+    // query that first touched it, so a build migrating between
+    // first-touchers across rounds is mechanically visible instead of
+    // reading as a per-query regression. Warm medians already exclude
+    // build cost (layers persist across clearCache); the drain after the
+    // warm runs would catch an unexpected warm-run rebuild.
+    graft.operators.DedupPrepare.drainBuildLog()
     val results = selected.map { case (name, fn) =>
       val cold = run(name, fn)
+      val coldLayers = graft.operators.DedupPrepare.drainBuildLog()
       val warms =
         if (cold < 0) Seq(-1.0)
         else Seq.fill(3)(run(name, fn)).filter(_ >= 0) match {
           case Nil => Seq(-1.0)
           case ok  => ok
         }
-      name -> (warms.sorted.apply(warms.length / 2), cold, warms)
+      val layers = coldLayers ++ graft.operators.DedupPrepare.drainBuildLog()
+      name -> (warms.sorted.apply(warms.length / 2), cold, warms, layers)
     }
-    def jmap(sel: ((Double, Double, Seq[Double])) => Double) = results
-      .map { case (k, v) => Json.quote(k) + ":" + sel(v) }.mkString("{", ",", "}")
+    def jmap(sel: ((Double, Double, Seq[Double], Seq[(String, Double)])) => Double) =
+      results.map { case (k, v) => Json.quote(k) + ":" + sel(v) }.mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val nFailed = results.values.count(_._1 < 0)
     val samples = results
       .map { case (k, v) => Json.quote(k) + ":" + v._3.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val layersJson = results.toSeq
+      .flatMap { case (q, v) => v._4.map { case (l, s) => (l, q, s) } }
+      .map { case (l, q, s) =>
+        s"""${Json.quote(l)}:{"sec":${f"$s%.3f"},"by":${Json.quote(q)}}""" }
       .mkString("{", ",", "}")
     // Full-fidelity payload (full query names, cold pass, raw warm samples)
     // goes to a FILE: the single-line form was ~6 KB, and the harness that
     // collects this output keeps only a ~2000-char tail of stdout, which
     // truncated the JSON mid-object two rounds running. stdout gets ONLY a
     // compact line (last, so the tail always contains it whole).
-    val verbose = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_cold":${jmap(_._2)},"queries_warm_samples":$samples,"failed":$nFailed,"sf":${Json.quote(sfDir)}}"""
+    val verbose = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_cold":${jmap(_._2)},"queries_cold_ex_layers":${jmap(v => v._2 - v._4.map(_._2).sum)},"queries_warm_samples":$samples,"layers":$layersJson,"failed":$nFailed,"sf":${Json.quote(sfDir)}}"""
     val verbosePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_VERBOSE_PATH", "BENCH_VERBOSE.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(verbosePath),

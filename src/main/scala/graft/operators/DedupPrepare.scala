@@ -58,6 +58,33 @@ object DedupPrepare {
     fpCache.keySet.removeIf(_.startsWith(s"$dir::"))
   def invalidateAll(): Unit = fpCache.clear()
 
+  /** Build-time log (layer key → seconds), appended by [[ensure]] each
+    * time a layer actually BUILDS (not when it is read back). Bench
+    * drains this per query to attribute layer-build cost to the query
+    * that first touched the layer — without it, a layer build moving
+    * between first-toucher queries across rounds reads as a per-query
+    * regression (r8 verdict #7). The key is `family+variant` (stable
+    * across corpora/rounds), not the fingerprinted table name. */
+  private val buildLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
+
+  /** Wall-clock of layer builds nested inside the currently-running
+    * build (ensure() is reentrant on the object lock: minhash's build
+    * invokes shingles3's). Logged times are EXCLUSIVE — each layer's
+    * own work only — so a drain's sum equals the subtree wall-clock and
+    * cold-minus-layers can never double-subtract. Guarded by the same
+    * object lock as [[ensure]]. */
+  private var nestedBuildSecs = 0.0
+
+  /** Remove and return all build-log entries accumulated since the last
+    * drain, in build order. */
+  private[graft] def drainBuildLog(): Seq[(String, Double)] = {
+    val b = Seq.newBuilder[(String, Double)]
+    var e = buildLog.poll()
+    while (e != null) { b += e; e = buildLog.poll() }
+    b.result()
+  }
+
   private def fingerprint(s: SparkSession, dir: String, fpFile: String): String =
     fpCache.computeIfAbsent(s"$dir::$fpFile",
       _ => fingerprintUncached(s, dir, fpFile))
@@ -132,11 +159,17 @@ object DedupPrepare {
       // and the family's sort-merge self-joins elide their Sorts (at
       // multi-file buckets they re-sort the whole relation per side,
       // which at sf1.0 measured ~2x the query's entire budget).
+      val enclosing = nestedBuildSecs
+      nestedBuildSecs = 0.0
+      val t0 = System.nanoTime()
       build().repartition(Buckets, bucketCols.map(col): _*)
         .write.mode("overwrite").format("parquet")
         .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(sortCols.head, sortCols.tail: _*)
         .saveAsTable(name)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      buildLog.add((s"$family$variant", elapsed - nestedBuildSecs))
+      nestedBuildSecs = enclosing + elapsed
     }
     // No blanket join hint here: a session-wide experiment pinned
     // MERGE on every prep read and it measured strictly worse (sf0.1

@@ -797,20 +797,45 @@ object TextAnalysis {
        |FROM d ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- ta13
+  /** Hashed-feature-classifier feature dimension: tokens hash into this
+    * many weight buckets (fastText's `-hash` bucket table). Constant and
+    * model-sized — the entire parameter set of the linear model is
+    * [[ClfFeatDim]] longs, which is why the serving path may load it
+    * driver-side and ship it inside the plan. */
+  val ClfFeatDim = 4096
+
+  /** The classifier weight table as a BUILT ARTIFACT (r8 verdict #2):
+    * (feature INT, w_milli LONG), exactly [[ClfFeatDim]] rows, stored as
+    * a parquet layer like every other model artifact — a real fastText
+    * export (feature-hash → weight, quantized to milli-units) drops into
+    * this table without touching the serving plan ([[ta13With]] is the
+    * swap hook, spec-pinned). The shipped FIXTURE weights are a
+    * deterministic synthetic export: `w_milli(f) = h60(str(f)) mod 2001
+    * − 1000` — uniform in [−1, 1] milli-units — so the DuckDB oracle can
+    * regenerate the table in closed form.
+    */
+  private[operators] def clfWeights(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "clfw", dir,
+      () => s.range(0, ClfFeatDim.toLong)
+        .select(col("id").cast("int").as("feature"),
+          (Dedup.h60(col("id").cast("string")) % 2001L - 1000L).as("w_milli")),
+      Seq("feature"), Seq("feature"), variant = s"_d$ClfFeatDim")
+
   /** Hashed-feature linear classifier scoring — the fastText/CCNet-style
     * model-based quality filter's SERVING shape: tokens → feature hash →
-    * weight lookup → mean margin → sigmoid → keep/drop. No trained
-    * weights exist offline, so the weight table is a deterministic
-    * function of the feature hash itself (`w(tok) = (h60(tok) mod 2001
-    * − 1000) / 1000` — uniform in [−1, 1]); the Spark-side shape (the
-    * thing this operator exercises and pins) is exactly what a real
-    * exported linear model runs at 100 TB.
+    * weight-table lookup → mean margin → sigmoid → keep/drop. The
+    * weights are DATA (the [[clfWeights]] parquet artifact), not code:
+    * swapping the table changes scores with an identical plan, i.e. a
+    * real trained export deploys as a table drop-in.
     *
-    * Scale posture: ZERO-shuffle map-side column program — the weight
-    * "lookup" is pure per-token arithmetic inside higher-order array
-    * functions (filter → aggregate), no explode, no join, no weight
-    * broadcast needed; a real weight table would ride the same shape as
-    * a broadcast map. Per-doc margin accumulates in exact INTEGER
+    * Scale posture: ZERO-shuffle map-side column program. The weight
+    * table is loaded once driver-side ([[ClfFeatDim]] rows — the model's
+    * whole parameter set, a MODEL LOAD, not a data collect) and shipped
+    * as an array literal inside the plan: per-token scoring is
+    * `element_at(weights, h60(tok) mod ClfFeatDim)` inside higher-order
+    * array functions (filter → aggregate) — no explode, no join, no
+    * shuffle; this is precisely the "broadcast the model" step of a
+    * fastText deployment. Per-doc margin accumulates in exact INTEGER
     * weight-millis (the /1000 division happens once per doc, after the
     * sum), so no float-order or engine skew exists anywhere before the
     * final sigmoid, which is re-gridded at 1e-9 ([[Dedup.gridL]] — the
@@ -820,10 +845,22 @@ object TextAnalysis {
     * Docs with no non-empty token have no margin and are excluded (same
     * contract as the shingle family's ≥n-token floor).
     */
-  def ta13(s: SparkSession, dir: String): DataFrame = {
+  def ta13(s: SparkSession, dir: String): DataFrame =
+    ta13With(s, dir, clfWeights(s, dir))
+
+  /** [[ta13]] against an explicit weight table — the swap hook: the spec
+    * feeds an alternative (feature, w_milli) relation and pins that
+    * scores change while the plan shape does not. */
+  private[graft] def ta13With(s: SparkSession, dir: String,
+      weights: DataFrame): DataFrame = {
+    val wArr = new Array[Long](ClfFeatDim)
+    weights.select(col("feature"), col("w_milli")).collect()
+      .foreach(r => wArr(r.getInt(0)) = r.getLong(1))
+    val wLit = typedlit(wArr.toSeq)
     val toks = filter(ws, t => t =!= "")
     val wMilli = aggregate(toks, lit(0L),
-      (acc, t) => acc + (Dedup.h60(t) % 2001L - 1000L))
+      (acc, t) => acc +
+        element_at(wLit, (Dedup.h60(t) % ClfFeatDim).cast("int") + 1))
     val margin =
       (col("w_milli").cast("double") / 1000.0) / col("n_tokens").cast("double")
     val sig = lit(1.0) / (lit(1.0) + exp(-col("margin")))
@@ -838,13 +875,17 @@ object TextAnalysis {
   }
 
   val ta13Sql: String = {
-    val h60 = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+    // the oracle regenerates the weight TABLE's fixture formula in
+    // closed form: feature = h60(tok) mod ClfFeatDim, then
+    // w_milli = h60(str(feature)) mod 2001 − 1000
+    val feat = s"(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % $ClfFeatDim)"
+    val wOfT = s"CAST(concat('0x', substr(md5(CAST($feat AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000"
     s"""WITH $wsSqlCte,
        |m AS (SELECT doc_id,
        |             CAST(len(list_filter(ws, t -> t <> '')) AS INT) AS n_tokens,
        |             CAST(coalesce(list_sum(list_transform(
        |               list_filter(ws, t -> t <> ''),
-       |               t -> $h60 % 2001 - 1000)), 0) AS BIGINT) AS w_milli
+       |               t -> $wOfT)), 0) AS BIGINT) AS w_milli
        |      FROM w),
        |d AS (SELECT doc_id, n_tokens,
        |             (CAST(w_milli AS DOUBLE) / 1000.0) / CAST(n_tokens AS DOUBLE) AS margin
@@ -856,6 +897,166 @@ object TextAnalysis {
        |         / 1e9 >= 0.5 AS INT) AS keep
        |FROM d ORDER BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- ta14
+  /** KenLM-style pruning: bigrams with corpus count below this are cut
+    * from the model table and served by backoff instead — part of the
+    * operator's semantics (the oracle applies the same cut), like dd04's
+    * df-cut. Without it an in-corpus LM would never back off (every
+    * scored bigram exists at least once in its own corpus). */
+  val BigramMinCount = 2L
+
+  /** Stupid-backoff discount (Brants et al. 2007, "Large Language
+    * Models in Machine Translation"): p(t2|t1) ≈ α·p(t2) when the
+    * bigram is absent from the pruned model. */
+  val BackoffAlpha = 0.4
+
+  /** Per-token log-prob table (tok, c, g_uni, g_back) — the KenLM
+    * serving FORMAT: the model artifact stores quantized −log₂
+    * probabilities, not counts, so query-time scoring is lookup + exact
+    * integer sum with zero per-row float math. `g_uni` = grid(log₂N −
+    * log₂c) (unigram cost — also the first-token term), `g_back` =
+    * grid(log₂N − log₂(α·c)) (the stupid-backoff cost). Both are
+    * 1e-9-grid longs ([[Dedup.gridL]]); the corpus-total scalar is a
+    * 1-row broadcast folded in at BUILD time, so no query ever pays it.
+    * Bucketed by tok: the Zipf head/tail lookup joins read pre-clustered
+    * buckets. */
+  private def uniProb(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "uniprob", dir,
+      () => {
+        val f = uniFreq(s, dir)
+        val tot = f.agg(sum(col("c")).cast("long").as("nc"))
+        f.crossJoin(broadcast(tot))
+          .select(col("tok"), col("c").cast("long").as("c"),
+            Dedup.gridL(log(2.0, col("nc").cast("double")) -
+              log(2.0, col("c").cast("double"))).as("g_uni"),
+            Dedup.gridL(log(2.0, col("nc").cast("double")) -
+              log(2.0, lit(BackoffAlpha) * col("c").cast("double"))).as("g_back"))
+      },
+      Seq("tok"), Seq("tok"))
+
+  /** Adjacent token pairs (doc_id, t1, t2) — map-side off the scan
+    * (sequence + element_at, no self-join; [[Dedup.wordShingles]]'s
+    * idiom over the empty-filtered token list). */
+  private def bigramPairs(docs: DataFrame): DataFrame = {
+    val t = filter(ws, x => x =!= "")
+    docs.select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(2), size(col("t")))).as("i"), col("t"))
+      .select(col("doc_id"),
+        element_at(col("t"), col("i") - 1).as("t1"),
+        element_at(col("t"), col("i")).as("t2"))
+  }
+
+  /** The pruned bigram log-prob table (t1, t2, g) — the model's bigram
+    * section: g = grid(log₂c(t1) − log₂c(t1,t2)) = −log₂p(t2|t1) for
+    * every bigram with count ≥ [[BigramMinCount]]. Bucketed by (t1, t2)
+    * so the scoring left-join shuffles only the probe side. The corpus
+    * bigram aggregate and the unigram-denominator join are paid once
+    * per corpus at build, amortized like the unigram layer. */
+  private def bigramProb(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "biprob", dir,
+      () => bigramPairs(Tables.documents(s, dir))
+        .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= BigramMinCount)
+        .join(uniFreq(s, dir).withColumnRenamed("tok", "t1"), Seq("t1"))
+        .select(col("t1"), col("t2"),
+          Dedup.gridL(log(2.0, col("c").cast("double")) -
+            log(2.0, col("c12").cast("double"))).as("g")),
+      Seq("t1", "t2"), Seq("t1", "t2"), variant = s"_mc$BigramMinCount")
+
+  /** Bigram-LM cross-entropy / perplexity with stupid backoff — the
+    * actual KenLM serving shape (r8 verdict #3, upgrading [[ta12]]'s
+    * unigram LM): per doc, the first token costs its unigram −log₂p and
+    * every following token costs −log₂p(t2|t1) from the pruned bigram
+    * table, falling back to α-discounted unigram cost when the bigram
+    * was pruned. All per-token costs come PRE-QUANTIZED from the model
+    * layers, so the per-doc sum is exact integer arithmetic
+    * (order-independent, engine-identical) and query-time float math is
+    * two scalar ops per doc (the /n division and 2^xent).
+    *
+    * Scale posture: bigram extraction is map-side; the model left-join
+    * shuffles only the probe side into the (t1,t2)-bucketed table (hot
+    * bigrams like "of the" skew the probe partitions — a JOIN, so AQE
+    * skew-split applies, never a single-task window); unigram lookups
+    * (first token + backoff, both keyed on guaranteed-Zipf-skewed
+    * single tokens) ride the [[RarityHeadCut]] head-broadcast/tail-join
+    * split, ta09/ta12's idiom.
+    */
+  def ta14(s: SparkSession, dir: String): DataFrame = {
+    val t = filter(ws, x => x =!= "")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), t.as("t")).filter(size(col("t")) >= 1)
+    val first = docs.select(col("doc_id"), element_at(col("t"), 1).as("tok"))
+    val bg = bigramPairs(Tables.documents(s, dir))
+    val j = bg.join(bigramProb(s, dir), Seq("t1", "t2"), "left")
+    val up = uniProb(s, dir)
+    val uhead = up.filter(col("c") >= RarityHeadCut)
+    val utail = up.filter(col("c") < RarityHeadCut)
+    def lookup(rel: DataFrame): DataFrame =
+      rel.join(broadcast(uhead), Seq("tok"))
+        .unionByName(rel.join(utail, Seq("tok")))
+    val firstTerms = lookup(first)
+      .select(col("doc_id"), col("g_uni").as("g"),
+        lit(0L).as("is_bg"), lit(0L).as("is_back"))
+    val matched = j.filter(col("g").isNotNull)
+      .select(col("doc_id"), col("g"), lit(1L).as("is_bg"), lit(0L).as("is_back"))
+    val backTerms = lookup(
+        j.filter(col("g").isNull).select(col("doc_id"), col("t2").as("tok")))
+      .select(col("doc_id"), col("g_back").as("g"),
+        lit(0L).as("is_bg"), lit(1L).as("is_back"))
+    val perDoc = matched.unionByName(backTerms).unionByName(firstTerms)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("is_bg")).cast("long").as("n_bigrams"),
+        sum(col("is_back")).cast("long").as("n_backoff"),
+        (sum(col("g")).cast("double") / 1e9 / count(lit(1)).cast("double"))
+          .as("xent"))
+    val p = pow(lit(2.0), col("xent")) * 1e6
+    perDoc
+      .withColumn("ppl",
+        when(p >= 0, floor(p + 0.5)).otherwise(ceil(p - 0.5)).cast("long")
+          .cast("double") / 1e6)
+      .orderBy("doc_id")
+  }
+
+  val ta14Sql: String =
+    s"""WITH $wsSqlCte,
+       |fq AS (SELECT doc_id, list_filter(ws, x -> x <> '') AS t FROM w),
+       |tk AS (SELECT doc_id, unnest(t) AS tok FROM fq),
+       |c1 AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+       |n AS (SELECT CAST(SUM(c) AS BIGINT) AS nc FROM c1),
+       |up AS (SELECT tok, c,
+       |              CAST(ROUND((log2(CAST(nc AS DOUBLE)) - log2(CAST(c AS DOUBLE))) * 1e9) AS BIGINT) AS g_uni,
+       |              CAST(ROUND((log2(CAST(nc AS DOUBLE)) - log2($BackoffAlpha * CAST(c AS DOUBLE))) * 1e9) AS BIGINT) AS g_back
+       |       FROM c1 CROSS JOIN n),
+       |bgi AS (SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i
+       |        FROM fq WHERE len(t) >= 2),
+       |bgq AS (SELECT doc_id, t[i - 1] AS t1, t[i] AS t2 FROM bgi),
+       |big AS (SELECT t1, t2, COUNT(*) AS c12 FROM bgq
+       |        GROUP BY 1, 2 HAVING COUNT(*) >= $BigramMinCount),
+       |bp AS (SELECT big.t1, big.t2,
+       |              CAST(ROUND((log2(CAST(c1.c AS DOUBLE)) - log2(CAST(c12 AS DOUBLE))) * 1e9) AS BIGINT) AS g
+       |       FROM big JOIN c1 ON big.t1 = c1.tok),
+       |fr AS (SELECT doc_id, t[1] AS tok FROM fq WHERE len(t) >= 1),
+       |bj AS (SELECT bgq.doc_id, bgq.t2, bp.g
+       |       FROM bgq LEFT JOIN bp ON bgq.t1 = bp.t1 AND bgq.t2 = bp.t2),
+       |tm AS (SELECT f.doc_id, up.g_uni AS g, 0 AS is_bg, 0 AS is_back
+       |       FROM fr f JOIN up ON f.tok = up.tok
+       |       UNION ALL
+       |       SELECT doc_id, g, 1, 0 FROM bj WHERE g IS NOT NULL
+       |       UNION ALL
+       |       SELECT bj.doc_id, up.g_back, 0, 1
+       |       FROM bj JOIN up ON bj.t2 = up.tok WHERE bj.g IS NULL),
+       |d AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |             CAST(SUM(is_bg) AS BIGINT) AS n_bigrams,
+       |             CAST(SUM(is_back) AS BIGINT) AS n_backoff,
+       |             CAST(SUM(g) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE) AS xent
+       |      FROM tm GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_bigrams, n_backoff, xent,
+       |       CAST(CAST(ROUND(pow(2.0, xent) * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS ppl
+       |FROM d ORDER BY doc_id""".stripMargin
 
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
@@ -872,5 +1073,6 @@ object TextAnalysis {
     Q("ta11_boilerplate", "per-source template shingles + per-doc boilerplate fraction", ta11, Some(ta11Sql)),
     Q("ta12_lm_perplexity", "unigram-LM cross-entropy + perplexity (CCNet-shaped filter)", ta12, Some(ta12Sql)),
     Q("ta13_hash_classifier", "hashed-feature linear classifier scoring (fastText serving shape)", ta13, Some(ta13Sql)),
+    Q("ta14_bigram_lm", "bigram-LM cross-entropy with stupid backoff (KenLM serving shape)", ta14, Some(ta14Sql)),
   )
 }

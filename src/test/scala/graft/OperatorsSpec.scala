@@ -485,10 +485,14 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
     val out = graft.operators.TextAnalysis.ta13(spark, dir).collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    // the weight TABLE's fixture formula: feature-hash the token, then
+    // hash the feature id — w(tok) = h60(str(h60(tok) mod D)) mod 2001 − 1000
+    def w(tok: String): Long =
+      h60((h60(tok) % graft.operators.TextAnalysis.ClfFeatDim).toString) % 2001L - 1000L
     for (r <- out) {
       val ts = texts(r.getLong(0)).toLowerCase.split("\\s+").filter(_.nonEmpty)
       assert(r.getInt(1) == ts.length) // n_tokens
-      val milli = ts.map(t => h60(t) % 2001L - 1000L).sum
+      val milli = ts.map(w).sum
       val margin = (milli.toDouble / 1000.0) / ts.length
       assert(r.getDouble(2) == margin)
       val sig = 1.0 / (1.0 + math.exp(-margin))
@@ -497,6 +501,77 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getDouble(3) == g.toDouble / 1e9)       // score
       assert(r.getInt(4) == (if (g.toDouble / 1e9 >= 0.5) 1 else 0))
     }
+
+    // weights-as-data (r8 verdict #2): swapping the table provably
+    // changes scores under an IDENTICAL plan — i.e. a real fastText
+    // export deploys as a table drop-in, no code change
+    import org.apache.spark.sql.functions.{col, lit}
+    val allPos = spark.range(0, graft.operators.TextAnalysis.ClfFeatDim.toLong)
+      .select(col("id").cast("int").as("feature"), lit(500L).as("w_milli"))
+    val swapped = graft.operators.TextAnalysis.ta13With(spark, dir, allPos)
+    val sout = swapped.collect()
+    // uniform +0.5 weight: every doc's margin is exactly 0.5, keep = 1
+    assert(sout.forall(r => r.getDouble(2) == 0.5 && r.getInt(4) == 1))
+    assert(sout.map(_.getDouble(3)).toSet != out.map(_.getDouble(3)).toSet)
+    // the plan is byte-for-byte the same shape: zero shuffles, no join —
+    // the weight table lives inside the plan as a literal. Fresh
+    // DataFrames: after an action AQE folds exchanges into leaf query
+    // stages and the census would undercount.
+    for (df <- Seq(graft.operators.TextAnalysis.ta13(spark, dir),
+                   graft.operators.TextAnalysis.ta13With(spark, dir, allPos))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), "ta13 serving must not join")
+      assert(PlanAudit.exchangeCount(df) == 1) // presentation sort only
+    }
+  }
+
+  test("ta14: bigram LM folds pruned-bigram and backoff terms exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ta14").toString
+    // "a b" occurs 3× (survives the min-count-2 prune), "b c" once
+    // (pruned -> backoff), singles exercise the first-token-only path
+    val texts = Map(
+      1L -> "a b c",            // first "a" + bigram (a,b) + backoff (b,c)
+      2L -> "a b",              // first + matched bigram
+      3L -> "a b",              // first + matched bigram
+      4L -> "zzz",              // first-token-only
+      5L -> "")                 // excluded
+    texts.toSeq.map { case (id, t) => (id, t, "en", "u", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.operators.DedupPrepare.invalidate(dir)
+    val toks = texts.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    val cnt = toks.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val nTot = toks.values.map(_.size).sum // 9
+    val bgCnt = toks.values.filter(_.size >= 2)
+      .flatMap(ts => ts.zip(ts.tail)).groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    def grid(x: Double) = (if (x >= 0) math.floor(x * 1e9 + 0.5)
+                           else math.ceil(x * 1e9 - 0.5)).toLong
+    val out = graft.operators.TextAnalysis.ta14(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    for (r <- out) {
+      val ts = toks(r.getLong(0))
+      val terms = grid(lg2(nTot.toDouble) - lg2(cnt(ts.head).toDouble)) +:
+        ts.zip(ts.tail).map { case (t1, t2) =>
+          if (bgCnt((t1, t2)) >= 2)
+            grid(lg2(cnt(t1).toDouble) - lg2(bgCnt((t1, t2)).toDouble))
+          else grid(lg2(nTot.toDouble) - lg2(0.4 * cnt(t2).toDouble))
+        }
+      assert(r.getLong(1) == ts.size)                   // n_tokens
+      assert(r.getLong(2) == ts.zip(ts.tail).count(p => bgCnt(p) >= 2))
+      assert(r.getLong(3) == ts.zip(ts.tail).count(p => bgCnt(p) < 2))
+      val xent = terms.sum.toDouble / 1e9 / ts.size
+      assert(r.getDouble(4) == xent)
+      assert(r.getDouble(5) == math.floor(math.pow(2.0, xent) * 1e6 + 0.5) / 1e6)
+    }
+    // the matched bigram (a,b) costs log2(c(a)) - log2(c(a,b)) =
+    // log2(3) - log2(3) = 0 bits: docs 2/3 score first-token cost only
+    val d2 = out.find(_.getLong(0) == 2L).get
+    assert(d2.getDouble(4) ==
+      grid(lg2(nTot.toDouble) - lg2(3.0)).toDouble / 1e9 / 2)
   }
 
   test("mm05: decoded dHash equals the closed form; mod-768 twins dedup") {

@@ -96,7 +96,13 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // total agg and its 1-row broadcast-totals crossJoin
     "ta12_lm_perplexity" -> 6,
     // ta13: zero-shuffle map-side column program + presentation sort
-    "ta13_hash_classifier" -> 1)
+    // (weights arrive as an in-plan literal from the model-table load)
+    "ta13_hash_classifier" -> 1,
+    // ta14 (r9): probe-side shuffle into the bucketed bigram log-prob
+    // table + the head-broadcast/tail-join unigram lookups (first token
+    // and backoff legs) + per-doc agg + final sort — the model tables
+    // themselves are bucketed layer reads
+    "ta14_bigram_lm" -> 9)
 
   /** sf1.0 budgets where they differ from the small tree — all four are
     * SIZE-DRIVEN STRATEGY FLIPS (a side outgrowing the broadcast
