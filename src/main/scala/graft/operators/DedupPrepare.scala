@@ -116,6 +116,65 @@ object DedupPrepare {
     s"${safe}_$h".toLowerCase
   }
 
+  /** Layer base + fingerprinted name for (family, dir, variant) — the
+    * naming scheme [[ensure]] keys tables by, exposed so
+    * [[LayerMaintenance]] can mint the post-ingest name without
+    * rebuilding. */
+  private[operators] def naming(s: SparkSession, family: String, dir: String,
+      variant: String, fpFile: String = "documents.parquet"): (String, String) = {
+    val base = s"graft_prep_${family}_${dirTag(dir)}"
+    (base, s"${base}_${fingerprint(s, dir, fpFile)}$variant")
+  }
+
+  /** Append-maintenance aliases (expected fingerprint-keyed name →
+    * actual table holding the appended layer): when
+    * [[LayerMaintenance.appendIngest]] extends a layer in place instead
+    * of rebuilding it, the table keeps its pre-ingest name while the
+    * corpus fingerprint moves on — the alias lets [[ensure]] resolve the
+    * new expected name to the live appended table. Session-scoped like
+    * the in-memory catalog itself: a fresh JVM simply rebuilds (correct,
+    * just not incremental). */
+  private val appendAlias =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[operators] def aliasLayer(expected: String, actual: String): Unit =
+    appendAlias.put(expected, actual)
+
+  private[operators] def dropAliases(base: String): Unit =
+    appendAlias.keySet.removeIf(_.startsWith(base))
+
+  private[operators] def resolveAlias(name: String): String =
+    appendAlias.getOrDefault(name, name)
+
+  /** The bucketed layer write (one file per bucket — see the
+    * repartition note in [[ensure]]); `mode` is "overwrite" for builds
+    * and "append" for [[LayerMaintenance]] batch appends (which land
+    * delta files in the same buckets; partitioning survives, the
+    * single-file sort elision is restored by compaction). */
+  private[operators] def writeBucketed(df: DataFrame, name: String,
+      bucketCols: Seq[String], sortCols: Seq[String],
+      mode: String = "overwrite"): Unit =
+    df.repartition(Buckets, bucketCols.map(col): _*)
+      .write.mode(mode).format("parquet")
+      .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .saveAsTable(name)
+
+  /** Delete every warehouse sibling of `base` except `keep` — the
+    * stale-layer sweep, shared by [[ensure]] and [[LayerMaintenance]].
+    * "_*", not "*": the fingerprint separator must follow the EXACT dir
+    * tag, so a sibling corpus whose tag extends this one is never
+    * swept. */
+  private[operators] def sweepStale(s: SparkSession, base: String,
+      keep: Set[String] = Set.empty): Unit = {
+    val whRoot = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"))
+    val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stale = fs.globStatus(new org.apache.hadoop.fs.Path(whRoot, base + "_*"))
+    if (stale != null) stale.filterNot(f => keep.contains(f.getPath.getName))
+      .foreach(f => fs.delete(f.getPath, true))
+  }
+
   /** `variant` distinguishes parameterizations WITHIN a family (e.g. the
     * df-cut threshold) and sits AFTER the fingerprint in the table name,
     * inside the `base_*` glob the stale-layer sweep uses — so changing a
@@ -131,8 +190,8 @@ object DedupPrepare {
       bucketCols: Seq[String], sortCols: Seq[String],
       variant: String = "",
       fpFile: String = "documents.parquet"): DataFrame = synchronized {
-    val base = s"graft_prep_${family}_${dirTag(dir)}"
-    val name = s"${base}_${fingerprint(s, dir, fpFile)}$variant"
+    val (base, name0) = naming(s, family, dir, variant, fpFile)
+    val name = resolveAlias(name0)
     if (!s.catalog.tableExists(name)) {
       // the in-memory catalog forgets tables across JVMs but warehouse
       // directories survive — and every corpus rewrite mints a NEW
@@ -140,16 +199,12 @@ object DedupPrepare {
       // layer per rewrite forever. Sweep every sibling of this corpus
       // (same family + dir tag, any fingerprint — includes this name's
       // own stale cross-JVM dir, which saveAsTable would refuse to
-      // overwrite with LOCATION_ALREADY_EXISTS).
-      val whRoot = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"))
-      val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-      // "_*", not "*": the fingerprint separator must follow the EXACT
-      // dir tag, so a sibling corpus whose tag extends this one can
-      // never be swept
-      val stale = fs.globStatus(
-        new org.apache.hadoop.fs.Path(whRoot, base + "_*"))
-      if (stale != null) stale.foreach(f => fs.delete(f.getPath, true))
+      // overwrite with LOCATION_ALREADY_EXISTS). A dangling append alias
+      // (target swept or never written) dies with the sweep, and the
+      // rebuild lands under the CURRENT fingerprint name, not the
+      // alias's stale one.
+      dropAliases(base)
+      sweepStale(s, base)
       // repartition on the bucket key into exactly `Buckets` partitions
       // BEFORE the bucketed write: HashPartitioning and bucket-id use
       // the same Murmur3 hash, so every write task holds exactly one
@@ -162,23 +217,20 @@ object DedupPrepare {
       val enclosing = nestedBuildSecs
       nestedBuildSecs = 0.0
       val t0 = System.nanoTime()
-      build().repartition(Buckets, bucketCols.map(col): _*)
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
-        .sortBy(sortCols.head, sortCols.tail: _*)
-        .saveAsTable(name)
+      writeBucketed(build(), name0, bucketCols, sortCols)
       val elapsed = (System.nanoTime() - t0) / 1e9
       buildLog.add((s"$family$variant", elapsed - nestedBuildSecs))
       nestedBuildSecs = enclosing + elapsed
-    }
-    // No blanket join hint here: a session-wide experiment pinned
-    // MERGE on every prep read and it measured strictly worse (sf0.1
-    // 31.3 -> 34.7 s, isolated dd04 at sf1.0 11 -> 28 s) because it
-    // also forces SMJ where broadcasting a small DERIVED side is both
-    // correct and scale-safe. The candidate SELF-joins — the only
-    // sites where the broadcast side is the corpus relation itself —
-    // carry the hint at their call sites instead.
-    s.table(name)
+      s.table(name0)
+    } else
+      // No blanket join hint here: a session-wide experiment pinned
+      // MERGE on every prep read and it measured strictly worse (sf0.1
+      // 31.3 -> 34.7 s, isolated dd04 at sf1.0 11 -> 28 s) because it
+      // also forces SMJ where broadcasting a small DERIVED side is both
+      // correct and scale-safe. The candidate SELF-joins — the only
+      // sites where the broadcast side is the corpus relation itself —
+      // carry the hint at their call sites instead.
+      s.table(name)
   }
 
   /** Distinct word-3-shingles (doc_id, s), bucketed+sorted by doc_id. */
@@ -287,21 +339,24 @@ object DedupPrepare {
         .select(col("j"), col("c"), col("doc_id"), col("simhash")),
       Seq("j", "c"), Seq("j", "c", "doc_id"))
 
+  /** (b, bh, doc_id) band rows off a MinHash signature relation — the
+    * un-capped lshBands body, shared with [[LayerMaintenance]]'s
+    * batch-delta path. */
+  private[operators] def bandsFromSig(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      explode(map_from_arrays(
+        array((0 to 3).map(lit): _*),
+        array((0 to 3).map(b => col(s"bh$b")): _*))).as(Seq("b", "bh")))
+      .select(col("b"), col("bh"), col("doc_id"))
+
   /** Capped LSH band relation (b, bh, doc_id), bucketed by (b, bh): both
     * sides of the candidate self-join read the same buckets — no
     * exchange. The [[Dedup.BucketCap]] is applied before writing (it is
     * part of the operator's semantics, not a per-query choice). */
   def lshBands(s: SparkSession, dir: String): DataFrame =
     ensure(s, "lshbands", dir,
-      () => {
-        val sig = minhashSig(s, dir)
-        Dedup.capPerKey(
-          sig.select(col("doc_id"),
-            explode(map_from_arrays(
-              array((0 to 3).map(lit): _*),
-              array((0 to 3).map(b => col(s"bh$b")): _*))).as(Seq("b", "bh"))),
+      () => Dedup.capPerKey(bandsFromSig(minhashSig(s, dir)),
           Seq("b", "bh"), "doc_id", Dedup.BucketCap)
-          .select(col("b"), col("bh"), col("doc_id"))
-      },
+        .select(col("b"), col("bh"), col("doc_id")),
       Seq("b", "bh"), Seq("b", "bh", "doc_id"))
 }

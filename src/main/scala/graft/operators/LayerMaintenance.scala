@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Incremental maintenance of the materialized corpus layers (r8 verdict
+  * #4): a daily 100 TB pipeline ingests a batch-sized delta, and the
+  * standing corpus's built layers must absorb it at BATCH cost — not
+  * re-pay the corpus-wide build ([[DedupPrepare.ensure]]'s
+  * rebuild-per-fingerprint default, which is correct but O(corpus) per
+  * corpus version).
+  *
+  * The append path, per maintained family:
+  *  - per-doc map layers (`shingles3`, `minhash`): the layer is a
+  *    disjoint union over docs, so corpus v2's layer = v1's table plus
+  *    the batch's rows — computed batch-sized and APPENDED as new files
+  *    into the existing buckets. Bucket-hash partitioning survives
+  *    multi-file buckets (readers still skip their exchanges); only the
+  *    single-file sort elision is lost until [[compact]].
+  *  - capped bucket layers (`lshbands`): same union, except a bucket
+  *    already holding `BucketCap` members must not grow — the delta is
+  *    ranked within its own (b, bh) groups (batch-sized window) and
+  *    admitted up to `cap − n_old` per bucket. Exact under the ingest
+  *    contract below.
+  *  - mergeable count layers (`unifreq`): counts add, so the new table
+  *    is `old ∪ delta` re-aggregated — a VOCAB-sized rewrite (the
+  *    corpus-wide token explode is only ever paid on the batch).
+  * Families outside [[Maintained]] (the df-cut stop/kept cascade, the
+  * CC cluster fixpoints, manifests, model prob tables) rebuild on next
+  * touch — and several of those rebuilds are themselves cheap because
+  * they DERIVE from maintained layers (`uniprob`/`biprob` read the
+  * merged unigram layer; `shbys`/`kepts` re-cluster the appended
+  * shingle relation without re-exploding the corpus).
+  *
+  * Ingest contract: batch doc_ids are strictly greater than every
+  * standing doc_id (enforced — the monotonic-id property every
+  * append-only ingest has). It is what makes the capped-layer append
+  * exact: the cap keeps the LOWEST ids, so higher-id arrivals can never
+  * displace a standing member.
+  *
+  * The appended table keeps its pre-ingest (fingerprint-keyed) name;
+  * [[DedupPrepare]]'s alias map points the post-ingest fingerprint's
+  * expected name at it, so every `ensure` consumer transparently reads
+  * the appended layer. Aliases are session-scoped like the in-memory
+  * catalog: a fresh JVM rebuilds from the corpus (correct, just not
+  * incremental) — at cluster scale the alias map is the metastore's
+  * table-properties entry.
+  */
+object LayerMaintenance {
+
+  /** One maintenance action: layer family(+variant), what happened
+    * ("appended" | "merged" | "compacted" | "absent" | "unchanged"),
+    * rows written, wall seconds. */
+  final case class LayerDelta(family: String, action: String,
+      rows: Long, secs: Double)
+
+  private final case class Fam(family: String, variant: String,
+      bucketCols: Seq[String], sortCols: Seq[String])
+
+  /** The append-maintained families: the per-doc maps, the capped band
+    * index, and the unigram count layer — one representative of each
+    * maintenance class the engine has. */
+  private val Maintained = Seq(
+    Fam("shingles3", "", Seq("doc_id"), Seq("doc_id")),
+    Fam("minhash", "", Seq("doc_id"), Seq("doc_id")),
+    Fam("lshbands", "", Seq("b", "bh"), Seq("b", "bh", "doc_id")),
+    Fam("unifreq", "_lang", Seq("tok"), Seq("tok")))
+
+  /** Build every maintained layer for `dir` (the "prime the standing
+    * corpus" step an ingest pipeline runs once at corpus creation). */
+  def ensureMaintained(s: SparkSession, dir: String): Unit = {
+    DedupPrepare.shingles3(s, dir)
+    DedupPrepare.minhashSig(s, dir)
+    DedupPrepare.lshBands(s, dir)
+    TextAnalysis.langFreq(s, dir)
+  }
+
+  /** Read a maintained layer by family name — spec/inspection hook that
+    * resolves the append alias exactly like `ensure` consumers do. */
+  private[graft] def maintainedLayer(s: SparkSession, dir: String,
+      family: String): DataFrame = {
+    val f = Maintained.find(_.family == family)
+      .getOrElse(sys.error(s"not a maintained family: $family"))
+    val (_, name) = DedupPrepare.naming(s, f.family, dir, f.variant)
+    s.table(DedupPrepare.resolveAlias(name))
+  }
+
+  /** The current physical table name backing a maintained layer —
+    * spec hook for pinning alias/compaction behavior. */
+  private[graft] def physicalName(s: SparkSession, dir: String,
+      family: String): String =
+    DedupPrepare.resolveAlias(expectedName(s, dir, family))
+
+  /** The fingerprint-keyed name `ensure` would expect for a maintained
+    * layer right now (no alias resolution) — spec hook. */
+  private[graft] def expectedName(s: SparkSession, dir: String,
+      family: String): String = {
+    val f = Maintained.find(_.family == family).get
+    DedupPrepare.naming(s, f.family, dir, f.variant)._2
+  }
+
+  /** Find the session's existing table for (base, variant) regardless of
+    * which corpus fingerprint minted it. */
+  private def findExisting(s: SparkSession, base: String,
+      variant: String): Option[String] = {
+    val pat = (java.util.regex.Pattern.quote(base) + "_[0-9a-f]{8}" +
+      java.util.regex.Pattern.quote(variant) + "$").r
+    s.catalog.listTables().collect().map(_.name)
+      .find(n => pat.findFirstIn(n).isDefined)
+  }
+
+  /** Absorb an ingested batch into the standing corpus's maintained
+    * layers at batch cost. Call AFTER the batch's files are written into
+    * `<dir>/documents.parquet` (so the corpus fingerprint has moved on),
+    * with `batch` = exactly the appended rows. Layers never built in
+    * this session are skipped — their next `ensure` builds from the
+    * updated corpus, which is already correct.
+    */
+  def appendIngest(s: SparkSession, dir: String,
+      batch: DataFrame): Seq[LayerDelta] = DedupPrepare.synchronized {
+    val minNew = batch.agg(min(col("doc_id"))).head()
+    if (minNew.isNullAt(0)) return Nil // empty batch: nothing to absorb
+    DedupPrepare.invalidate(dir)
+    val specs = Maintained.map { f =>
+      val (base, newName) = DedupPrepare.naming(s, f.family, dir, f.variant)
+      (f, base, newName, findExisting(s, base, f.variant))
+    }
+
+    // ingest contract: strictly increasing doc_ids (see class doc)
+    specs.find(_._1.family == "shingles3").flatMap(_._4).foreach { t =>
+      val maxOld = s.table(t).agg(max(col("doc_id"))).head()
+      if (!maxOld.isNullAt(0))
+        require(minNew.getLong(0) > maxOld.getLong(0),
+          s"appendIngest: batch min doc_id ${minNew.getLong(0)} does not " +
+            s"exceed standing max ${maxOld.getLong(0)} — batch ids must be fresh")
+    }
+
+    // batch-sized delta relations; the shingle explode is shared by
+    // three families, so materialize it once for the ingest
+    val deltaShingles = Present.pooled(Dedup.wordShingles(batch, 3))
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val report = specs.map { case (f, base, newName, existing) =>
+      existing match {
+        case None =>
+          LayerDelta(f.family + f.variant, "absent", 0L, 0.0)
+        case Some(actual) if actual == newName =>
+          // corpus fingerprint unchanged — the batch files were not
+          // actually added under this dir; nothing to do
+          LayerDelta(f.family + f.variant, "unchanged", 0L, 0.0)
+        case Some(actual) =>
+          val (rows, secs) = timed {
+            f.family match {
+              case "shingles3" =>
+                val d = deltaShingles
+                DedupPrepare.writeBucketed(d, actual, f.bucketCols, f.sortCols,
+                  mode = "append")
+                d.count()
+              case "minhash" =>
+                val d = Dedup.minhashSigFromShingles(deltaShingles)
+                DedupPrepare.writeBucketed(d, actual, f.bucketCols, f.sortCols,
+                  mode = "append")
+                d.count()
+              case "lshbands" =>
+                val bandsDelta = DedupPrepare.bandsFromSig(
+                  Dedup.minhashSigFromShingles(deltaShingles))
+                // admit up to cap − n_old per bucket, lowest batch ids
+                // first — the window is over the BATCH's bands only
+                val oldCnt = s.table(actual).groupBy(col("b"), col("bh"))
+                  .agg(count(lit(1)).as("n_old"))
+                val d = bandsDelta
+                  .withColumn("rn", row_number().over(
+                    Window.partitionBy(col("b"), col("bh")).orderBy(col("doc_id"))))
+                  .join(oldCnt, Seq("b", "bh"), "left")
+                  .filter(col("rn") <=
+                    lit(Dedup.BucketCap.toLong) - coalesce(col("n_old"), lit(0L)))
+                  .select(col("b"), col("bh"), col("doc_id"))
+                DedupPrepare.writeBucketed(d, actual, f.bucketCols, f.sortCols,
+                  mode = "append")
+                d.count()
+              case "unifreq" =>
+                // counts merge: vocab-sized rewrite under the NEW
+                // fingerprint name (content changes per-row, so this
+                // family re-keys instead of aliasing)
+                val deltaCnt = TextAnalysis.langTokens(batch)
+                  .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+                val merged = s.table(actual).unionByName(deltaCnt)
+                  .groupBy(col("lang"), col("tok")).agg(sum(col("c")).as("c"))
+                DedupPrepare.writeBucketed(merged, newName, f.bucketCols, f.sortCols)
+                s.sql(s"DROP TABLE IF EXISTS $actual")
+                DedupPrepare.dropAliases(base)
+                DedupPrepare.sweepStale(s, base, keep = Set(newName))
+                s.table(newName).count()
+            }
+          }
+          if (f.family != "unifreq") DedupPrepare.aliasLayer(newName, actual)
+          val action = if (f.family == "unifreq") "merged" else "appended"
+          LayerDelta(f.family + f.variant, action, rows, secs)
+      }
+    }
+    deltaShingles.unpersist(blocking = false)
+    report
+  }
+
+  /** Rewrite every appended maintained layer of `dir` into a fresh
+    * single-file-per-bucket table under its CURRENT fingerprint name —
+    * restoring the sort-elision invariant appends suspend — then drop
+    * the old table, its alias, and stale warehouse dirs. The LSM-style
+    * compaction step; run it when appended-file fan-out starts costing
+    * reader-side sorts (every N batches, or nightly). */
+  def compact(s: SparkSession, dir: String): Seq[LayerDelta] =
+    DedupPrepare.synchronized {
+      Maintained.flatMap { f =>
+        val (base, newName) = DedupPrepare.naming(s, f.family, dir, f.variant)
+        val actual = DedupPrepare.resolveAlias(newName)
+        if (actual == newName) None // never appended, or already compacted
+        else {
+          val t0 = System.nanoTime()
+          // read the appended table as a PLAIN parquet scan for the
+          // rewrite: a bucketed scan reports hash partitioning, the
+          // redundant-shuffle rule then elides writeBucketed's
+          // repartition, and the output inherits the appended file
+          // fan-out (measured: 61 files out for 61 in) instead of
+          // coalescing to one file per bucket
+          val flag = "spark.sql.sources.bucketing.enabled"
+          val prev = s.conf.get(flag)
+          try {
+            s.conf.set(flag, "false") // scan planning happens inside the write
+            DedupPrepare.writeBucketed(s.table(actual), newName,
+              f.bucketCols, f.sortCols)
+          } finally s.conf.set(flag, prev)
+          s.sql(s"DROP TABLE IF EXISTS $actual")
+          DedupPrepare.dropAliases(base)
+          DedupPrepare.sweepStale(s, base, keep = Set(newName))
+          Some(LayerDelta(f.family + f.variant, "compacted",
+            s.table(newName).count(), (System.nanoTime() - t0) / 1e9))
+        }
+      }
+    }
+}

@@ -549,11 +549,18 @@ object TextAnalysis {
     * diagnostics. Without the table each consumer would re-explode and
     * re-aggregate the corpus per Catalyst branch (no subplan sharing:
     * ta10 alone has three derivations of this relation). */
-  private def langFreq(s: SparkSession, dir: String): DataFrame =
+  /** (lang, tok) occurrence rows off a documents relation — the unigram
+    * layer's un-aggregated body, shared with [[LayerMaintenance]]'s
+    * batch-delta path. */
+  private[operators] def langTokens(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), explode(ws).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** Also [[LayerMaintenance.ensureMaintained]]'s entry to the unigram
+    * layer (its counts merge batch-wise on ingest). */
+  private[operators] def langFreq(s: SparkSession, dir: String): DataFrame =
     DedupPrepare.ensure(s, "unifreq", dir,
-      () => Tables.documents(s, dir)
-        .select(col("lang"), explode(ws).as("tok"))
-        .filter(col("tok") =!= "")
+      () => langTokens(Tables.documents(s, dir))
         .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c")),
       Seq("tok"), Seq("tok"), variant = "_lang")
 

@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, DedupPrepare, LayerMaintenance}
+
+/** Incremental layer maintenance (r8 verdict #4): build the maintained
+  * layers at corpus v1, append an ingest batch, and prove
+  *  (a) every appended/merged layer reads EQUAL to a from-scratch build
+  *      over corpus v2,
+  *  (b) a real consumer query (dd03's verified pair relation) agrees,
+  *  (c) the append reports per-family internal costs (the ≪-rebuild
+  *      claim is measured at soak scale by graft.tools.IngestBench and
+  *      recorded in SCALING.md — spec scale is overhead-dominated),
+  *  (d) compaction restores single-file buckets and the
+  *      fingerprint-keyed table name with content unchanged, and
+  *  (e) the capped band layer stays exactly capped across the ingest
+  *      boundary, admitting only up to cap − n_old per bucket.
+  */
+class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
+
+  private def doc(id: Long, text: String) = (id, text, "en", "u", text.length.toLong)
+
+  private def writeDocs(dir: String, rows: Seq[(Long, String, String, String, Long)],
+      mode: String): Unit = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4).write.mode(mode).parquet(s"$dir/documents.parquet")
+  }
+
+  // distinct-ish text with some cross-doc shingle overlap so the layers
+  // are non-trivial (shared trigrams, shared band buckets)
+  private def body(i: Long): String =
+    s"alpha bravo charlie tok$i delta echo tok${i % 7} foxtrot golf " +
+      s"hotel tok${i % 13} india juliet"
+
+  private def layers = Seq("shingles3", "minhash", "lshbands", "unifreq")
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("append ≡ rebuild, consumer queries agree, compact restores invariants") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_lm_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_lm_b").toString
+    val v1 = (0L until 1200L).map(i => doc(i, body(i)))
+    val batch = (5000L until 5060L).map(i => doc(i, body(i)))
+
+    writeDocs(dirA, v1, "overwrite")
+    val t0 = System.nanoTime()
+    LayerMaintenance.ensureMaintained(spark, dirA)
+    val buildSecs = (System.nanoTime() - t0) / 1e9
+
+    // ingest: batch files land in the corpus dir, then the layers absorb
+    writeDocs(dirA, batch, "append")
+    import spark.implicits._
+    val batchDf = batch.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val report = LayerMaintenance.appendIngest(spark, dirA, batchDf)
+    // internal per-family times, measured while holding the layer lock:
+    // suites share one JVM session and run concurrently, so wall-clock
+    // around the call would count OTHER suites' ensure() builds as
+    // append cost (observed flake in the full run)
+    val appendSecs = report.map(_.secs).sum
+    assert(report.map(_.action).sorted ==
+      Seq("appended", "appended", "appended", "merged"))
+
+    // from-scratch reference: corpus v2 built in one shot
+    writeDocs(dirB, v1 ++ batch, "overwrite")
+    LayerMaintenance.ensureMaintained(spark, dirB)
+
+    for (f <- layers) {
+      assert(sortedRows(LayerMaintenance.maintainedLayer(spark, dirA, f)) ==
+        sortedRows(LayerMaintenance.maintainedLayer(spark, dirB, f)),
+        s"layer $f: appended != rebuilt")
+    }
+
+    // a consumer query through ensure() resolves the alias and agrees
+    assert(sortedRows(Dedup.dd03(spark, dirA)) == sortedRows(Dedup.dd03(spark, dirB)))
+
+    // Cost is NOT asserted here: at spec scale (1200 docs) both sides
+    // are fixed-per-job-overhead-dominated and the suite runs
+    // concurrently in a shared session, so the comparison flakes in
+    // either direction. The measured ≪ evidence is the committed
+    // IngestBench run in SCALING.md (append cost stays batch-sized
+    // while rebuild grows with the corpus). Printed for visibility:
+    info(f"append internal $appendSecs%.1f s vs v1 build wall $buildSecs%.1f s")
+
+    // pre-compact: appended layers live under their PRE-ingest names
+    val preName = LayerMaintenance.physicalName(spark, dirA, "shingles3")
+    val expected = LayerMaintenance.expectedName(spark, dirA, "shingles3")
+    assert(preName != expected, "append should alias, not re-key")
+
+    val creport = LayerMaintenance.compact(spark, dirA)
+    assert(creport.map(_.action) == Seq("compacted", "compacted", "compacted"))
+    for (f <- layers) {
+      assert(sortedRows(LayerMaintenance.maintainedLayer(spark, dirA, f)) ==
+        sortedRows(LayerMaintenance.maintainedLayer(spark, dirB, f)),
+        s"layer $f: compaction changed content")
+    }
+    // compacted tables re-key to the current fingerprint name and are
+    // single-file-per-bucket again (≤ 1 data file per bucket)
+    assert(LayerMaintenance.physicalName(spark, dirA, "shingles3") == expected)
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), expected)
+    val dataFiles = Option(wh.listFiles()).getOrElse(Array.empty)
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles <= DedupPrepare.Buckets, s"$dataFiles files after compact")
+
+    // consumer still agrees after compaction
+    assert(sortedRows(Dedup.dd03(spark, dirA)) == sortedRows(Dedup.dd03(spark, dirB)))
+  }
+
+  test("ingest contract: non-fresh batch ids are rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_c").toString
+    val v1 = (0L until 100L).map(i => doc(i, body(i)))
+    writeDocs(dir, v1, "overwrite")
+    LayerMaintenance.ensureMaintained(spark, dir)
+    val clash = Seq(doc(50L, body(999L)))
+    writeDocs(dir, clash, "append")
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      LayerMaintenance.appendIngest(spark, dir,
+        clash.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    }
+    assert(e.getMessage.contains("must be fresh"))
+  }
+
+  test("capped band layer stays exactly capped across the ingest boundary") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_d").toString
+    // 990 identical docs: every band bucket of the clique holds 990
+    val v1 = (0L until 990L).map(i => doc(i, "same same same same same text here"))
+    writeDocs(dir, v1, "overwrite")
+    LayerMaintenance.ensureMaintained(spark, dir)
+    // 30 more identical docs arrive: only cap − 990 = 10 (lowest batch
+    // ids) may join each bucket
+    val batch = (2000L until 2030L).map(i => doc(i, "same same same same same text here"))
+    writeDocs(dir, batch, "append")
+    import spark.implicits._
+    LayerMaintenance.appendIngest(spark, dir,
+      batch.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val bands = LayerMaintenance.maintainedLayer(spark, dir, "lshbands")
+    val perBucket = bands.groupBy("b", "bh").count()
+    assert(perBucket.agg(max("count")).head.getLong(0) == Dedup.BucketCap.toLong)
+    val admitted = bands.filter(col("doc_id") >= 2000L)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(admitted == (2000L until 2010L).toSeq)
+  }
+}
