@@ -401,23 +401,49 @@ object Multimodal {
       }
     }
 
+  // ------------------------------------------------------ JPEG pixel I/O
+  /** A REAL baseline JPEG carrying deterministic pixels ([[JpegCodec]],
+    * r8 verdict #5 — the former codec stub): DC-only 8×8 blocks against
+    * an all-8s quant table, so any correct decoder recovers EXACTLY
+    * blockvalue = dc + 128 per sample (IDCT of a DC-only block is flat
+    * F00/8 = dc, no rounding ambiguity) while the bitstream is real
+    * entropy-coded data (Annex K Huffman tables, DC prediction across
+    * MCUs, byte stuffing). Component value of block (bx, by):
+    * (docId·31 + bx·7 + by·13 + c·5) mod 256 — the PNG fixture's
+    * formula family at block granularity, closed-form for the oracle.
+    * 1 component (gray) when docId ≡ 0 (mod 3), else 3 (YCbCr → the
+    * decoder's fixed-point RGB transform, which the oracle mirrors with
+    * FLOOR arithmetic). */
+  private[graft] def jpegPixelPayload(docId: Long, nChars: Long): Array[Byte] = {
+    val w = (nChars * 7 % 12 + 4).toInt
+    val h = (nChars * 13 % 12 + 4).toInt
+    val nc = if (docId % 3 == 0) 1 else 3
+    JpegCodec.encodeFlatBlocks(w, h, nc,
+      (bx, by, c) => ((docId * 31 + bx * 7 + by * 13 + c * 5) % 256).toInt - 128)
+  }
+
+  /** Sniff-and-decode: PNG (inflate + unfilter) or baseline JPEG
+    * (Huffman + dequant + IDCT + YCbCr→RGB) — both pure JDK. */
+  private[graft] def decodePixels(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    decodePngPixels(p).orElse(JpegCodec.decodePixels(p))
+
   // ---------------------------------------------------------------- mm04
-  /** Feature extraction — REAL pixel statistics where a JDK-only decode
-    * exists, stub only where a codec library or model weights would be
-    * required (r7 verdict #8):
-    *  - even doc_ids carry [[pngPixelPayload]] (a real PNG) and are
-    *    DECODED FOR REAL — inflate + unfilter — with features from the
-    *    decoded pixels: f0..f3 per-channel means, f4 overall mean,
-    *    f5/f6 min/max (all exact integer sums, one final IEEE division,
-    *    so the closed-form oracle agrees bit-for-bit), f7 the one
-    *    remaining ENCODER stub dim (a forward pass needs weights no
-    *    offline container has);
-    *  - odd doc_ids are JPEG — entropy decode needs a codec library, so
-    *    the whole feature row stays the deterministic hash stub.
-    * content_md5 fingerprints what the stage actually consumed: the
-    * DECODED pixel stream (as a comma-joined int string both engines
-    * can construct) for PNGs, the text body for JPEGs — an unfilter bug
-    * upstream fails the hash.
+  /** Feature extraction — REAL pixel statistics for BOTH containers
+    * (r8 verdict #5 retired the JPEG stub):
+    *  - even doc_ids carry [[pngPixelPayload]] (a real PNG), decoded by
+    *    inflate + unfilter;
+    *  - odd doc_ids carry [[jpegPixelPayload]] (a real baseline JPEG),
+    *    decoded by [[JpegCodec]] — Huffman, dequant, IDCT, fixed-point
+    *    YCbCr→RGB.
+    * Features from the decoded pixels: f0..f3 per-channel means, f4
+    * overall mean, f5/f6 min/max (all exact integer sums, one final
+    * IEEE division, so the closed-form oracle agrees bit-for-bit), f7
+    * the one remaining ENCODER stub dim (a forward pass needs weights
+    * no offline container has). content_md5 fingerprints what the
+    * stage actually consumed: the DECODED pixel stream (as a
+    * comma-joined int string both engines can construct) — a decode bug
+    * upstream fails the hash. An unparseable payload (neither
+    * container) degrades to the deterministic hash-stub row.
     */
   private val FeatureDims = 8
 
@@ -442,14 +468,14 @@ object Multimodal {
       .as[(Long, String, String, Long)]
       .map { case (id, src, text, n) =>
         MediaIn(id, src,
-          if (id % 2 == 0) pngPixelPayload(id, n) else synthPayload(id, text, n))
+          if (id % 2 == 0) pngPixelPayload(id, n) else jpegPixelPayload(id, n))
       }
     media.mapPartitions { it =>
       // fixed-dim feature rows (flat floats, not list<float>: the
       // arrow-level list element name/nullability differs between the
       // engines and the driver's compare is type-sensitive)
       it.grouped(DecodeBatch).flatMap(_.map { m =>
-        decodePngPixels(m.payload) match {
+        decodePixels(m.payload) match {
           case Some((w, h, ch, px)) =>
             // REAL path: statistics of the DECODED pixels. Integer sums
             // (exact), one double division each, float cast — portable.
@@ -489,23 +515,46 @@ object Multimodal {
     }.toDF().transform(Present.sorted(_, "doc_id"))
   }
 
-  val mm04Sql: String = {
-    val jpegDims = (0 until FeatureDims).map { j =>
-      s"CAST(CAST(concat('0x', substr(md5(md5(text) || ':' || '$j'), 1, 15)) AS BIGINT) % 1000 / 1000.0 AS REAL) AS f$j"
-    }.mkString(",\n       ")
-    // even docs: regenerate the pixel FORMULA (the Spark side had to
-    // inflate+unfilter real bytes to see the same values)
+  /** Closed-form decoded-JPEG component value of pixel (x, y): the
+    * fixture's per-block DC formula at block coords (x//8, y//8). */
+  private def jvSql(c: Int): String =
+    s"(doc_id * 31 + (x // 8) * 7 + (y // 8) * 13 + $c * 5) % 256"
+
+  /** Fixed-point YCbCr→RGB, mirroring JpegCodec.ycc2rgb exactly:
+    * floorDiv = FLOOR(x / 65536.0) (all operands < 2^24, double-exact). */
+  private def rgbSql(ch: Int): String = {
+    val (y, cb, cr) = (jvSql(0), jvSql(1), jvSql(2))
+    val raw = ch match {
+      case 0 => s"$y + CAST(FLOOR((91881 * ($cr - 128) + 32768) / 65536.0) AS BIGINT)"
+      case 1 => s"$y - CAST(FLOOR((22554 * ($cb - 128) + 46802 * ($cr - 128) + 32768) / 65536.0) AS BIGINT)"
+      case 2 => s"$y + CAST(FLOOR((116130 * ($cb - 128) + 32768) / 65536.0) AS BIGINT)"
+    }
+    s"LEAST(255, GREATEST(0, $raw))"
+  }
+
+  val mm04Sql: String =
+    // regenerate the pixel FORMULAS (the Spark side had to really decode
+    // the bytes — inflate+unfilter for PNG, Huffman+IDCT(+YCbCr) for
+    // JPEG — to see the same values)
     s"""WITH de AS (
        |  SELECT doc_id,
        |         CAST(n_chars * 7 % 12 + 4 AS INT) AS w,
        |         CAST(n_chars * 13 % 12 + 4 AS INT) AS h,
-       |         CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS nc
-       |  FROM documents WHERE doc_id % 2 = 0),
+       |         CAST(CASE WHEN doc_id % 2 = 0
+       |              THEN CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+       |              ELSE CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END
+       |              END AS INT) AS nc
+       |  FROM documents),
        |xs AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS x),
        |ys AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS y),
        |cs AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS c),
        |pxe AS (SELECT doc_id, w, h, nc, x, y, c,
-       |               (doc_id * 31 + x * 7 + y * 13 + c * 5) % 256 AS v
+       |               CASE WHEN doc_id % 2 = 0
+       |                    THEN (doc_id * 31 + x * 7 + y * 13 + c * 5) % 256
+       |                    WHEN nc = 1 THEN ${jvSql(0)}
+       |                    WHEN c = 0 THEN ${rgbSql(0)}
+       |                    WHEN c = 1 THEN ${rgbSql(1)}
+       |                    ELSE ${rgbSql(2)} END AS v
        |        FROM de JOIN xs ON x < w JOIN ys ON y < h JOIN cs ON c < nc),
        |agg AS (SELECT doc_id, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
        |               ANY_VALUE(nc) AS nc,
@@ -515,31 +564,26 @@ object Multimodal {
        |               SUM(CASE WHEN c = 2 THEN v END) AS s2,
        |               SUM(CASE WHEN c = 3 THEN v END) AS s3,
        |               SUM(v) AS st, MIN(v) AS mn, MAX(v) AS mx
-       |        FROM pxe GROUP BY doc_id),
-       |png AS (SELECT doc_id, md5(csv) AS content_md5,
-       |               CAST(CAST(s0 AS DOUBLE) / (w * h * 255.0) AS REAL) AS f0,
-       |               CAST(COALESCE(CAST(s1 AS DOUBLE) / (w * h * 255.0), 0.0) AS REAL) AS f1,
-       |               CAST(COALESCE(CAST(s2 AS DOUBLE) / (w * h * 255.0), 0.0) AS REAL) AS f2,
-       |               CAST(COALESCE(CAST(s3 AS DOUBLE) / (w * h * 255.0), 0.0) AS REAL) AS f3,
-       |               CAST(CAST(st AS DOUBLE) / (CAST(w AS BIGINT) * h * nc * 255.0) AS REAL) AS f4,
-       |               CAST(CAST(mn AS DOUBLE) / 255.0 AS REAL) AS f5,
-       |               CAST(CAST(mx AS DOUBLE) / 255.0 AS REAL) AS f6,
-       |               CAST(CAST(concat('0x', substr(md5(md5(csv) || ':enc'), 1, 15)) AS BIGINT) % 1000 / 1000.0 AS REAL) AS f7
-       |        FROM agg),
-       |jpeg AS (SELECT doc_id, md5(text) AS content_md5,
-       |       $jpegDims
-       |FROM documents WHERE doc_id % 2 = 1)
-       |SELECT * FROM png UNION ALL SELECT * FROM jpeg ORDER BY doc_id""".stripMargin
-  }
+       |        FROM pxe GROUP BY doc_id)
+       |SELECT doc_id, md5(csv) AS content_md5,
+       |       CAST(CAST(s0 AS DOUBLE) / (w * h * 255.0) AS REAL) AS f0,
+       |       CAST(COALESCE(CAST(s1 AS DOUBLE) / (w * h * 255.0), 0.0) AS REAL) AS f1,
+       |       CAST(COALESCE(CAST(s2 AS DOUBLE) / (w * h * 255.0), 0.0) AS REAL) AS f2,
+       |       CAST(COALESCE(CAST(s3 AS DOUBLE) / (w * h * 255.0), 0.0) AS REAL) AS f3,
+       |       CAST(CAST(st AS DOUBLE) / (CAST(w AS BIGINT) * h * nc * 255.0) AS REAL) AS f4,
+       |       CAST(CAST(mn AS DOUBLE) / 255.0 AS REAL) AS f5,
+       |       CAST(CAST(mx AS DOUBLE) / 255.0 AS REAL) AS f6,
+       |       CAST(CAST(concat('0x', substr(md5(md5(csv) || ':enc'), 1, 15)) AS BIGINT) % 1000 / 1000.0 AS REAL) AS f7
+       |FROM agg ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- mm05
   /** Perceptual-hash image dedup — the LAION-style pass: decode each
-    * image FOR REAL ([[decodePngPixels]] — inflate + unfilter), compute
-    * a 64-bit difference-hash (dHash) from the decoded pixels, and drop
-    * exact pHash matches (keeper = min doc_id per hash, dd01's contract
-    * on a perceptual rather than byte signature). JPEG docs (odd ids)
-    * need a codec library and are excluded — the honest boundary mm04
-    * draws.
+    * image FOR REAL ([[decodePixels]]: PNG inflate + unfilter, baseline
+    * JPEG Huffman + IDCT + YCbCr→RGB — r9 extended the pass to the JPEG
+    * half of the corpus when [[JpegCodec]] retired the codec stub),
+    * compute a 64-bit difference-hash (dHash) from the decoded pixels,
+    * and drop exact pHash matches (keeper = min doc_id per hash, dd01's
+    * contract on a perceptual rather than byte signature).
     *
     * dHash here SAMPLES the 9×8 luma grid (`x_i = i·w/9`, `y_j = j·h/8`,
     * integer division; luma = integer mean of the first min(ch,3)
@@ -588,11 +632,12 @@ object Multimodal {
     // pooled: the decode-bearing relation feeds BOTH sides of the
     // keeper join-back below — persist so pixels decode once, not twice
     val hashes = Present.pooled(Tables.documents(s, dir)
-      .filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
       .map { case (id, n) =>
-        val Some((w, h, ch, px)) = decodePngPixels(pngPixelPayload(id, n))
+        val payload = if (id % 2 == 0) pngPixelPayload(id, n)
+                      else jpegPixelPayload(id, n)
+        val Some((w, h, ch, px)) = decodePixels(payload)
         val (hi, lo) = dhashHalves(w, h, ch, px)
         PhashRow(id, hi, lo)
       }.toDF())
@@ -610,19 +655,39 @@ object Multimodal {
   }
 
   val mm05Sql: String = {
-    // closed-form pixel term (the Spark side had to decode real bytes)
-    def term(x: String, y: String, c: Int) =
+    // closed-form pixel luma (the Spark side had to decode real bytes):
+    // PNG = per-pixel formula over min(nc, 3) channels; JPEG = the
+    // per-block DC formula, through the fixed-point RGB transform for
+    // 3-component streams (mirrors JpegCodec.ycc2rgb)
+    def pv(x: String, y: String, c: Int) =
       s"(doc_id * 31 + ($x) * 7 + ($y) * 13 + $c * 5) % 256"
+    def jv(x: String, y: String, c: Int) =
+      s"(doc_id * 31 + (($x) // 8) * 7 + (($y) // 8) * 13 + $c * 5) % 256"
+    def jrgb(x: String, y: String, ch: Int): String = {
+      val (yy, cb, cr) = (jv(x, y, 0), jv(x, y, 1), jv(x, y, 2))
+      val raw = ch match {
+        case 0 => s"$yy + CAST(FLOOR((91881 * ($cr - 128) + 32768) / 65536.0) AS BIGINT)"
+        case 1 => s"$yy - CAST(FLOOR((22554 * ($cb - 128) + 46802 * ($cr - 128) + 32768) / 65536.0) AS BIGINT)"
+        case 2 => s"$yy + CAST(FLOOR((116130 * ($cb - 128) + 32768) / 65536.0) AS BIGINT)"
+      }
+      s"LEAST(255, GREATEST(0, $raw))"
+    }
     def lum(x: String, y: String) =
-      s"""CASE WHEN nc = 1 THEN ${term(x, y, 0)}
-         |ELSE (${term(x, y, 0)} + ${term(x, y, 1)} + ${term(x, y, 2)}) // 3 END"""
+      s"""CASE WHEN doc_id % 2 = 0 THEN
+         |  (CASE WHEN nc = 1 THEN ${pv(x, y, 0)}
+         |        ELSE (${pv(x, y, 0)} + ${pv(x, y, 1)} + ${pv(x, y, 2)}) // 3 END)
+         |WHEN nc = 1 THEN ${jv(x, y, 0)}
+         |ELSE (${jrgb(x, y, 0)} + ${jrgb(x, y, 1)} + ${jrgb(x, y, 2)}) // 3 END"""
         .stripMargin.replace("\n", " ")
     s"""WITH de AS (
        |  SELECT doc_id,
        |         CAST(n_chars * 7 % 12 + 4 AS INT) AS w,
        |         CAST(n_chars * 13 % 12 + 4 AS INT) AS h,
-       |         CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS nc
-       |  FROM documents WHERE doc_id % 2 = 0),
+       |         CAST(CASE WHEN doc_id % 2 = 0
+       |              THEN CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+       |              ELSE CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END
+       |              END AS INT) AS nc
+       |  FROM documents),
        |ij AS (SELECT CAST(a.i AS INT) AS i, CAST(b.j AS INT) AS j
        |       FROM (SELECT unnest(range(0, 8)) AS i) a,
        |            (SELECT unnest(range(0, 8)) AS j) b),

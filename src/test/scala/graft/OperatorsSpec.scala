@@ -585,19 +585,36 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = graft.operators.Multimodal.mm05(spark, dir).collect()
-    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 4L, 770L)) // evens only
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 4L, 7L, 770L)) // r9: JPEGs too
     val byId = out.map(r => r.getLong(0) -> r).toMap
     assert(byId(770L).getLong(3) == 2L && byId(770L).getInt(5) == 1) // keeper, is_dup
     assert(byId(2L).getLong(4) == 2L && byId(2L).getInt(5) == 0)     // group_n
-    // independent closed-form dHash (no decode): pins decode -> formula
-    for ((id, t) <- docs if id % 2 == 0) {
+    // independent closed-form dHash (no decode): pins decode -> formula.
+    // PNG (even ids): per-pixel formula over min(nc,3) channels; JPEG
+    // (odd ids): per-8×8-block formula through the fixed-point RGB
+    // transform for 3-component streams
+    def clamp(v: Int) = math.max(0, math.min(255, v))
+    for ((id, t) <- docs) {
       val n = t.length.toLong
       val w = (n * 7 % 12 + 4).toInt
       val h = (n * 13 % 12 + 4).toInt
-      val nc = Array(1, 3, 4)((id % 3).toInt)
-      val cmin = math.min(nc, 3)
       def lum(x: Int, y: Int): Int =
-        (0 until cmin).map(c => ((id * 31 + x * 7 + y * 13 + c * 5) % 256).toInt).sum / cmin
+        if (id % 2 == 0) {
+          val nc = Array(1, 3, 4)((id % 3).toInt)
+          val cmin = math.min(nc, 3)
+          (0 until cmin).map(c => ((id * 31 + x * 7 + y * 13 + c * 5) % 256).toInt)
+            .sum / cmin
+        } else {
+          def jv(c: Int) = ((id * 31 + (x / 8) * 7 + (y / 8) * 13 + c * 5) % 256).toInt
+          if (id % 3 == 0) jv(0)
+          else {
+            val (yv, cb, cr) = (jv(0), jv(1), jv(2))
+            val r = clamp(yv + Math.floorDiv(91881 * (cr - 128) + 32768, 65536))
+            val g = clamp(yv - Math.floorDiv(22554 * (cb - 128) + 46802 * (cr - 128) + 32768, 65536))
+            val b = clamp(yv + Math.floorDiv(116130 * (cb - 128) + 32768, 65536))
+            (r + g + b) / 3
+          }
+        }
       var lo = 0L
       var hi = 0L
       for (j <- 0 until 8; i <- 0 until 8) {
@@ -605,7 +622,8 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         val b = if (lum((i + 1) * w / 9, y) > lum(i * w / 9, y)) 1L else 0L
         if (j < 4) lo |= b << (j * 8 + i) else hi |= b << ((j - 4) * 8 + i)
       }
-      assert(byId(id).getLong(1) == hi && byId(id).getLong(2) == lo)
+      assert(byId(id).getLong(1) == hi && byId(id).getLong(2) == lo,
+        s"dHash mismatch for doc $id")
     }
   }
 
