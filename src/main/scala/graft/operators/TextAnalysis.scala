@@ -991,14 +991,23 @@ object TextAnalysis {
     * single tokens) ride the [[RarityHeadCut]] head-broadcast/tail-join
     * split, ta09/ta12's idiom.
     */
-  def ta14(s: SparkSession, dir: String): DataFrame = {
+  def ta14(s: SparkSession, dir: String): DataFrame =
+    ta14With(s, dir, uniProb(s, dir), bigramProb(s, dir))
+
+  /** [[ta14]] against explicit model tables — the weights-as-data swap
+    * hook (ta13's contract): `up` is the per-token table
+    * (tok, c, g_uni, g_back), `bp` the pruned bigram table (t1, t2, g).
+    * A KenLM export quantized to the 1e-9 grid drops into these two
+    * tables without touching the plan; the spec pins that swapped
+    * tables change scores under the same plan shape. */
+  private[graft] def ta14With(s: SparkSession, dir: String,
+      up: DataFrame, bp: DataFrame): DataFrame = {
     val t = filter(ws, x => x =!= "")
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), t.as("t")).filter(size(col("t")) >= 1)
     val first = docs.select(col("doc_id"), element_at(col("t"), 1).as("tok"))
     val bg = bigramPairs(Tables.documents(s, dir))
-    val j = bg.join(bigramProb(s, dir), Seq("t1", "t2"), "left")
-    val up = uniProb(s, dir)
+    val j = bg.join(bp.select(col("t1"), col("t2"), col("g")), Seq("t1", "t2"), "left")
     val uhead = up.filter(col("c") >= RarityHeadCut)
     val utail = up.filter(col("c") < RarityHeadCut)
     def lookup(rel: DataFrame): DataFrame =

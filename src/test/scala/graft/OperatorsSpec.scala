@@ -572,6 +572,20 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     val d2 = out.find(_.getLong(0) == 2L).get
     assert(d2.getDouble(4) ==
       grid(lg2(nTot.toDouble) - lg2(3.0)).toDouble / 1e9 / 2)
+
+    // weights-as-data (ta13's contract on the LM tables): a swapped
+    // model — every per-token cost forced to exactly 2 bits — changes
+    // scores with the same plan, i.e. a trained KenLM export quantized
+    // to the grid drops into the two tables without a code change
+    val g2 = 2L * 1000000000L
+    val upSwap = cnt.keys.toSeq.map(t => (t, cnt(t).toLong, g2, g2))
+      .toDF("tok", "c", "g_uni", "g_back")
+    val bpSwap = Seq(("a", "b", g2)).toDF("t1", "t2", "g")
+    val sout = graft.operators.TextAnalysis.ta14With(spark, dir, upSwap, bpSwap)
+      .collect()
+    // every term costs 2.0 bits -> xent 2.0, ppl 4.0 for every doc
+    assert(sout.nonEmpty)
+    assert(sout.forall(r => r.getDouble(4) == 2.0 && r.getDouble(5) == 4.0))
   }
 
   test("mm05: decoded dHash equals the closed form; mod-768 twins dedup") {

@@ -122,6 +122,23 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
 
   private val sf1Dir = "testdata/sf1.0"
 
+  /** sf10 budgets for the round-9-censused operator set (the r8/r9
+    * newcomers + the r9 rewrites) where they differ from sf1.0 — both
+    * flips are size-driven strategy selection (r6 precedent):
+    * cp04's two verify-chain joins land back on co-bucketed SMJ
+    * instead of broadcast at sf10 stats, and one of ss07's derived agg
+    * sides flips to reuse. Only this set is pinned at sf10 — a full
+    * 75-query sf10 plan build pays every layer build and would double
+    * the suite's wall time for no extra signal. */
+  private val sf10Set = Set(
+    "dd01_exact_dedup", "dd12_ngram_jaccard_lsh", "ss07_knn_ivfpq",
+    "cp03_manifest_v2", "cp04_incremental_ingest", "ta12_lm_perplexity",
+    "ta13_hash_classifier", "ta14_bigram_lm", "mm05_phash_dedup")
+  private val sf10Overrides = Map(
+    "cp04_incremental_ingest" -> 13, // broadcast -> co-bucketed SMJ
+    "ss07_knn_ivfpq" -> 20)          // one derived agg side reused
+  private val sf10Dir = "testdata/sf10"
+
   test("every registered query has a budget (new queries must be budgeted)") {
     assert(SparkEntry.queries.keySet == budget.keySet)
     assert(sf1Overrides.keySet.subsetOf(budget.keySet))
@@ -148,6 +165,19 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     assume(new java.io.File(sf1Dir).isDirectory,
       s"$sf1Dir absent — generate it to pin the sf1.0 budgets")
     auditAgainst(sf1Dir, n => sf1Overrides.getOrElse(n, budget(n)))
+  }
+
+  test("newcomer exchange counts match the pinned sf10 budgets (soak tree)") {
+    assume(new java.io.File(sf10Dir).isDirectory,
+      s"$sf10Dir absent — generate it (tools/gen_sf.py 10 $sf10Dir) to pin sf10")
+    val off = sf10Set.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf10Dir)
+      val expect = sf10Overrides.getOrElse(name,
+        sf1Overrides.getOrElse(name, budget(name)))
+      val ex = PlanAudit.exchangeCount(df)
+      if (ex == expect) None else Some(s"$name: $ex != $expect")
+    }
+    assert(off.isEmpty, s"sf10 plan-shape drift:\n${off.mkString("\n")}")
   }
 
   test("no cartesian products; nested-loop joins only where broadcast-by-design") {
