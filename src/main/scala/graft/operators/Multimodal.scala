@@ -438,14 +438,42 @@ object Multimodal {
     * Features from the decoded pixels: f0..f3 per-channel means, f4
     * overall mean, f5/f6 min/max (all exact integer sums, one final
     * IEEE division, so the closed-form oracle agrees bit-for-bit), f7
-    * the one remaining ENCODER stub dim (a forward pass needs weights
-    * no offline container has). content_md5 fingerprints what the
-    * stage actually consumed: the DECODED pixel stream (as a
-    * comma-joined int string both engines can construct) — a decode bug
-    * upstream fails the hash. An unparseable payload (neither
-    * container) degrades to the deterministic hash-stub row.
+    * the ENCODER head dim — since r9 a real forward pass in the ta13
+    * weights-as-data shape: a quantized linear projection (weights from
+    * the [[encWeights]] parquet model artifact, loaded driver-side and
+    * shipped in the closure) over the integer-exact decoded-pixel
+    * feature vector, sigmoid'd and 1e-9-gridded. content_md5
+    * fingerprints what the stage actually consumed: the DECODED pixel
+    * stream (as a comma-joined int string both engines can construct) —
+    * a decode bug upstream fails the hash. An unparseable payload
+    * (neither container) degrades to the deterministic hash-stub row.
     */
   private val FeatureDims = 8
+
+  /** Input dimension of the encoder head: the projection reads the
+    * 8-long integer feature vector [m0..m3 per-channel milli-means,
+    * m4 overall milli-mean, m5/m6 milli-min/max, bias 1000] — every
+    * element an exact floorDiv of the decoder's integer sums, so the
+    * weighted sum is exact long arithmetic in both engines. */
+  private[operators] val EncDims = 8
+
+  /** The encoder-head weight table as a BUILT ARTIFACT (same contract
+    * as ta13's `clfw`, closing the last weights-requiring stub): (dim
+    * INT, w_milli LONG), exactly [[EncDims]] rows in a parquet model
+    * layer. A real trained encoder head (e.g. a CLIP-style linear probe
+    * over image statistics, milli-quantized) drops into this table
+    * without touching the serving plan — [[mm04With]] is the spec-pinned
+    * swap hook. The shipped FIXTURE weights are a deterministic
+    * synthetic export, `w_milli(d) = h60("enc:" + d) mod 2001 − 1000`,
+    * so the DuckDB oracle regenerates the table in closed form.
+    */
+  private[operators] def encWeights(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "encw", dir,
+      () => s.range(0, EncDims.toLong)
+        .select(col("id").cast("int").as("dim"),
+          (Dedup.h60(concat(lit("enc:"), col("id").cast("string"))) % 2001L - 1000L)
+            .as("w_milli")),
+      Seq("dim"), Seq("dim"), variant = s"_d$EncDims")
 
   private def h60OfString(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -461,8 +489,21 @@ object Multimodal {
       f0: Float, f1: Float, f2: Float, f3: Float,
       f4: Float, f5: Float, f6: Float, f7: Float)
 
-  def mm04(s: SparkSession, dir: String): DataFrame = {
+  def mm04(s: SparkSession, dir: String): DataFrame =
+    mm04With(s, dir, encWeights(s, dir))
+
+  /** [[mm04]] against an explicit encoder-head weight table — the swap
+    * hook: the spec feeds an alternative (dim, w_milli) relation and
+    * pins that f7 changes while f0..f6, content_md5, and the plan shape
+    * do not. */
+  private[graft] def mm04With(s: SparkSession, dir: String,
+      weights: DataFrame): DataFrame = {
     import s.implicits._
+    // model load (EncDims rows — the head's whole parameter set), shipped
+    // executor-side inside the decode closure: serving adds zero joins
+    val wEnc = new Array[Long](EncDims)
+    weights.select(col("dim"), col("w_milli")).collect()
+      .foreach(r => wEnc(r.getInt(0)) = r.getLong(1))
     val media = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
       .as[(Long, String, String, Long)]
@@ -496,12 +537,32 @@ object Multimodal {
             val md = md5Hex(csv.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             def chMean(c: Int): Float =
               if (c < ch) (sums(c).toDouble / (n * 255.0)).toFloat else 0f
+            // the ENCODER head: exact-integer feature vector (floorDiv
+            // of the decoder's sums — milli-means/min/max + bias), then
+            // the weighted sum in exact longs, ONE transcendental
+            // (sigmoid) re-gridded at 1e-9 (Dedup.gridL's floor(p+0.5)
+            // form, = DuckDB ROUND) — no float-order or engine skew
+            val xs = new Array[Long](EncDims)
+            var c = 0
+            while (c < 4) {
+              xs(c) = if (c < ch) Math.floorDiv(sums(c) * 1000L, n.toLong * 255L)
+                      else 0L
+              c += 1
+            }
+            xs(4) = Math.floorDiv(tot * 1000L, n.toLong * ch * 255L)
+            xs(5) = Math.floorDiv(mn * 1000L, 255L)
+            xs(6) = Math.floorDiv(mx * 1000L, 255L)
+            xs(7) = 1000L
+            var sm = 0L
+            var d = 0
+            while (d < EncDims) { sm += wEnc(d) * xs(d); d += 1 }
+            val margin = sm.toDouble / 1e6
+            val sig = 1.0 / (1.0 + Math.exp(-margin))
             MediaFeatures(m.doc_id, md,
               chMean(0), chMean(1), chMean(2), chMean(3),
               (tot.toDouble / (n.toLong * ch * 255.0)).toFloat,
               (mn.toDouble / 255.0).toFloat, (mx.toDouble / 255.0).toFloat,
-              // the ENCODER stub dim: a forward pass needs weights
-              ((h60OfString(s"$md:enc") % 1000L) / 1000.0).toFloat)
+              (Math.floor(sig * 1e9 + 0.5) / 1e9).toFloat)
           case None =>
             // JPEG (codec-library territory): the full-row hash stub
             val bodyMd5 = decodeBatches(Iterator(m)).next().content_md5
@@ -530,6 +591,25 @@ object Multimodal {
       case 2 => s"$y + CAST(FLOOR((116130 * ($cb - 128) + 32768) / 65536.0) AS BIGINT)"
     }
     s"LEAST(255, GREATEST(0, $raw))"
+  }
+
+  /** Closed-form fixture weight `d` of the `encw` model artifact — the
+    * oracle regenerates the weight TABLE's fixture formula, exactly as
+    * ta13's oracle does for `clfw`. */
+  private def encwSql(d: Int): String =
+    s"(CAST(concat('0x', substr(md5('enc:$d'), 1, 15)) AS BIGINT) % 2001 - 1000)"
+
+  /** The encoder head's exact-long weighted sum over the integer feature
+    * vector (milli-means via floor division of the pixel sums — `//` on
+    * positives = Math.floorDiv — plus bias 1000), against [[encwSql]]
+    * fixture weights. Evaluated on the oracle's `agg` CTE columns. */
+  private val encMarginSql: String = {
+    def m(c: Int) =
+      s"CASE WHEN nc > $c THEN CAST((s$c * 1000) // (CAST(w AS BIGINT) * h * 255) AS BIGINT) ELSE 0 END"
+    val xs = Seq(m(0), m(1), m(2), m(3),
+      s"CAST((st * 1000) // (CAST(w AS BIGINT) * h * nc * 255) AS BIGINT)",
+      "(mn * 1000) // 255", "(mx * 1000) // 255", "1000")
+    xs.zipWithIndex.map { case (x, d) => s"${encwSql(d)} * ($x)" }.mkString(" + ")
   }
 
   val mm04Sql: String =
@@ -573,7 +653,7 @@ object Multimodal {
        |       CAST(CAST(st AS DOUBLE) / (CAST(w AS BIGINT) * h * nc * 255.0) AS REAL) AS f4,
        |       CAST(CAST(mn AS DOUBLE) / 255.0 AS REAL) AS f5,
        |       CAST(CAST(mx AS DOUBLE) / 255.0 AS REAL) AS f6,
-       |       CAST(CAST(concat('0x', substr(md5(md5(csv) || ':enc'), 1, 15)) AS BIGINT) % 1000 / 1000.0 AS REAL) AS f7
+       |       CAST(CAST(CAST(ROUND((1.0 / (1.0 + exp(-(CAST(($encMarginSql) AS DOUBLE) / 1e6)))) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS REAL) AS f7
        |FROM agg ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- mm05
@@ -712,7 +792,7 @@ object Multimodal {
     Q("mm01_media_decode_meta", "binary payload → batched typed decode (stub codec)", mm01, Some(mm01Sql)),
     Q("mm02_frame_sample", "every-10th-frame sampling with per-frame hash", mm02, Some(mm02Sql)),
     Q("mm03_resize_plan", "aspect-preserving short-side-224 resize planning", mm03, Some(mm03Sql)),
-    Q("mm04_feature_extract", "real PNG pixel decode (inflate+unfilter) stats; stub only for JPEG codec + encoder dim", mm04, Some(mm04Sql)),
+    Q("mm04_feature_extract", "real PNG+JPEG pixel decode stats + encoder-head projection (weights-as-data)", mm04, Some(mm04Sql)),
     Q("mm05_phash_dedup", "decoded-pixel dHash + exact perceptual-hash dedup (LAION-style)", mm05, Some(mm05Sql)),
   )
 }

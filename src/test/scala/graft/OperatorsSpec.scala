@@ -972,6 +972,73 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mm04 encoder head: weights-as-data projection; swap hook changes f7 only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm04w").toString
+    // ids cover both containers (even PNG / odd JPEG) and all channel
+    // variants (doc_id % 3); n_chars drives the fixture dimensions
+    val docs = Seq((1L, 29L), (2L, 31L), (3L, 37L), (4L, 41L), (5L, 43L), (6L, 47L))
+    docs.map { case (id, n) => (id, "x" * n.toInt, "en", "u", n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val out = graft.operators.Multimodal.mm04(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    // hand-compute f7 for the even (PNG) docs from the FIXTURE pixel
+    // formula + the encw fixture weights — fully independent of the
+    // decoder AND of the layer parquet
+    for ((id, n) <- docs if id % 2 == 0) {
+      val w = (n * 7 % 12 + 4).toInt; val h = (n * 13 % 12 + 4).toInt
+      val nc = (id % 3) match { case 0 => 1; case 1 => 3; case _ => 4 } // pngPixelPayload's colortype cycle
+      val sums = new Array[Long](4); var tot = 0L; var mn = 255L; var mx = 0L
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until nc) {
+        val v = (id * 31 + x * 7 + y * 13 + c * 5) % 256
+        sums(c) += v; tot += v; mn = math.min(mn, v); mx = math.max(mx, v)
+      }
+      val np = w.toLong * h
+      val xs = Array.tabulate(8) {
+        case c if c < 4 => if (c < nc) Math.floorDiv(sums(c) * 1000L, np * 255L) else 0L
+        case 4 => Math.floorDiv(tot * 1000L, np * nc * 255L)
+        case 5 => Math.floorDiv(mn * 1000L, 255L)
+        case 6 => Math.floorDiv(mx * 1000L, 255L)
+        case 7 => 1000L
+      }
+      val sm = (0 until 8).map(d => (h60(s"enc:$d") % 2001L - 1000L) * xs(d)).sum
+      val sig = 1.0 / (1.0 + math.exp(-(sm.toDouble / 1e6)))
+      val exp = (math.floor(sig * 1e9 + 0.5) / 1e9).toFloat
+      assert(out(id).getFloat(9) == exp, s"doc $id f7")
+    }
+
+    // swap hook: zero weights except bias 2000 -> margin exactly 2.0
+    // for EVERY doc regardless of pixels; f0..f6 + content_md5 unchanged
+    val swapW = spark.range(0, 8)
+      .select(col("id").cast("int").as("dim"),
+        org.apache.spark.sql.functions.when(col("id") === 7, 2000L)
+          .otherwise(0L).as("w_milli"))
+    val sw = graft.operators.Multimodal.mm04With(spark, dir, swapW)
+    val sout = sw.collect().map(r => r.getLong(0) -> r).toMap
+    val f7c = (math.floor((1.0 / (1.0 + math.exp(-2.0))) * 1e9 + 0.5) / 1e9).toFloat
+    assert(sout.values.forall(_.getFloat(9) == f7c))
+    assert(docs.exists { case (id, _) => out(id).getFloat(9) != f7c })
+    for ((id, _) <- docs; j <- 1 to 8)
+      assert(out(id).get(j) == sout(id).get(j), s"doc $id col $j must not move")
+    // identical serving plan: the model ships inside the closure — no
+    // join, and the only exchange is the presentation sort. Fresh
+    // DataFrames: after an action AQE folds exchanges into leaf query
+    // stages and the census would undercount (the ta13 lesson).
+    for (df <- Seq(graft.operators.Multimodal.mm04(spark, dir),
+                   graft.operators.Multimodal.mm04With(spark, dir, swapW))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), "mm04 serving must not join")
+      assert(PlanAudit.exchangeCount(df) == 1)
+    }
+  }
+
   test("Present pool: a long session's presentation caches stay bounded") {
     import spark.implicits._
     import graft.operators.Present
