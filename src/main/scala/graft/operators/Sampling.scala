@@ -564,6 +564,105 @@ object Sampling {
        |FROM r2 LEFT JOIN k ON r2.source = k.source
        |ORDER BY r2.source""".stripMargin
 
+  // ---------------------------------------------------------------- sp10
+  /** Temperature-scaled source balancing — the multinomial
+    * q_s ∝ (n_s/N)^τ mixture rule (the data-balancing step of the
+    * LLaMA/XLM-R pretraining recipes): temperature τ < 1 flattens the
+    * source distribution so head crawls stop dominating and tail
+    * sources are relatively upweighted, without a hand-written target
+    * table (sp07 covers the fixed-target form). Down-sampling only,
+    * like sp07: the binding source keeps everything (rate 1) and every
+    * other source derates so the KEPT corpus hits the temperature
+    * shares as closely as integer hashing allows; the rate folds to
+    * `least(1, w_s · min_t(n_t/w_t) / n_s)` (the normalizer cancels —
+    * sp07's binding-ratio form). The keep decision is the salted-h60
+    * family (salt "temp:"), composing independently with
+    * sp01/sp02/sp07/sp09.
+    *
+    * Engine parity: pow is the one transcendental — its result is
+    * floor(x·1e6+0.5)-gridded into integer micro-weights immediately
+    * (the ta12/ta13 transcendental treatment: per-value libm ulp skew
+    * would have to straddle a 1e-6 grid boundary to flip anything);
+    * every downstream value (shares, rates, thresholds) is a
+    * fixed-shape IEEE expression over those integers, identical in
+    * both engines.
+    *
+    * Scale posture: two tiny-keyspace aggregates (source counts, kept
+    * counts); grand totals via the q01/q15 broadcast-totals crossJoin,
+    * never a corpus window; the (source, thr) rate table broadcasts
+    * back against the scan for the map-side keep decision.
+    */
+  val MixTemperature = 0.7
+
+  def sp10(s: SparkSession, dir: String): DataFrame = {
+    // source-cardinality-bounded; pooled for the same two-branch reuse
+    // reason as mixRates' counts (totals crossJoin reads both branches)
+    val counts = Present.pooled(
+      Tables.documents(s, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs")))
+    val totDocs = counts.agg(sum(col("n_docs")).as("tot_docs"))
+    val weighted = Present.pooled(
+      counts.crossJoin(broadcast(totDocs))
+        .withColumn("p_obs",
+          col("n_docs").cast("double") / col("tot_docs").cast("double"))
+        .withColumn("w_micro",
+          floor(pow(col("p_obs"), MixTemperature) * 1e6 + 0.5).cast("long")))
+    val totW = weighted.agg(sum(col("w_micro")).as("tot_w"))
+    val scaleMin = weighted.agg(
+      min(col("n_docs").cast("double") / col("w_micro").cast("double")).as("scale"))
+    val rated = weighted.crossJoin(broadcast(totW)).crossJoin(broadcast(scaleMin))
+      .withColumn("target_share",
+        col("w_micro").cast("double") / col("tot_w").cast("double"))
+      .withColumn("rate",
+        least(lit(1.0),
+          col("w_micro").cast("double") * col("scale") /
+            col("n_docs").cast("double")))
+      .withColumn("thr", floor(col("rate") * 1e6 + 0.5).cast("long"))
+    val kept = Tables.documents(s, dir)
+      .join(broadcast(rated.select(col("source"), col("thr"))), Seq("source"))
+      .filter(Dedup.h60(concat(lit("temp:"), col("doc_id"))) % 1000000L < col("thr"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    val audit = Present.pooled(
+      rated.join(kept, Seq("source"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L))))
+    val totKept = audit.agg(sum(col("n_kept")).as("tot_kept"))
+    audit.crossJoin(broadcast(totKept))
+      .withColumn("achieved_share",
+        col("n_kept").cast("double") / col("tot_kept").cast("double"))
+      .select("source", "n_docs", "p_obs", "w_micro", "target_share", "rate",
+        "n_kept", "achieved_share")
+      .orderBy("source")
+  }
+
+  val sp10Sql: String =
+    s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+       |w AS (SELECT source, n_docs,
+       |             CAST(n_docs AS DOUBLE)
+       |               / CAST(SUM(n_docs) OVER () AS DOUBLE) AS p_obs
+       |      FROM c),
+       |w2 AS (SELECT source, n_docs, p_obs,
+       |              CAST(FLOOR(pow(p_obs, $MixTemperature) * 1e6 + 0.5) AS BIGINT) AS w_micro
+       |       FROM w),
+       |r AS (SELECT source, n_docs, p_obs, w_micro,
+       |             CAST(w_micro AS DOUBLE)
+       |               / CAST(SUM(w_micro) OVER () AS DOUBLE) AS target_share,
+       |             least(CAST(1.0 AS DOUBLE),
+       |                   CAST(w_micro AS DOUBLE) *
+       |                   MIN(CAST(n_docs AS DOUBLE) / CAST(w_micro AS DOUBLE)) OVER ()
+       |                   / CAST(n_docs AS DOUBLE)) AS rate
+       |      FROM w2),
+       |k AS (SELECT d.source, COUNT(*) AS n_kept
+       |      FROM documents d JOIN r ON d.source = r.source
+       |      WHERE ${Dedup.h60Sql("'temp:' || CAST(doc_id AS VARCHAR)")} % 1000000
+       |            < CAST(FLOOR(rate * 1e6 + 0.5) AS BIGINT)
+       |      GROUP BY d.source)
+       |SELECT r.source, n_docs, p_obs, w_micro, target_share, rate,
+       |       COALESCE(n_kept, 0) AS n_kept,
+       |       CAST(COALESCE(n_kept, 0) AS DOUBLE)
+       |         / CAST(SUM(COALESCE(n_kept, 0)) OVER () AS DOUBLE) AS achieved_share
+       |FROM r LEFT JOIN k ON r.source = k.source
+       |ORDER BY r.source""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("sp01_split_assign", "deterministic hash 90/5/5 train/val/test split", sp01, Some(sp01Sql)),
     Q("sp02_stratified_sample", "stratified 20% hash sample + audit counts", sp02, Some(sp02Sql)),
@@ -574,5 +673,6 @@ object Sampling {
     Q("sp07_mixture_resample", "downsample languages to a target mixture + audit", sp07, Some(sp07Sql)),
     Q("sp08_shuffle_order", "deterministic epoch-varied global shuffle permutation", sp08, Some(sp08Sql)),
     Q("sp09_source_cap", "per-source contribution cap (anti-domination derate)", sp09, Some(sp09Sql)),
+    Q("sp10_temperature_mixture", "temperature-scaled source balancing (p^tau derate + audit)", sp10, Some(sp10Sql)),
   )
 }

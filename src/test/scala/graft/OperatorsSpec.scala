@@ -697,6 +697,47 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       out.toSeq)
   }
 
+  test("sp10: temperature flattens shares; binding source keeps all; exact micro-weights") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sp10").toString
+    // heavily skewed sources: A 100 docs, B 50, C 10 (N=160)
+    val docs = (1 to 100).map(i => (i.toLong, "srcA")) ++
+      (101 to 150).map(i => (i.toLong, "srcB")) ++
+      (151 to 160).map(i => (i.toLong, "srcC"))
+    docs.map { case (id, src) => (id, s"text $id", "en", src, 7L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Sampling.sp10(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("srcA", "srcB", "srcC"))
+    // micro-weights: exactly floor(p^tau * 1e6 + .5) of the observed share
+    val n = Map("srcA" -> 100L, "srcB" -> 50L, "srcC" -> 10L)
+    val w = n.map { case (s, c) =>
+      s -> math.floor(math.pow(c.toDouble / 160.0,
+        graft.operators.Sampling.MixTemperature) * 1e6 + 0.5).toLong }
+    for ((s, r) <- out) {
+      assert(r.getLong(1) == n(s))
+      assert(r.getDouble(2) == n(s).toDouble / 160.0)  // p_obs
+      assert(r.getLong(3) == w(s))                     // w_micro
+    }
+    // binding source = argmin(n/w); under tau < 1, n/w ∝ n^(1-tau)
+    // grows with n, so the TAIL source binds and keeps everything at
+    // rate exactly 1 while the head sources derate — the flattening
+    val binding = n.keys.minBy(s => n(s).toDouble / w(s).toDouble)
+    assert(binding == "srcC")
+    assert(out(binding).getDouble(5) == 1.0)
+    assert(out(binding).getLong(6) == n(binding)) // rate-1 source keeps all
+    // tau < 1 flattens: target ratios are compressed vs observed ratios
+    val tsA = out("srcA").getDouble(4); val tsC = out("srcC").getDouble(4)
+    assert(tsA / tsC < (100.0 / 10.0) && tsA / tsC > 1.0)
+    // every source's achieved share sums to 1 and kept <= n
+    assert(out.values.forall(r => r.getLong(6) <= r.getLong(1)))
+    assert(math.abs(out.values.map(_.getDouble(7)).sum - 1.0) < 1e-12)
+    // deterministic: a re-run reproduces the decision bit-for-bit
+    assert(graft.operators.Sampling.sp10(spark, dir).collect().toSeq ==
+      out.values.toSeq.sortBy(_.getString(0)))
+  }
+
   test("ta10: diagnostics match a hand-computed corpus; top-100 ties break by token") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ta10").toString

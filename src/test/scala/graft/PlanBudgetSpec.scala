@@ -75,6 +75,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // left-join assembly; every input is a bucketed layer read
     "cp04_incremental_ingest" -> 13,
     "sp08_shuffle_order" -> 5, "sp09_source_cap" -> 3,
+    // sp10 (r9): sp07's broadcast-totals shape — source counts agg,
+    // kept counts agg, presentation sort; the pow weights live on the
+    // source-bounded pooled audit relation
+    "sp10_temperature_mixture" -> 3,
     "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 12,
     "ss03_knn_lsh" -> 5, "ss04_knn_ivf_multiprobe" -> 12,
     "ss05_knn_recall_audit" -> 64,  // + ss06 PQ (r7) + ss07 IVF-PQ (r8)
@@ -194,7 +198,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
       "q01_workload_share",                           // 1-row totals
       // r8: mixRates/sp07/sp09 swapped their empty-partition windows
       // for the same 1-row broadcast-totals crossJoin (r7 verdict #2)
-      "sp07_mixture_resample", "sp09_source_cap", "cp02_training_batches",
+      "sp07_mixture_resample", "sp09_source_cap", "sp10_temperature_mixture",
+      "cp02_training_batches",
       // r8: ta12's corpus-total scalar rides the same 1-row shape
       "ta12_lm_perplexity")
     val nl = Set.newBuilder[String]
