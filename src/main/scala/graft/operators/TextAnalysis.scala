@@ -1074,6 +1074,80 @@ object TextAnalysis {
        |       CAST(CAST(ROUND(pow(2.0, xent) * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS ppl
        |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- ta15
+  /** Sequence-length distribution audit — the context-length-planning
+    * report every pretraining run starts from: per (lang, log₂ length
+    * bucket) doc counts, token mass, and the within-lang doc/token
+    * shares + cumulative token mass (what fraction of trainable tokens
+    * fits under a candidate context length; which buckets sp06's
+    * packing must split). The bucket is the INTEGER log₂ — computed as
+    * `length(bin(n_tokens)) − 1`, never floor(log2(x)) (log2 of an
+    * exact power of two can come back 2.999… in one libm and 3.0 in the
+    * other, flipping the bucket; the binary-string length is exact in
+    * both engines).
+    *
+    * Scale posture: map-side token count off the scan, one shuffle on
+    * the tiny (lang, bucket) keyspace; the share/cumulative windows run
+    * over the bucket-cardinality-bounded audit relation, never the
+    * corpus.
+    */
+  def ta15(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // token count via the compiled one-pass text_metrics kernel (the
+    // ta03 lesson — the HOF filter runs an interpreted lambda per
+    // token). A blank doc splits to [""] (n_ws_tokens 1), so gate on
+    // trimmed length FIRST; for non-blank text the \s+ split emits no
+    // empties, making n_ws_tokens exactly the non-empty token count.
+    val grouped = Tables.documents(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("lang"),
+        call_function("text_metrics", col("text"))
+          .getField("n_ws_tokens").cast("long").as("n_tokens"))
+      .withColumn("bucket", (length(bin(col("n_tokens"))) - 1).cast("int"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+    val wl = Window.partitionBy(col("lang"))
+    val wcum = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped
+      .withColumn("lo_tokens", expr("shiftleft(CAST(1 AS BIGINT), bucket)"))
+      .withColumn("doc_share",
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(wl).cast("double"))
+      .withColumn("token_share",
+        col("sum_tokens").cast("double") /
+          sum(col("sum_tokens")).over(wl).cast("double"))
+      .withColumn("cum_token_share",
+        sum(col("sum_tokens")).over(wcum).cast("double") /
+          sum(col("sum_tokens")).over(wl).cast("double"))
+      .select("lang", "bucket", "lo_tokens", "n_docs", "sum_tokens",
+        "doc_share", "token_share", "cum_token_share")
+      .orderBy("lang", "bucket")
+  }
+
+  val ta15Sql: String =
+    s"""WITH $wsSqlCte,
+       |t AS (SELECT lang,
+       |             CAST(len(list_filter(ws, x -> x <> '')) AS BIGINT) AS n_tokens
+       |      FROM w),
+       |b AS (SELECT lang, CAST(length(bin(n_tokens)) - 1 AS INT) AS bucket, n_tokens
+       |      FROM t WHERE n_tokens > 0),
+       |g AS (SELECT lang, bucket, COUNT(*) AS n_docs,
+       |             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       |      FROM b GROUP BY 1, 2)
+       |SELECT lang, bucket,
+       |       CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS lo_tokens,
+       |       n_docs, sum_tokens,
+       |       CAST(n_docs AS DOUBLE)
+       |         / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS doc_share,
+       |       CAST(sum_tokens AS DOUBLE)
+       |         / CAST(SUM(sum_tokens) OVER (PARTITION BY lang) AS DOUBLE) AS token_share,
+       |       CAST(SUM(sum_tokens) OVER (PARTITION BY lang ORDER BY bucket
+       |                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+       |         / CAST(SUM(sum_tokens) OVER (PARTITION BY lang) AS DOUBLE) AS cum_token_share
+       |FROM g ORDER BY lang, bucket""".stripMargin
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("ta01_langid", "stopword-heuristic language ID + accuracy flag", ta01, Some(ta01Sql)),
@@ -1090,5 +1164,6 @@ object TextAnalysis {
     Q("ta12_lm_perplexity", "unigram-LM cross-entropy + perplexity (CCNet-shaped filter)", ta12, Some(ta12Sql)),
     Q("ta13_hash_classifier", "hashed-feature linear classifier scoring (fastText serving shape)", ta13, Some(ta13Sql)),
     Q("ta14_bigram_lm", "bigram-LM cross-entropy with stupid backoff (KenLM serving shape)", ta14, Some(ta14Sql)),
+    Q("ta15_length_histogram", "log2-bucket sequence-length distribution (context-length planning)", ta15, Some(ta15Sql)),
   )
 }

@@ -738,6 +738,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       out.values.toSeq.sortBy(_.getString(0)))
   }
 
+  test("ta15: log2 buckets are integer-exact at power-of-two boundaries") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ta15").toString
+    // token counts 1,2,3,8 hit bucket 0 / 1 / 1 / 3 — 8 is the classic
+    // floor(log2) libm trap (2.999... vs 3.0); empty doc must drop
+    val docs = Seq(
+      (1L, "a", "en"), (2L, "a b", "en"), (3L, "a b c", "en"),
+      (4L, (1 to 8).map(i => s"t$i").mkString(" "), "en"),
+      (5L, "", "en"), (6L, "x y z w", "de"))
+    docs.map { case (id, t, l) => (id, t, l, "u", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.ta15(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    assert(out.keySet == Set(("en", 0), ("en", 1), ("en", 3), ("de", 2)))
+    assert(out(("en", 0)).getLong(2) == 1L && out(("en", 3)).getLong(2) == 8L)
+    assert(out(("en", 1)).getLong(3) == 2L)  // docs 2 and 3
+    assert(out(("en", 1)).getLong(4) == 5L)  // 2 + 3 tokens
+    // en total 14 tokens: shares and the cumulative mass are exact
+    assert(out(("en", 0)).getDouble(5) == 1.0 / 4.0)  // doc_share (4 en docs)
+    assert(out(("en", 1)).getDouble(6) == 5.0 / 14.0)
+    assert(out(("en", 3)).getDouble(7) == 1.0)        // last bucket cum = all
+    assert(out(("en", 1)).getDouble(7) == 6.0 / 14.0) // 1 + 5 of 14
+    assert(out(("de", 2)).getDouble(7) == 1.0)
+  }
+
   test("ta10: diagnostics match a hand-computed corpus; top-100 ties break by token") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ta10").toString

@@ -106,7 +106,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // table + the head-broadcast/tail-join unigram lookups (first token
     // and backoff legs) + per-doc agg + final sort — the model tables
     // themselves are bucketed layer reads
-    "ta14_bigram_lm" -> 9)
+    "ta14_bigram_lm" -> 9,
+    // ta15 (r9): map-side token count -> tiny (lang,bucket) agg ->
+    // bounded-relation share windows -> final sort
+    "ta15_length_histogram" -> 3)
 
   /** sf1.0 budgets where they differ from the small tree — all four are
     * SIZE-DRIVEN STRATEGY FLIPS (a side outgrowing the broadcast
