@@ -339,6 +339,82 @@ object Dedup {
        |FROM inter JOIN nk n1 ON d1 = n1.doc_id JOIN nk n2 ON d2 = n2.doc_id
        |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- dd13
+  /** Shingle CONTAINMENT detection — the asymmetric twin of dd12's
+    * Jaccard: containment(A⊆B) = |A∩B| / |A|, reported for each gated
+    * pair as c / min(n1, n2) (the larger of the two directional
+    * containments) with the contained (smaller-set) doc identified.
+    * This is the signal symmetric Jaccard structurally misses: a doc
+    * wholly wrapped in a bigger one (boilerplate frame, quote-with-
+    * commentary, concatenated shard) scores J = |A|/|B| ≈ 0 when sizes
+    * differ wildly but containment ≈ 1 — the Broder resemblance-vs-
+    * containment distinction, and why production pipelines audit both.
+    *
+    * Scale posture: identical to dd12 — dd03's capped band layer
+    * pregates candidates (merge-pinned bucketed self-join), the exact
+    * intersection runs off the df-cut kept-shingle layer for survivors
+    * only, set sizes come from a groupBy (never a window over the
+    * shingle key). At 100 TB the banded gate is the only shape that
+    * survives (dd12's measured 12× → 2.7× curve); approximate by the
+    * same construction — a pair the bands never co-bucket is not
+    * scored.
+    */
+  def dd13(s: SparkSession, dir: String): DataFrame = {
+    val bands = DedupPrepare.lshBands(s, dir)
+    val cand = bands.as("x").hint("merge").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val kd = DedupPrepare.keptByDoc(s, dir)
+    val n = kd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(kd.as("k1"), col("d1") === col("k1.doc_id"))
+      .join(kd.as("k2"),
+        col("d2") === col("k2.doc_id") && col("k1.s") === col("k2.s"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+    inter
+      .join(n.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(n.as("n2"), col("d2") === col("n2.doc_id"))
+      .select(col("d1"), col("d2"), col("c").as("n_common"),
+        col("n1.n").as("n1"), col("n2.n").as("n2"),
+        (col("c").cast("double") /
+          least(col("n1.n"), col("n2.n")).cast("double")).as("containment"),
+        (col("c").cast("double") /
+          (col("n1.n") + col("n2.n") - col("c")).cast("double")).as("jaccard"),
+        when(col("n1.n") <= col("n2.n"), col("d1")).otherwise(col("d2"))
+          .as("contained_doc"))
+      .orderBy(col("containment").desc, col("d1"), col("d2"))
+      .limit(20)
+  }
+
+  lazy val dd13Sql: String =
+    s"""WITH $minhashSigSqlCte,
+       |bl0 AS (SELECT doc_id, b, CASE b WHEN 0 THEN bh0 WHEN 1 THEN bh1
+       |                                 WHEN 2 THEN bh2 ELSE bh3 END AS bh
+       |       FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+       |bl AS (SELECT doc_id, b, bh FROM (
+       |         SELECT bl0.*, ROW_NUMBER() OVER (PARTITION BY b, bh ORDER BY doc_id) AS rn
+       |         FROM bl0)
+       |       WHERE rn <= $BucketCap),
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |         FROM bl x JOIN bl y ON x.b = y.b AND x.bh = y.bh
+       |                            AND x.doc_id < y.doc_id),
+       |keptk AS (SELECT doc_id, s FROM (
+       |            SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh)
+       |          WHERE df <= ${DedupPrepare.DfCut}),
+       |nk AS (SELECT doc_id, COUNT(*) AS n FROM keptk GROUP BY doc_id),
+       |inter AS (SELECT d1, d2, COUNT(*) AS c
+       |          FROM cand JOIN keptk k1 ON d1 = k1.doc_id
+       |                    JOIN keptk k2 ON d2 = k2.doc_id AND k1.s = k2.s
+       |          GROUP BY 1, 2)
+       |SELECT d1, d2, c AS n_common, n1.n AS n1, n2.n AS n2,
+       |       CAST(c AS DOUBLE) / CAST(least(n1.n, n2.n) AS DOUBLE) AS containment,
+       |       CAST(c AS DOUBLE) / CAST(n1.n + n2.n - c AS DOUBLE) AS jaccard,
+       |       CASE WHEN n1.n <= n2.n THEN d1 ELSE d2 END AS contained_doc
+       |FROM inter JOIN nk n1 ON d1 = n1.doc_id JOIN nk n2 ON d2 = n2.doc_id
+       |ORDER BY containment DESC, d1, d2 LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- dd08
   /** Deterministic connected components by min-label propagation over an
     * undirected edge list (a, b): each node's label starts at
@@ -927,6 +1003,7 @@ object Dedup {
     Q("dd09_cluster_keeper", "per-cluster canonical doc by quality score", dd09, Some(dd09Sql)),
     Q("dd04_ngram_jaccard_topk", "top-20 word-3-gram Jaccard pairs (inverted index)", dd04, Some(dd04Sql)),
     Q("dd12_ngram_jaccard_lsh", "LSH-gated n-gram Jaccard top-20 (dd04's scale path)", dd12, Some(dd12Sql)),
+    Q("dd13_shingle_containment", "LSH-gated asymmetric containment (subset/wrapper detector)", dd13, Some(dd13Sql)),
     Q("dd05_simhash_sig", "60-bit SimHash + 15-bit banding chunks", dd05, Some(dd05Sql)),
     Q("dd06_simhash_hamming", "SimHash banded Hamming near-dup top-20", dd06, Some(dd06Sql)),
     Q("dd07_embedding_neardup", "IVF-cell-blocked exact-cosine near-dup top-20", dd07, Some(dd07Sql)),

@@ -764,6 +764,37 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(("de", 2)).getDouble(7) == 1.0)
   }
 
+  test("dd13: containment 1.0 for a wrapped doc where Jaccard < 1; exact counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dd13").toString
+    // doc 2 = doc 1's text REPEATED: its distinct 3-shingle set is doc
+    // 1's 18 shingles plus exactly the 2 wrap-around shingles at the
+    // repeat boundary — a strict superset, so containment is exactly 1
+    // while Jaccard is 18/20. The near-identical sets co-bucket in the
+    // LSH bands (the 2 extra shingles rarely displace a band's mins —
+    // fixed fixture, deterministic). Docs 3/4 are exact duplicates:
+    // containment AND Jaccard exactly 1.
+    val a = (1 to 20).map(i => f"tok$i%02d").mkString(" ")
+    val docs = Seq((1L, a), (2L, a + " " + a), (3L, "alpha beta gamma delta"),
+      (4L, "alpha beta gamma delta"))
+    docs.map { case (id, t) => (id, t, "en", "u", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Dedup.dd13(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.contains((1L, 2L)) && out.contains((3L, 4L)))
+    val w = out((1L, 2L))
+    assert(w.getLong(2) == 18L && w.getLong(3) == 18L && w.getLong(4) == 20L)
+    assert(w.getDouble(5) == 1.0)          // containment: A wholly inside B
+    assert(w.getDouble(6) == 18.0 / 20.0)  // Jaccard sees the size gap
+    assert(w.getLong(7) == 1L)             // the smaller doc is the contained one
+    val e = out((3L, 4L))
+    assert(e.getDouble(5) == 1.0 && e.getDouble(6) == 1.0)
+    // ordering: containment desc, then (d1, d2)
+    val top = graft.operators.Dedup.dd13(spark, dir).collect().map(_.getDouble(5))
+    assert(top.sameElements(top.sorted(Ordering[Double].reverse)))
+  }
+
   test("ta10: diagnostics match a hand-computed corpus; top-100 ties break by token") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ta10").toString

@@ -29,6 +29,8 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // dd12: bucketed band self-join (no exchange) -> distinct + the
     // two kept joins + pair agg + final sort
     "dd12_ngram_jaccard_lsh" -> 5,
+    // dd13 (r9): dd12's exact gated shape, containment scoring
+    "dd13_shingle_containment" -> 5,
     // dd07: +1 exchange in r8 — the join against the materialized IVF
     // assignment that replaced the ground-truth label blocking key
     "dd07_embedding_neardup" -> 4,
