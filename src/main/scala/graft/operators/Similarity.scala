@@ -343,6 +343,74 @@ object Similarity {
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- ss08
+  /** IVF-routed RANGE search — all neighbors with cosine ≥ θ, the
+    * radius-query modality top-k can't express: near-dup thresholding
+    * (dd07's "pairs above 0.9"), dedup-sweep candidate generation, and
+    * recall floors are all "everything inside the radius", where the
+    * answer SIZE is data-driven, not a fixed k. Routing, capped cell
+    * membership, and the grid-exact cosine are ss04's (nprobe=2 —
+    * one routing definition shared by every probe path); the only
+    * difference is the emission rule: a θ-filter replaces the top-k
+    * rank window, so there is NO per-query window at all — the result
+    * is exactly as big as the data inside the radius, with the
+    * per-query in-range count carried on each row (the audit a range
+    * sweep logs). Approximate by the same construction as ss02/ss04:
+    * a neighbor outside the probed cells is not scored.
+    */
+  val RangeTheta = 0.15
+
+  def ss08(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val assign = ivfAssign(s, dir)
+    val best = bestCells(s, dir, nprobe = 2)
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .filter(col("query_id") < 10).join(broadcast(best), Seq("query_id"))
+      .withColumn("qn2", normL(col("qe")))
+    val scored = Dedup.capPerKey(e.join(assign, Seq("vec_id")),
+        Seq("cell"), "vec_id", Dedup.BucketCap)
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("embedding").as("ne"))
+      .withColumn("nn2", normL(col("ne")))
+      .join(broadcast(q),
+        col("cell") === col("ccell") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosine(dotL(col("qe"), col("ne")), col("qn2"), col("nn2")))
+      .filter(col("cosine") >= RangeTheta)
+      // a query probing 2 cells can score a boundary neighbor twice —
+      // emit each (query, neighbor) once
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
+    // in-range count over the radius-bounded result relation (already
+    // filtered to ≥θ — orders of magnitude smaller than the cell scan)
+    val wq = Window.partitionBy(col("query_id"))
+    scored.withColumn("n_in_range", count(lit(1)).over(wq))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("n_in_range"))
+      .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+  }
+
+  val ss08Sql: String =
+    s"""WITH $elCte,
+       |${kmeansCtes(IvfRounds)},
+       |${ivfRouteCtes(nprobe = 2)},
+       |dot AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, b.ccell,
+       |               SUM(CAST(ROUND((q.x * c.x) * 1e9) AS BIGINT)) AS dot
+       |        FROM el q JOIN best b ON q.vec_id = b.query_id AND q.vec_id < 10
+       |                  JOIN cappedc cc ON cc.cell = b.ccell
+       |                  JOIN el c ON c.vec_id = cc.vec_id AND q.pos = c.pos
+       |                           AND c.vec_id <> q.vec_id
+       |        GROUP BY 1, 2, 3),
+       |scored AS (SELECT query_id, neighbor_id,
+       |                  MAX(CAST(dot AS DOUBLE) / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE)))) AS cosine
+       |           FROM dot JOIN nrm n1 ON query_id = n1.vec_id
+       |                    JOIN nrm n2 ON neighbor_id = n2.vec_id
+       |           GROUP BY 1, 2),
+       |rng AS (SELECT * FROM scored WHERE cosine >= $RangeTheta)
+       |SELECT query_id, neighbor_id, cosine,
+       |       COUNT(*) OVER (PARTITION BY query_id) AS n_in_range
+       |FROM rng ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin
+
   // ---------------------------------------------------------------- ss03
   /** Random-hyperplane LSH ANN: 8 deterministic pseudo-random hyperplanes
     * (coefficients hashed from (plane, dim) — no RNG, portable), each
@@ -814,5 +882,6 @@ object Similarity {
     Q("ss05_knn_recall_audit", "recall@5 of each ANN variant vs exact baseline", ss05, Some(ss05Sql)),
     Q("ss06_knn_pq", "product-quantization ADC top-5 over the code table", ss06, Some(ss06Sql)),
     Q("ss07_knn_ivfpq", "IVF-PQ: cell-routed ADC scan + exact shortlist rerank", ss07, Some(ss07Sql)),
+    Q("ss08_range_search", "IVF-routed radius query: all neighbors with cosine >= theta", ss08, Some(ss08Sql)),
   )
 }

@@ -123,6 +123,13 @@ class AdversarialScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.dd12(spark, dir).count() == 0)
   }
 
+  test("dd13: containment rides the same gate + cut — zero scored pairs too") {
+    // same composition property as dd12: the asymmetric scorer can only
+    // see pairs that survive BOTH the band gate and the df cut, so the
+    // degenerate cluster can't reach the containment arithmetic either
+    assert(Dedup.dd13(spark, dir).count() == 0)
+  }
+
   test("dd06: top-20 all Hamming-0 pairs from the capped retained set") {
     val top = Dedup.dd06(spark, dir).collect()
     assert(top.length == 20)

@@ -795,6 +795,30 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(top.sameElements(top.sorted(Ordering[Double].reverse)))
   }
 
+  test("ss08: radius semantics — theta floor, no dup pairs, consistent with ss04") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Similarity.ss08(spark, dir).collect()
+    val theta = graft.operators.Similarity.RangeTheta
+    assert(out.nonEmpty)
+    assert(out.forall(_.getDouble(2) >= theta))
+    // each (query, neighbor) exactly once, and n_in_range is the group size
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+    val sizes = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(out.forall(r => r.getLong(3) == sizes(r.getLong(0)).toLong))
+    // same routing + capped membership as ss04 (nprobe=2): every top-5
+    // neighbor ss04 scores at >= theta must be IN the radius result
+    // with the identical grid-exact cosine
+    val rangeSet = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val knn = graft.operators.Similarity.ss04(spark, dir).collect()
+      .filter(_.getAs[Double]("cosine") >= theta)
+    assert(knn.nonEmpty) // the fixture produces in-radius top-k rows
+    for (r <- knn) {
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(rangeSet.get(k).contains(r.getAs[Double]("cosine")), s"missing $k")
+    }
+  }
+
   test("ta10: diagnostics match a hand-computed corpus; top-100 ties break by token") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ta10").toString

@@ -92,6 +92,11 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // chain) + ADC partial-sum over candidate codes + shortlist window
     // + broadcast exact rerank + final sort
     "ss07_knn_ivfpq" -> 21,
+    // ss08 (r9): ss04's routing chain (cell probe) + capped-cell scan;
+    // the theta filter REPLACES the top-k rank window — no per-query
+    // window over the scan, the dedup shuffle runs on the radius-
+    // bounded result only
+    "ss08_range_search" -> 13,
     "ta01_langid" -> 1, "ta02_quality_score" -> 1,
     "ta03_token_counts" -> 1, "ta04_fingerprint" -> 1,
     "ta05_lexical_stats" -> 1, "ta06_repetition_stats" -> 1,
@@ -127,6 +132,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "sp04_contamination_ngram" -> 5, // train-side gram relation outgrows broadcast
     "dd11_substring_spans" -> 2,     // dup-h side outgrows broadcast -> bucketed SMJ
     "dd12_ngram_jaccard_lsh" -> 7,   // kept/denominator sides outgrow broadcast
+    "dd13_shingle_containment" -> 7, // same flip as dd12 (shared gated shape)
     "cp04_incremental_ingest" -> 15) // verify-chain sides outgrow broadcast (dd03's flip)
 
   private val sf1Dir = "testdata/sf1.0"
