@@ -411,6 +411,72 @@ object Similarity {
        |       COUNT(*) OVER (PARTITION BY query_id) AS n_in_range
        |FROM rng ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin
 
+  /** ONLINE serving twin of [[ss08]] — a STREAM of query vectors probes
+    * the standing IVF index, the vector-database serving path: route →
+    * scan probed cells → θ-filter. Stateless by construction (no
+    * windows, no stateful aggregation on the stream side), so it runs
+    * in append mode with no state store:
+    *  - the centroid table + grid norms are loaded ONCE at stream
+    *    definition (a model load, IvfK×dims doubles — ta13's "broadcast
+    *    the model" step) and shipped in-plan as literals;
+    *  - per-query routing replaces bestCells' rank WINDOW with an
+    *    array program: per-cell grid-exact cosine via zip_with/aggregate
+    *    against the literal centroid (the same per-term gridL products
+    *    as the batch route, so the chosen cells are bit-identical),
+    *    sort_array on (−ccos, cell) — the batch tie-break — and slice 2;
+    *  - probed cells stream-static join the capped membership layer
+    *    ([[ivfAssign]] assigns each vector to exactly ONE cell, so no
+    *    per-pair dedup state is needed);
+    *  - the θ-filter replaces the top-k window, exactly as in batch.
+    * Emits (query_id, neighbor_id, cosine); the per-query n_in_range
+    * count is the batch audit's job ([[ss08]]) — counting is stateful,
+    * serving is not. Parity with ss08 is spec-pinned on the same
+    * query set.
+    */
+  def rangeStream(s: SparkSession, queries: DataFrame, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val centRows = ivfCent(s, dir).collect()
+    val dims = centRows.map(_.getAs[Int]("pos")).max + 1
+    val cents: Map[Int, Array[Double]] = centRows.groupBy(_.getAs[Int]("cell"))
+      .map { case (k, rs) =>
+        val a = new Array[Double](dims)
+        rs.foreach(r => a(r.getAs[Int]("pos")) = r.getAs[Double]("c"))
+        k -> a
+      }
+    def grid(p: Double): Long =
+      (if (p >= 0) math.floor(p + 0.5) else math.ceil(p - 0.5)).toLong
+    val cn2: Map[Int, Long] =
+      cents.map { case (k, a) => k -> a.map(c => grid(c * c * 1e9)).sum }
+    val qeD = col("embedding").cast("array<double>")
+    // per-cell routing cosine against the literal centroid — identical
+    // per-term grid products to bestCells' exploded sum
+    val cellStructs = cents.keys.toSeq.sorted.map { k =>
+      val dot = aggregate(
+        zip_with(qeD, typedlit(cents(k).toSeq), (x, y) => Dedup.gridL(x * y)),
+        lit(0L), (acc, v) => acc + v)
+      struct(
+        (cosine(dot, normL(col("embedding")), lit(cn2(k))) * lit(-1.0)).as("neg"),
+        lit(k).as("cell"))
+    }
+    val best2 = slice(sort_array(array(cellStructs: _*)), 1, 2)
+    val q = queries
+      .select(col("query_id"), col("embedding").as("qe"), explode(best2).as("bc"))
+      .select(col("query_id"), col("qe"), col("bc.cell").as("ccell"))
+      .withColumn("qn2", normL(col("qe")))
+    val members = Dedup.capPerKey(
+        Tables.embeddings(s, dir).join(ivfAssign(s, dir), Seq("vec_id")),
+        Seq("cell"), "vec_id", Dedup.BucketCap)
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding").as("ne"))
+      .withColumn("nn2", normL(col("ne")))
+    q.join(members,
+        col("cell") === col("ccell") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosine(dotL(col("qe"), col("ne")), col("qn2"), col("nn2")))
+      .filter(col("cosine") >= RangeTheta)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
   // ---------------------------------------------------------------- ss03
   /** Random-hyperplane LSH ANN: 8 deterministic pseudo-random hyperplanes
     * (coefficients hashed from (plane, dim) — no RNG, portable), each

@@ -244,6 +244,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got(103L) == ("ingest", -1L, 0))
   }
 
+  test("rangeStream: streamed queries match batch ss08 on the standing index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.operators.Similarity.ss08(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty)
+    val qvecs = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.operators.Similarity
+      .rangeStream(spark, mem.toDF().toDF("query_id", "embedding"), dir)
+      .writeStream.format("memory").queryName("rng").outputMode("append").start()
+    mem.addData(qvecs.take(5): _*)
+    q.processAllAvailable()
+    mem.addData(qvecs.drop(5): _*) // second micro-batch: stateless probe
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rng").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // bit-identical pairs AND cosines: same routing (literal centroids),
+    // same capped membership, same grid arithmetic, same theta
+    assert(got == batch)
+  }
+
   test("quality gate runs statelessly on a stream and matches the batch gate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
