@@ -32,31 +32,47 @@ object Curation {
     * Also carries the whitespace token count the packer needs. The gate
     * thresholds and split fractions are fixed operator constants; if
     * they ever become parameters they must join the variant tag. */
+  private def manifestBody(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val d = docs
+      .withColumn("bucket", Sampling.bucket)
+      .withColumn("sig",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")))
+    val sigStats = d.groupBy(col("sig")).agg(
+      min(col("doc_id")).as("keeper"),
+      max((col("bucket") >= 90).cast("int")).as("in_eval"))
+    TextAnalysis.gateDf(d)
+      .join(sigStats, Seq("sig"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .withColumn("reason",
+        when(col("drop_reason") =!= "keep", col("drop_reason"))
+          .when(col("doc_id") =!= col("keeper"), "exact_dup")
+          .when(col("split") === "train" && col("in_eval") === 1,
+            "contaminated")
+          .otherwise("keep"))
+      .withColumn("keep", (col("reason") === "keep").cast("int"))
+      .withColumn("n_tokens", regexp_count(col("text"), lit("\\S+")))
+      .select("doc_id", "lang", "split", "reason", "keep", "n_tokens")
+  }
+
   private def manifest(s: SparkSession, dir: String): DataFrame =
-    DedupPrepare.ensure(s, "manifest", dir, () => {
-      graft.functions.GraftFunctions.register(s)
-      val d = Tables.documents(s, dir)
-        .withColumn("bucket", Sampling.bucket)
-        .withColumn("sig",
-          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")))
-      val sigStats = d.groupBy(col("sig")).agg(
-        min(col("doc_id")).as("keeper"),
-        max((col("bucket") >= 90).cast("int")).as("in_eval"))
-      TextAnalysis.gateDf(d)
-        .join(sigStats, Seq("sig"))
-        .withColumn("split",
-          when(col("bucket") < 90, "train")
-            .when(col("bucket") < 95, "val").otherwise("test"))
-        .withColumn("reason",
-          when(col("drop_reason") =!= "keep", col("drop_reason"))
-            .when(col("doc_id") =!= col("keeper"), "exact_dup")
-            .when(col("split") === "train" && col("in_eval") === 1,
-              "contaminated")
-            .otherwise("keep"))
-        .withColumn("keep", (col("reason") === "keep").cast("int"))
-        .withColumn("n_tokens", regexp_count(col("text"), lit("\\S+")))
-        .select("doc_id", "lang", "split", "reason", "keep", "n_tokens")
-    }, Seq("doc_id"), Seq("doc_id"))
+    DedupPrepare.ensure(s, "manifest", dir,
+      () => manifestBody(s, Tables.documents(s, dir)),
+      Seq("doc_id"), Seq("doc_id"))
+
+  /** The PREVIOUS corpus version's published manifest: cp01's exact
+    * stages over the standing corpus alone (the cp04 split — the
+    * doc_id % [[BatchMod]] == [[BatchRes]] batch is "today's crawl",
+    * everything else was already in the corpus when v1 shipped). Its
+    * own built artifact: in production yesterday's manifest isn't
+    * recomputed, it's read. */
+  private def manifestV1(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "cp05m1", dir,
+      () => manifestBody(s, Tables.documents(s, dir)
+        .filter((col("doc_id") % BatchMod) =!= BatchRes)),
+      Seq("doc_id"), Seq("doc_id"))
 
   /** cp01: per-doc manifest row — (doc_id, split, reason, keep). A read
     * of the materialized manifest layer plus the presentation sort; the
@@ -524,6 +540,81 @@ object Curation {
        |        LEFT JOIN na ON bs.doc_id = na.d
        |ORDER BY bs.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- cp05
+  /** cp05: CORPUS VERSION DIFF — what did ingesting today's batch
+    * change? Compares the standing corpus's published manifest (v1 —
+    * [[manifestV1]], cp04's corpus slice) with the post-ingest corpus's
+    * (v2 — [[manifest]], the full corpus) and emits ONLY the docs whose
+    * status differs: `added` (the batch itself, with the reason each
+    * new doc got) and `changed` (standing docs the batch re-labeled).
+    * The changed rows are the audit that matters in production — a new
+    * doc can displace an exact-dup keeper (smaller doc_id, same sig:
+    * yesterday's keeper flips keep → exact_dup) and a batch doc landing
+    * in an eval bucket newly CONTAMINATES standing train docs that
+    * share its content — i.e. today's crawl can silently invalidate
+    * yesterday's training set, and this diff is where that surfaces.
+    *
+    * Scale posture: both sides are doc_id-bucketed built artifacts
+    * (published manifests, not recomputations), so the diff is one
+    * co-partitioned join over two layer reads with a change-sized
+    * result — the shape of a daily audit job, not a corpus rebuild.
+    * The gate is content-intrinsic so per-doc rows agree across
+    * versions; only the corpus-relative stages (keeper, eval-sig
+    * contamination) can flip, which is exactly what the diff isolates.
+    */
+  def cp05(s: SparkSession, dir: String): DataFrame = {
+    val v1 = manifestV1(s, dir)
+      .select(col("doc_id"), col("reason").as("v1_reason"), col("keep").as("k1"))
+    val v2 = manifest(s, dir)
+      .select(col("doc_id"), col("reason").as("v2_reason"), col("keep").as("k2"))
+    v2.join(v1, Seq("doc_id"), "left")
+      .filter(col("v1_reason").isNull || col("v1_reason") =!= col("v2_reason"))
+      .withColumn("status",
+        when(col("v1_reason").isNull, "added").otherwise("changed"))
+      .withColumn("keep_delta",
+        (col("k2") - coalesce(col("k1"), lit(0))).cast("int"))
+      .select("doc_id", "status", "v1_reason", "v2_reason", "keep_delta")
+      .orderBy("doc_id")
+  }
+
+  /** One manifest version's CTE chain, suffixed: cp01's d/k/e stages
+    * over a filtered documents set plus the per-version reason CASE
+    * (the shared per-doc gate CTE `g` is joined in, computed once). */
+  private def mverCtes(suf: String, where: String): String = {
+    val reason =
+      s"""CASE WHEN g.drop_reason <> 'keep' THEN g.drop_reason
+         |            WHEN d$suf.doc_id <> k$suf.keeper THEN 'exact_dup'
+         |            WHEN bucket < 90 AND e$suf.sig IS NOT NULL THEN 'contaminated'
+         |            ELSE 'keep' END""".stripMargin
+    s"""d$suf AS (
+       |  SELECT doc_id, ${Sampling.bucketSql} AS bucket,
+       |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS sig
+       |  FROM documents$where),
+       |k$suf AS (SELECT sig, MIN(doc_id) AS keeper FROM d$suf GROUP BY sig),
+       |e$suf AS (SELECT DISTINCT sig FROM d$suf WHERE bucket >= 90),
+       |m$suf AS (SELECT d$suf.doc_id, $reason AS reason
+       |          FROM d$suf JOIN g USING (doc_id) JOIN k$suf USING (sig)
+       |               LEFT JOIN e$suf ON d$suf.sig = e$suf.sig)""".stripMargin
+  }
+
+  /** Oracle: the cp01 stages twice (v1 = corpus slice, v2 = full),
+    * one shared gate CTE, diffed to added/changed rows. */
+  lazy val cp05Sql: String =
+    s"""WITH g AS (SELECT doc_id, drop_reason
+       |           FROM (${TextAnalysis.ta08Sql}) t),
+       |${mverCtes("1", s" WHERE doc_id % $BatchMod <> $BatchRes")},
+       |${mverCtes("2", "")}
+       |SELECT m2.doc_id,
+       |       CASE WHEN m1.reason IS NULL THEN 'added'
+       |            ELSE 'changed' END AS status,
+       |       m1.reason AS v1_reason, m2.reason AS v2_reason,
+       |       CAST(CAST(m2.reason = 'keep' AS INT)
+       |            - COALESCE(CAST(m1.reason = 'keep' AS INT), 0)
+       |            AS INT) AS keep_delta
+       |FROM m2 LEFT JOIN m1 ON m2.doc_id = m1.doc_id
+       |WHERE m1.reason IS NULL OR m1.reason <> m2.reason
+       |ORDER BY m2.doc_id""".stripMargin
+
   /** Per-row MinHash band columns bh0..bh3 — VALUE-IDENTICAL to the
     * batch layer's ([[Dedup]] `minhashSigFromShingles`, spec-pinned) but
     * computed entirely map-side with array higher-order functions: the
@@ -620,5 +711,8 @@ object Curation {
     Q("cp04_incremental_ingest",
       "batch-sized ingest probe of the corpus's built sig + band indexes",
       cp04, Some(cp04Sql)),
+    Q("cp05_corpus_version_diff",
+      "v1-vs-v2 manifest diff: batch additions + re-labeled standing docs",
+      cp05, Some(cp05Sql)),
   )
 }

@@ -939,6 +939,92 @@ object Similarity {
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- ss09
+  /** Language predicate of the filtered search: `en` is ~44% of the
+    * corpus — selective enough that pre- and post-filtering genuinely
+    * differ, common enough that every probed cell still holds
+    * candidates. */
+  val FilterLang = "en"
+
+  /** FILTERED ANN — top-5 among neighbors whose document metadata
+    * passes a predicate (lang = [[FilterLang]]; `vec_id` is the
+    * embedding of document `doc_id`). The filtered-search modality
+    * every production vector store serves ("nearest English documents"),
+    * and the classic place engines get the SHAPE wrong: post-filtering
+    * (rank top-k, then filter) silently returns < k results whenever
+    * the predicate thins a neighborhood. This is PRE-filtering — the
+    * predicate lands on the capped cell membership BEFORE any scoring,
+    * so the top-5 is the true top-5 of the filtered corpus slice and
+    * non-qualifying vectors are never dotted. Routing stays
+    * UNFILTERED ([[bestCells]], nprobe = 2): centroids describe the
+    * whole corpus, and routing by them is what makes one index serve
+    * every predicate (a per-predicate index would be a build per
+    * filter). The metadata side joins on the id the membership layer
+    * is already bucketed by — co-partitionable at 100 TB, broadcast at
+    * bench scale; with nprobe cells probed the per-query cost is
+    * selectivity × nprobe/cells of the corpus.
+    */
+  def ss09(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val assign = ivfAssign(s, dir)
+    val best = bestCells(s, dir, nprobe = 2)
+    val meta = Tables.documents(s, dir)
+      .filter(col("lang") === FilterLang)
+      .select(col("doc_id").as("neighbor_id"))
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .filter(col("query_id") < 10).join(broadcast(best), Seq("query_id"))
+      .withColumn("qn2", normL(col("qe")))
+    // cap-then-filter: the cap is the membership layer's write-time
+    // semantics (cp04 precedent); the predicate then prunes the capped
+    // members, and only survivors are scored
+    val members = Dedup.capPerKey(e.join(assign, Seq("vec_id")),
+        Seq("cell"), "vec_id", Dedup.BucketCap)
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding").as("ne"))
+      .join(meta, Seq("neighbor_id"))
+      .withColumn("nn2", normL(col("ne")))
+    val scored = members.join(broadcast(q),
+        col("cell") === col("ccell") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosine(dotL(col("qe"), col("ne")), col("qn2"), col("nn2")))
+    // each vector lives in exactly one cell, so probing 2 disjoint
+    // cells never double-scores a pair — no dedup needed (ss02/ss04's
+    // argument)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("ccell").as("cell"), col("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Oracle: ss04's chain with the metadata predicate joined into the
+    * candidate set (cap-then-filter, same order as the Spark side). */
+  val ss09Sql: String =
+    s"""WITH $elCte,
+       |${kmeansCtes(IvfRounds)},
+       |${ivfRouteCtes(nprobe = 2)},
+       |fm AS (SELECT doc_id FROM documents WHERE lang = '$FilterLang'),
+       |dot AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, b.ccell,
+       |               SUM(CAST(ROUND((q.x * c.x) * 1e9) AS BIGINT)) AS dot
+       |        FROM el q JOIN best b ON q.vec_id = b.query_id AND q.vec_id < 10
+       |                  JOIN cappedc cc ON cc.cell = b.ccell
+       |                  JOIN fm ON fm.doc_id = cc.vec_id
+       |                  JOIN el c ON c.vec_id = cc.vec_id AND q.pos = c.pos
+       |                           AND c.vec_id <> q.vec_id
+       |        GROUP BY 1, 2, 3),
+       |scored AS (SELECT query_id, neighbor_id, ccell,
+       |                  CAST(dot AS DOUBLE) / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE))) AS cosine
+       |           FROM dot JOIN nrm n1 ON query_id = n1.vec_id
+       |                    JOIN nrm n2 ON neighbor_id = n2.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, ccell AS cell, CAST(rank AS INT) AS rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("ss01_knn_bruteforce", "broadcast brute-force cosine top-5", ss01, Some(ss01Sql)),
@@ -949,5 +1035,6 @@ object Similarity {
     Q("ss06_knn_pq", "product-quantization ADC top-5 over the code table", ss06, Some(ss06Sql)),
     Q("ss07_knn_ivfpq", "IVF-PQ: cell-routed ADC scan + exact shortlist rerank", ss07, Some(ss07Sql)),
     Q("ss08_range_search", "IVF-routed radius query: all neighbors with cosine >= theta", ss08, Some(ss08Sql)),
+    Q("ss09_knn_filtered", "metadata-filtered IVF ANN: predicate pre-filters the probe", ss09, Some(ss09Sql)),
   )
 }

@@ -1149,6 +1149,109 @@ object TextAnalysis {
        |FROM g ORDER BY lang, bucket""".stripMargin
 
   /** Registry of this family. */
+  // ---------------------------------------------------------------- ta16
+  /** Vocabulary size of the encode step. Fixture-scaled: the synthetic
+    * corpus has 31 distinct tokens, so 16 leaves a real OOV tail for the
+    * hash buckets to catch; a production vocab (32k–256k) is a constant
+    * swap — the plan is invariant to it (the table is still a driver-side
+    * model load). */
+  val VocabSize = 16
+  /** UNK hash-bucket count: OOV tokens map to id [[VocabSize]] +
+    * h60(tok) mod this — the fastText hashing-trick bucket scheme, so
+    * rare tokens keep a stable (if shared) id instead of one UNK. */
+  val OovBuckets = 64L
+
+  /** The vocabulary as a MODEL ARTIFACT — (tok, id), id = dense rank by
+    * (corpus count desc, tok asc) over the global unigram layer. Built
+    * once per corpus like every model table ([[clfWeights]] contract):
+    * a real BPE/WordPiece vocab export is a table drop-in. The rank
+    * window runs AFTER the top-[[VocabSize]] limit, so it orders a
+    * constant-bounded relation (never the corpus vocab). */
+  private[operators] def vocabLayer(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "vocab", dir, () => {
+      val top = uniFreq(s, dir).orderBy(col("c").desc, col("tok")).limit(VocabSize)
+      top.withColumn("id",
+          row_number().over(Window.orderBy(col("c").desc, col("tok")))
+            .cast("long") - 1L)
+        .select(col("tok"), col("id"))
+    }, Seq("tok"), Seq("tok"), variant = s"_v$VocabSize")
+
+  def ta16(s: SparkSession, dir: String): DataFrame =
+    ta16With(s, dir, vocabLayer(s, dir))
+
+  /** ta16: VOCABULARY ENCODE — the tokenizer's token→id step plus the
+    * per-doc OOV coverage audit a pipeline runs before committing to a
+    * vocab. Per document: token count, OOV count/rate under the vocab,
+    * and the first 8 encoded ids (comma-joined — the encode itself,
+    * pinned end-to-end; a full-width id column is this same transform
+    * without the slice). In-vocab tokens get their dense vocab id; OOV
+    * tokens get [[VocabSize]] + h60(tok) mod [[OovBuckets]].
+    *
+    * Scale posture: ZERO-shuffle map-side column program — the vocab is
+    * loaded once driver-side (a model load, [[VocabSize]] rows) and
+    * shipped as a literal map; per-token encode is `element_at(map,
+    * tok)` with the hash fallback inside higher-order array functions.
+    * No explode, no join: exactly how a tokenizer deploys on 100 TB
+    * (the model rides the closure, the corpus never shuffles). The
+    * explicit-vocab hook is the ta13 swap contract: a different vocab
+    * changes ids under an identical plan.
+    */
+  private[graft] def ta16With(s: SparkSession, dir: String,
+      vocab: DataFrame): DataFrame = {
+    val m = vocab.select(col("tok"), col("id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vLit = typedlit(m)
+    val toks = filter(ws, t => t =!= "")
+    def idOf(t: Column): Column = coalesce(element_at(vLit, t),
+      lit(VocabSize.toLong) + Dedup.h60(t) % OovBuckets)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, t => element_at(vLit, t).isNull)).as("n_oov"),
+        array_join(transform(slice(toks, 1, 8), t => idOf(t).cast("string")),
+          ",").as("ids8"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(0.0))
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate", "ids8")
+      .transform(Present.sorted(_, "doc_id"))
+  }
+
+  /** Oracle: global frequency → ranked vocab → per-token encode with
+    * the same hash fallback, aggregated per doc (ids8 via ordered
+    * string_agg over the first 8 token ordinals). */
+  val ta16Sql: String =
+    s"""WITH $wsSqlCte,
+       |tok AS (SELECT doc_id, tok, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS j
+       |        FROM (SELECT doc_id, unnest(ws) AS tok,
+       |                     generate_subscripts(ws, 1) AS i FROM w)
+       |        WHERE tok <> ''),
+       |gf AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+       |vocab AS (SELECT tok, id FROM (
+       |            SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok) - 1 AS id
+       |            FROM gf)
+       |          WHERE id < $VocabSize),
+       |enc AS (SELECT t.doc_id, t.j,
+       |               COALESCE(v.id, $VocabSize + ${Dedup.h60Sql("t.tok")} % $OovBuckets) AS id,
+       |               (v.id IS NULL) AS oov
+       |        FROM tok t LEFT JOIN vocab v USING (tok)),
+       |agg AS (SELECT doc_id,
+       |               CAST(COUNT(*) AS INT) AS n_tokens,
+       |               CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS INT) AS n_oov,
+       |               string_agg(CAST(id AS VARCHAR), ',' ORDER BY j)
+       |                 FILTER (WHERE j <= 8) AS ids8
+       |        FROM enc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       COALESCE(a.n_tokens, 0) AS n_tokens,
+       |       COALESCE(a.n_oov, 0) AS n_oov,
+       |       CASE WHEN COALESCE(a.n_tokens, 0) > 0
+       |            THEN CAST(a.n_oov AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)
+       |            ELSE 0.0 END AS oov_rate,
+       |       COALESCE(a.ids8, '') AS ids8
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("ta01_langid", "stopword-heuristic language ID + accuracy flag", ta01, Some(ta01Sql)),
     Q("ta02_quality_score", "length/punct/stopword quality score", ta02, Some(ta02Sql)),
@@ -1165,5 +1268,6 @@ object TextAnalysis {
     Q("ta13_hash_classifier", "hashed-feature linear classifier scoring (fastText serving shape)", ta13, Some(ta13Sql)),
     Q("ta14_bigram_lm", "bigram-LM cross-entropy with stupid backoff (KenLM serving shape)", ta14, Some(ta14Sql)),
     Q("ta15_length_histogram", "log2-bucket sequence-length distribution (context-length planning)", ta15, Some(ta15Sql)),
+    Q("ta16_vocab_encode", "vocab token->id encode + OOV coverage audit (broadcast model)", ta16, Some(ta16Sql)),
   )
 }

@@ -1372,4 +1372,108 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .filter(n => n.startsWith("graft_prep_shingles3_") && n.contains(safe))
     assert(layers.length == 1, layers.mkString(", "))
   }
+
+  test("cp05: batch ingest re-labels standing docs — keeper displacement + new contamination") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cp05").toString
+    // pick ids by the REAL split hash: B = a batch id (≡7 mod 10) whose
+    // copy lands in an eval bucket, S < B a standing train doc sharing
+    // B's text (newly contaminated in v2); B2 < K so the batch doc
+    // displaces K's min-id keeper (keep → exact_dup)
+    val bkt = spark.range(0, 1000)
+      .select(col("id"), (Dedup.h60(concat(lit("split:"), col("id"))) % 100L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val B  = (7L until 1000L by 10).find(b => bkt(b) >= 90).get
+    val S  = (0L until B).find(s => s % 10 != 7 && bkt(s) < 90).get
+    val B2 = (7L until 1000L by 10).find(_ != B).get
+    val K  = ((B2 + 1) until 1000L).find(k => k % 10 != 7 && k != S).get
+    // gate-passing text: 16+ distinct tokens, en stopwords, no punct
+    val base = "the quick brown fox jumps over a lazy dog while it is running far away today"
+    val fillers = Seq(901L, 902L, 903L)
+      .filterNot(i => Seq(S, B, B2, K).contains(i))
+      .map(i => (i, base + s" filler$i"))
+    val docs = Seq(
+      (S, base + " alpha"), (B, base + " alpha"),
+      (B2, base + " bravo"), (K, base + " bravo")) ++ fillers
+    docs.map { case (id, t) => (id, t, "en", "u", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Curation.cp05(spark, dir).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    val batchIds = docs.map(_._1).filter(_ % 10 == 7).toSet
+    // every batch doc surfaces as added, with no v1 reason
+    assert(out.filter(_.getString(1) == "added").map(_.getLong(0)).toSet == batchIds)
+    assert(batchIds.forall(b => byId(b).isNullAt(2)))
+    // B itself deduped against the standing keeper it shares text with
+    assert(byId(B).getString(3) == "exact_dup")
+    // S stayed keeper (S < B) but B's copy sits in an eval bucket:
+    // yesterday's clean train doc is newly contaminated
+    assert(byId(S).getString(1) == "changed")
+    assert(byId(S).getString(2) == "keep" && byId(S).getString(3) == "contaminated")
+    assert(byId(S).getInt(4) == -1)
+    // K was its group's keeper; B2 < K arrives and displaces it
+    assert(byId(K).getString(1) == "changed")
+    assert(byId(K).getString(2) == "keep" && byId(K).getString(3) == "exact_dup")
+    assert(byId(K).getInt(4) == -1)
+    // and nothing else moved
+    assert(out.count(_.getString(1) == "changed") == 2)
+  }
+
+  test("ta16: ranked vocab ids, OOV hash buckets, model-swap hook") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ta16").toString
+    // f01/f02 appear 3×, f03..f16 2× — exactly VocabSize in-vocab tokens
+    // (ids: count desc then tok asc → f01=0, f02=1, f03=2, …); o1/o2
+    // appear once and rank 17th/18th → OOV under the 16-entry vocab
+    val fs = (1 to 16).map(i => f"f$i%02d")
+    val all = fs.mkString(" ")
+    val docs = Seq((1L, all), (3L, all), (2L, "f01 f02 o1 o2"))
+    docs.map { case (id, t) => (id, t, "en", "u", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(graft.operators.TextAnalysis.VocabSize == 16)
+    val h = (t: String) => spark.range(1)
+      .select(Dedup.h60(lit(t)) % graft.operators.TextAnalysis.OovBuckets)
+      .head.getLong(0)
+    val out = graft.operators.TextAnalysis.ta16(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 16 && out(1L).getInt(2) == 0)
+    assert(out(1L).getString(4) == "0,1,2,3,4,5,6,7") // first 8 of the encode
+    assert(out(2L).getInt(1) == 4 && out(2L).getInt(2) == 2)
+    assert(out(2L).getDouble(3) == 0.5)
+    assert(out(2L).getString(4) == s"0,1,${16 + h("o1")},${16 + h("o2")}")
+    // swap hook: a different vocab table changes the encode in place
+    val alt = Seq(("f01", 5L)).toDF("tok", "id")
+    val out2 = graft.operators.TextAnalysis.ta16With(spark, dir, alt).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out2(2L).getString(4).startsWith(s"5,${16 + h("f02")},"))
+    assert(out2(2L).getInt(2) == 3) // f02 is OOV under the swapped vocab
+  }
+
+  test("ss09: predicate pre-filters the probe — en-only neighbors, dominates post-filtering") {
+    val dir = "/root/testdata/sf0.001"
+    val en = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("lang") === graft.operators.Similarity.FilterLang)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = graft.operators.Similarity.ss09(spark, dir).collect()
+    assert(out.nonEmpty)
+    // every neighbor satisfies the predicate, ≤5 per query, ranks dense
+    assert(out.forall(r => en(r.getLong(3))))
+    val perQ = out.groupBy(_.getLong(0))
+    assert(perQ.values.forall(rs => rs.length <= 5 &&
+      rs.map(_.getInt(2)).sorted.sameElements(1 to rs.length)))
+    // pre-filtering dominates post-filtering: every en neighbor in
+    // ss04's unfiltered top-5 appears here with the identical cosine …
+    val s9 = out.map(r => (r.getLong(0), r.getLong(3)) -> r.getDouble(4)).toMap
+    val s4 = graft.operators.Similarity.ss04(spark, dir).collect()
+    for (r <- s4 if en(r.getAs[Long]("neighbor_id"))) {
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(s9.get(k).contains(r.getAs[Double]("cosine")), s"missing $k")
+    }
+    // … and the filtered top-5 reaches neighbors post-filtering loses
+    // (an ss04 top-5 slot burned on a non-en doc is a missing result)
+    val s4pairs = s4.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(out.exists(r => !s4pairs((r.getLong(0), r.getLong(3)))))
+  }
 }

@@ -76,6 +76,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // candidate distinct, the verify-chain joins/aggs and the final
     // left-join assembly; every input is a bucketed layer read
     "cp04_incremental_ingest" -> 13,
+    // cp05 (r9): diff of two published doc_id-bucketed manifests —
+    // the version join + presentation sort, nothing corpus-derived
+    // at query time
+    "cp05_corpus_version_diff" -> 2,
     "sp08_shuffle_order" -> 5, "sp09_source_cap" -> 3,
     // sp10 (r9): sp07's broadcast-totals shape — source counts agg,
     // kept counts agg, presentation sort; the pow weights live on the
@@ -97,6 +101,10 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // window over the scan, the dedup shuffle runs on the radius-
     // bounded result only
     "ss08_range_search" -> 13,
+    // ss09 (r9): ss04's routing + capped-cell scan (12) with the
+    // metadata predicate joined into the membership BEFORE scoring —
+    // +1 for the predicate side's exchange
+    "ss09_knn_filtered" -> 13,
     "ta01_langid" -> 1, "ta02_quality_score" -> 1,
     "ta03_token_counts" -> 1, "ta04_fingerprint" -> 1,
     "ta05_lexical_stats" -> 1, "ta06_repetition_stats" -> 1,
@@ -116,7 +124,11 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "ta14_bigram_lm" -> 9,
     // ta15 (r9): map-side token count -> tiny (lang,bucket) agg ->
     // bounded-relation share windows -> final sort
-    "ta15_length_histogram" -> 3)
+    "ta15_length_histogram" -> 3,
+    // ta16 (r9): zero-shuffle map-side encode (vocab arrives as an
+    // in-plan literal map from the model-table load — ta13's contract)
+    // + presentation sort
+    "ta16_vocab_encode" -> 1)
 
   /** sf1.0 budgets where they differ from the small tree — all four are
     * SIZE-DRIVEN STRATEGY FLIPS (a side outgrowing the broadcast
