@@ -72,7 +72,11 @@ object Curation {
     DedupPrepare.ensure(s, "cp05m1", dir,
       () => manifestBody(s, Tables.documents(s, dir)
         .filter((col("doc_id") % BatchMod) =!= BatchRes)),
-      Seq("doc_id"), Seq("doc_id"))
+      Seq("doc_id"), Seq("doc_id"),
+      // the batch split is baked into this layer's rows: the constants
+      // must join the fingerprint or a changed split silently reuses a
+      // stale v1 manifest across JVMs
+      variant = s"_m${BatchMod}r$BatchRes")
 
   /** cp01: per-doc manifest row — (doc_id, split, reason, keep). A read
     * of the materialized manifest layer plus the presentation sort; the
@@ -450,7 +454,7 @@ object Curation {
           md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
             .cast("binary")).as("sig"))
         .groupBy(col("sig")).agg(min(col("doc_id")).as("exact_keeper")),
-      Seq("sig"), Seq("sig"))
+      Seq("sig"), Seq("sig"), variant = s"_m${BatchMod}r$BatchRes")
 
   def cp04(s: SparkSession, dir: String): DataFrame = {
     val bands = DedupPrepare.lshBands(s, dir)

@@ -185,7 +185,7 @@ object DedupPrepare {
     * (documents.parquet for the shingle family, embeddings.parquet for
     * the IVF index in [[Similarity]]) — shared by any operator family
     * that materializes a corpus-level artifact. */
-  private[operators] def ensure(s: SparkSession, family: String, dir: String,
+  private[graft] def ensure(s: SparkSession, family: String, dir: String,
       build: () => DataFrame,
       bucketCols: Seq[String], sortCols: Seq[String],
       variant: String = "",
@@ -217,7 +217,18 @@ object DedupPrepare {
       val enclosing = nestedBuildSecs
       nestedBuildSecs = 0.0
       val t0 = System.nanoTime()
-      writeBucketed(build(), name0, bucketCols, sortCols)
+      val body = build()
+      // zero-unpartitioned-window invariant, enforced where the r9
+      // regression actually lived (a layer-build plan, invisible to the
+      // per-query plan pins): a Window with no partitionBy funnels the
+      // whole relation through ONE task — at corpus scale that is a
+      // single-executor sort, never acceptable in a layer build. Rank
+      // bounded relations driver-side instead (the vocab-layer pattern).
+      val unpart = graft.PlanAudit.unpartitionedWindows(body)
+      require(unpart.isEmpty,
+        s"layer $family$variant build plan has unpartitioned window(s): " +
+          unpart.mkString("; "))
+      writeBucketed(body, name0, bucketCols, sortCols)
       val elapsed = (System.nanoTime() - t0) / 1e9
       buildLog.add((s"$family$variant", elapsed - nestedBuildSecs))
       nestedBuildSecs = enclosing + elapsed

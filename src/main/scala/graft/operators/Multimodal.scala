@@ -564,7 +564,9 @@ object Multimodal {
               (mn.toDouble / 255.0).toFloat, (mx.toDouble / 255.0).toFloat,
               (Math.floor(sig * 1e9 + 0.5) / 1e9).toFloat)
           case None =>
-            // JPEG (codec-library territory): the full-row hash stub
+            // unparseable payload (neither container decodes): the
+            // full-row hash-stub fallback — PNG and JPEG both take the
+            // real pixel path above
             val bodyMd5 = decodeBatches(Iterator(m)).next().content_md5
             val f = Array.tabulate(FeatureDims) { j =>
               ((h60OfString(s"$bodyMd5:$j") % 1000L) / 1000.0).toFloat

@@ -377,10 +377,10 @@ object Similarity {
       .withColumn("cosine",
         cosine(dotL(col("qe"), col("ne")), col("qn2"), col("nn2")))
       .filter(col("cosine") >= RangeTheta)
-      // a query probing 2 cells can score a boundary neighbor twice —
-      // emit each (query, neighbor) once
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(max(col("cosine")).as("cosine"))
+      // no per-pair dedup needed: ivfAssign puts each vector in exactly
+      // ONE cell (the invariant ss09 and rangeStream also rely on), so a
+      // (query, neighbor) pair joins at most once even under nprobe=2
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
     // in-range count over the radius-bounded result relation (already
     // filtered to ≥θ — orders of magnitude smaller than the cell scan)
     val wq = Window.partitionBy(col("query_id"))
@@ -402,10 +402,9 @@ object Similarity {
        |                           AND c.vec_id <> q.vec_id
        |        GROUP BY 1, 2, 3),
        |scored AS (SELECT query_id, neighbor_id,
-       |                  MAX(CAST(dot AS DOUBLE) / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE)))) AS cosine
+       |                  CAST(dot AS DOUBLE) / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE))) AS cosine
        |           FROM dot JOIN nrm n1 ON query_id = n1.vec_id
-       |                    JOIN nrm n2 ON neighbor_id = n2.vec_id
-       |           GROUP BY 1, 2),
+       |                    JOIN nrm n2 ON neighbor_id = n2.vec_id),
        |rng AS (SELECT * FROM scored WHERE cosine >= $RangeTheta)
        |SELECT query_id, neighbor_id, cosine,
        |       COUNT(*) OVER (PARTITION BY query_id) AS n_in_range

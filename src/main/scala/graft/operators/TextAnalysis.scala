@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import graft.{Q, Tables}
 
 /** Text-analysis operators for a training-data pipeline (north-star
@@ -1164,16 +1165,20 @@ object TextAnalysis {
   /** The vocabulary as a MODEL ARTIFACT — (tok, id), id = dense rank by
     * (corpus count desc, tok asc) over the global unigram layer. Built
     * once per corpus like every model table ([[clfWeights]] contract):
-    * a real BPE/WordPiece vocab export is a table drop-in. The rank
-    * window runs AFTER the top-[[VocabSize]] limit, so it orders a
-    * constant-bounded relation (never the corpus vocab). */
+    * a real BPE/WordPiece vocab export is a table drop-in. The rank is
+    * assigned DRIVER-SIDE on the collected top-[[VocabSize]] rows (a
+    * model load — the same consumption pattern ta16 itself uses), not
+    * via a partitionless window: keeps the suite's zero-WindowExec-
+    * warning invariant (PlanBudgetSpec pins it). */
   private[operators] def vocabLayer(s: SparkSession, dir: String): DataFrame =
     DedupPrepare.ensure(s, "vocab", dir, () => {
-      val top = uniFreq(s, dir).orderBy(col("c").desc, col("tok")).limit(VocabSize)
-      top.withColumn("id",
-          row_number().over(Window.orderBy(col("c").desc, col("tok")))
-            .cast("long") - 1L)
-        .select(col("tok"), col("id"))
+      val top = uniFreq(s, dir).orderBy(col("c").desc, col("tok"))
+        .limit(VocabSize).select("tok").collect().map(_.getString(0))
+      val rows = top.zipWithIndex.toSeq
+        .map { case (t, i) => Row(t, i.toLong) }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("tok", StringType, nullable = false),
+          StructField("id", LongType, nullable = false))))
     }, Seq("tok"), Seq("tok"), variant = s"_v$VocabSize")
 
   def ta16(s: SparkSession, dir: String): DataFrame =

@@ -30,6 +30,34 @@ object PlanAudit {
     }
     walk(df.queryExecution.executedPlan)
   }
+  /** Unpartitioned window nodes in a plan — a `Window.orderBy` with no
+    * `partitionBy` funnels the WHOLE relation through one task (Spark
+    * logs `WindowExec: No Partition Defined` for it). The suite's
+    * invariant since r8 is ZERO such nodes anywhere, including layer
+    * builds ([[graft.operators.DedupPrepare.ensure]] enforces it at
+    * write time; PlanBudgetSpec pins every query plan). Same tree walk
+    * as [[exchangeCount]] so cached subplans count once. */
+  def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def walk(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          Seq(s"WindowExec[${w.windowExpression.map(_.sql).mkString(", ")}]")
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+          Seq("WindowGroupLimitExec")
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   def main(args: Array[String]): Unit = {
     // same session shape as Bench so audited plans match benched plans
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -96,11 +96,11 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // chain) + ADC partial-sum over candidate codes + shortlist window
     // + broadcast exact rerank + final sort
     "ss07_knn_ivfpq" -> 21,
-    // ss08 (r9): ss04's routing chain (cell probe) + capped-cell scan;
-    // the theta filter REPLACES the top-k rank window — no per-query
-    // window over the scan, the dedup shuffle runs on the radius-
-    // bounded result only
-    "ss08_range_search" -> 13,
+    // ss08 (r9, r10 de-dedup'd): ss04's routing chain (cell probe) +
+    // capped-cell scan; the theta filter REPLACES the top-k rank window
+    // — no per-query window over the scan, and no per-pair dedup at all
+    // (ivfAssign is one-cell-per-vector, so a pair joins at most once)
+    "ss08_range_search" -> 12,
     // ss09 (r9): ss04's routing + capped-cell scan (12) with the
     // metadata predicate joined into the membership BEFORE scoring —
     // +1 for the predicate side's exchange
@@ -234,5 +234,32 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(nl.result() == allowedNl,
       "nested-loop joins outside the documented broadcast-by-design set")
+  }
+
+  test("no unpartitioned window in any query plan (zero-WindowExec-warning invariant)") {
+    // the r8 "zero `WindowExec: No Partition Defined` warnings in a full
+    // bench run" property, pinned as a plan-walk so it can't silently
+    // regress a third time (r9 verdict #1: ta16's vocab layer snuck one
+    // back in at layer-build time — that side is guarded by the ensure()
+    // check below; this test covers the 82 query plans themselves)
+    val off = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      PlanAudit.unpartitionedWindows(SparkEntry.queries(name)(spark, dir))
+        .map(w => s"$name: $w")
+    }
+    assert(off.isEmpty,
+      s"unpartitioned window(s) in query plan:\n${off.mkString("\n")}")
+  }
+
+  test("layer builds refuse unpartitioned windows (ensure() guard fires)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_winguard_").toString
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.DedupPrepare.ensure(spark, "winguard", tmp, () =>
+        spark.range(10).toDF("doc_id")
+          .withColumn("r", row_number().over(Window.orderBy(col("doc_id")))),
+        Seq("doc_id"), Seq("doc_id"))
+    }
+    assert(e.getMessage.contains("unpartitioned window"))
   }
 }
