@@ -263,6 +263,16 @@ object Sampling {
         expr(s"doc_id div $PackShard").as("shard"),
         regexp_count(col("text"), lit("\\S+")).as("n_tokens"))
       .as[PackRow]
+    packFold(s, toks, PackCap)
+  }
+
+  /** The greedy packing fold, parameterized on the token-count source
+    * and bin cap — sp06 feeds whitespace counts, [[sp11]] feeds BPE
+    * model-token counts; the fold itself (and its scale properties) is
+    * identical. */
+  private def packFold(s: SparkSession,
+      toks: org.apache.spark.sql.Dataset[PackRow], cap: Int): DataFrame = {
+    import s.implicits._
     toks
       .repartition(col("lang"), col("shard"))
       .sortWithinPartitions("lang", "shard", "doc_id")
@@ -290,7 +300,7 @@ object Sampling {
           if (lang == null) { open(r, newGroup = true); Iterator.empty }
           else if (r.lang != lang || r.shard != shard) {
             val closed = flush(); open(r, newGroup = true); closed
-          } else if (fill + r.n_tokens <= PackCap) {
+          } else if (fill + r.n_tokens <= cap) {
             fill += r.n_tokens; buf += r; Iterator.empty
           } else { val closed = flush(); open(r, newGroup = false); closed }
         }
@@ -319,6 +329,65 @@ object Sampling {
       |         CASE WHEN p.fill + t.n_tokens <= $PackCap THEN p.seq_id
       |              ELSE p.seq_id + 1 END AS seq_id,
       |         CASE WHEN p.fill + t.n_tokens <= $PackCap
+      |              THEN p.fill + t.n_tokens
+      |              ELSE t.n_tokens END AS fill
+      |  FROM pack p
+      |  JOIN t ON t.lang = p.lang AND t.shard = p.shard
+      |        AND t.rn = p.rn + 1)
+      |SELECT doc_id, lang, shard, n_tokens, seq_id,
+      |       CAST(SUM(n_tokens) OVER (PARTITION BY lang, shard, seq_id)
+      |            AS BIGINT) AS seq_tokens,
+      |       CAST(COUNT(*) OVER (PARTITION BY lang, shard, seq_id)
+      |            AS INT) AS n_in_seq
+      |FROM pack ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- sp11
+  /** Packing cap of the BPE-measured variant, in MODEL tokens: sp06's
+    * 256-whitespace-token bins at the corpus fertility (~3.8 BPE tokens
+    * per word, see ta17) correspond to ~1024 model tokens — the unit a
+    * training run actually budgets (seq_len is defined over model
+    * tokens, not words). */
+  val BpePackCap = 1024
+
+  /** sp11: sp06's greedy sequence packing with the budget measured in
+    * BPE MODEL TOKENS (ta17's lexicon) instead of whitespace words —
+    * the tokenizer-parameterized packing a real pretraining pipeline
+    * runs: bins are context windows, so their fill must be counted in
+    * the same unit the model consumes. Same fold, same determinism and
+    * append-stability; the count source is the broadcast-lexicon join
+    * ([[graft.operators.TextAnalysis.bpeDocCounts]]), so the extra cost
+    * over sp06 is one vocab-sized broadcast + the per-doc sum. */
+  def sp11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = graft.operators.TextAnalysis.bpeDocCounts(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(s"doc_id div $PackShard").as("shard"),
+        col("n_bpe").cast("int").as("n_tokens"))
+      .as[PackRow]
+    packFold(s, toks, BpePackCap)
+  }
+
+  /** Oracle: sp06's recursive fold verbatim, with `t` fed from the BPE
+    * per-doc counts (the shared ta17 training prefix) and the cap in
+    * model tokens. */
+  val sp11Sql: String =
+    s"""WITH RECURSIVE ${graft.operators.TextAnalysis.bpePrefixSql},
+      |${graft.operators.TextAnalysis.bpeCntSql},
+      |t AS (
+      |  SELECT doc_id, lang, doc_id // $PackShard AS shard,
+      |         CAST(n_bpe AS INT) AS n_tokens,
+      |         ROW_NUMBER() OVER (PARTITION BY lang, doc_id // $PackShard
+      |                            ORDER BY doc_id) AS rn
+      |  FROM bpecnt),
+      |pack AS (
+      |  SELECT doc_id, lang, shard, n_tokens, rn, 0 AS seq_id,
+      |         n_tokens AS fill
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.doc_id, t.lang, t.shard, t.n_tokens, t.rn,
+      |         CASE WHEN p.fill + t.n_tokens <= $BpePackCap THEN p.seq_id
+      |              ELSE p.seq_id + 1 END AS seq_id,
+      |         CASE WHEN p.fill + t.n_tokens <= $BpePackCap
       |              THEN p.fill + t.n_tokens
       |              ELSE t.n_tokens END AS fill
       |  FROM pack p
@@ -674,5 +743,6 @@ object Sampling {
     Q("sp08_shuffle_order", "deterministic epoch-varied global shuffle permutation", sp08, Some(sp08Sql)),
     Q("sp09_source_cap", "per-source contribution cap (anti-domination derate)", sp09, Some(sp09Sql)),
     Q("sp10_temperature_mixture", "temperature-scaled source balancing (p^tau derate + audit)", sp10, Some(sp10Sql)),
+    Q("sp11_bpe_pack", "sp06 sequence packing with the budget in BPE model tokens", sp11, Some(sp11Sql)),
   )
 }

@@ -1257,6 +1257,344 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN agg a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- ta17
+  /** Number of learned BPE merges. Fixture-scaled like [[VocabSize]]
+    * (the synthetic corpus has a ~30-token head; 8 merges already fold
+    * its most frequent character pairs into multi-char subwords while
+    * leaving a real single-char tail); a production tokenizer (32k–64k
+    * merges) changes only this constant and the size of the merge-table
+    * artifact — the training loop, the artifact schema, and the serving
+    * plan are invariant to it. */
+  val BpeRounds = 8
+
+  /** Symbol-sequence encoding used by the whole BPE family: a word's
+    * symbol list is ONE string, each symbol wrapped in U+0001 fences —
+    * "hi" → `\u0001h\u0001\u0001i\u0001`. With doubled fences BETWEEN
+    * symbols, applying a merge (l, r) left-to-right non-overlapping —
+    * the BPE application rule (Sennrich et al. 2016) — is EXACTLY a
+    * literal string `replace` of `\u0001l\u0001\u0001r\u0001` with
+    * `\u0001lr\u0001` in both engines ("aaa" → [aa, a]: after the first
+    * replacement consumes its closing fence, the overlapping second
+    * occurrence no longer matches). That one identity is what lets the
+    * DuckDB oracle replay training and encode with zero recursion: each
+    * training round is a pair-count + argmax + one `replace`, unrolled
+    * per round (the k-means-CTE precedent). U+0001 cannot appear in a
+    * whitespace-split token of any text corpus this engine targets. */
+  private val BpeSep = "\u0001"
+  private val BpeSepSql = "chr(1)"
+
+  private def bpeSyms0(t: Column): Column =
+    concat(lit(BpeSep),
+      array_join(regexp_extract_all(t, lit("."), lit(0)), BpeSep + BpeSep),
+      lit(BpeSep))
+
+  /** The learned merge table as a MODEL ARTIFACT — (rank, l, r), rank
+    * 1-based in learn order ([[clfWeights]] contract: a real tokenizer's
+    * merges.txt export is a table drop-in, [[ta17With]] is the swap
+    * hook). Training is the standard corpus-side BPE loop over the
+    * DISTINCT-WORD frequency table (Sennrich et al. 2016 train on the
+    * word dict, not the corpus): per round, adjacent-pair counts
+    * weighted by word frequency → argmax (count desc, then (l, r) asc in
+    * UTF-8 binary order, the cross-engine-stable tie-break) → apply the
+    * merge. The pair counts aggregate DISTRIBUTED (the dict is
+    * vocab-sized but the shuffle is pair-sized); only the 1-row argmax
+    * is collected per round — [[BpeRounds]] driver round-trips at layer
+    * build time, each model-sized. Stops early if no adjacent pair is
+    * left (tiny fixtures); ranks stay contiguous. */
+  private[graft] def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "bpemerges", dir, () => {
+      val words = Tables.documents(s, dir)
+        .select(explode(ws).as("tok")).filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .withColumn("syms", bpeSyms0(col("tok")))
+        .persist()
+      words.count() // materialize once; each round re-reads the cache
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+      var cur = words.select(col("c"), col("syms"))
+      var r = 1
+      var done = false
+      while (r <= BpeRounds && !done) {
+        val arr = split(trim(col("syms"), BpeSep), BpeSep + BpeSep)
+        val n = size(arr)
+        val best = cur
+          .select(col("c"), explode(zip_with(
+            slice(arr, lit(1), n - lit(1)), slice(arr, lit(2), n - lit(1)),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("c")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val (l, rr) = (best(0).getString(0), best(0).getString(1))
+          merges += ((r.toLong, l, rr))
+          cur = cur.withColumn("syms", replace(col("syms"),
+            lit(BpeSep + l + BpeSep + BpeSep + rr + BpeSep),
+            lit(BpeSep + l + rr + BpeSep)))
+          r += 1
+        }
+      }
+      words.unpersist()
+      val rows = merges.toSeq.map { case (k, l, rr) => Row(k, l, rr) }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("rank", LongType, nullable = false),
+          StructField("l", StringType, nullable = false),
+          StructField("r", StringType, nullable = false))))
+    }, Seq("rank"), Seq("rank"), variant = s"_r$BpeRounds")
+
+  /** The encoded LEXICON as a built layer — (tok, subs, ids, n_sub) for
+    * every distinct corpus word, bucketed by tok: the expensive part of
+    * BPE encode (the merge fold) runs once per DISTINCT WORD at layer
+    * build, never per occurrence — encode cost scales with the
+    * vocabulary, not the corpus, which is the property that makes BPE
+    * deployable at 100 TB. Subword ids follow the standard layout:
+    * alphabet chars (sorted, UTF-8 binary) get 0..A-1, merge `rank` gets
+    * A+rank-1; if two merges produce the same surface string the first
+    * (lowest id) wins. */
+  private[graft] def bpeWords(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "bpewords", dir, () => {
+      val mg = bpeMerges(s, dir).orderBy("rank").collect()
+        .map(r0 => (r0.getLong(0), r0.getString(1), r0.getString(2)))
+      val words = Tables.documents(s, dir)
+        .select(explode(ws).as("tok")).filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      // alphabet: distinct chars of the word dict, ordered by Spark's
+      // UTF8 binary sort (matches DuckDB's) — a charset-bounded model
+      // load, collected in sorted order
+      val alpha = words
+        .select(explode(regexp_extract_all(col("tok"), lit("."), lit(0))).as("sym"))
+        .distinct().orderBy("sym").collect().map(_.getString(0))
+      val symId = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      alpha.zipWithIndex.foreach { case (sym, i) => symId(sym) = i.toLong }
+      mg.foreach { case (rank, l, r) =>
+        val sym = l + r
+        if (!symId.contains(sym)) symId(sym) = alpha.length + rank - 1
+      }
+      val symLit = typedlit(symId.toMap)
+      var enc: Column = bpeSyms0(col("tok"))
+      mg.foreach { case (_, l, r) =>
+        enc = replace(enc,
+          lit(BpeSep + l + BpeSep + BpeSep + r + BpeSep),
+          lit(BpeSep + l + r + BpeSep))
+      }
+      val subs = split(trim(enc, BpeSep), BpeSep + BpeSep)
+      words.select(col("tok"), subs.as("subs"))
+        .withColumn("ids", transform(col("subs"), x => element_at(symLit, x)))
+        .withColumn("n_sub", size(col("subs")).cast("long"))
+    }, Seq("tok"), Seq("tok"), variant = s"_r$BpeRounds")
+
+  def ta17(s: SparkSession, dir: String): DataFrame =
+    ta17With(s, dir, bpeWords(s, dir))
+
+  /** ta17: BPE SUBWORD ENCODE — the iterative pair-merge tokenizer every
+    * training pipeline actually measures and packs in (Sennrich et al.
+    * 2016; GPT-2/LLaMA tokenizers are this plus byte-level alphabets).
+    * Per document: word count, total BPE token count, the fertility rate
+    * (BPE tokens per word — the number tokenizer evaluations report),
+    * and the first 8 subword ids (the encode itself, pinned end-to-end).
+    *
+    * Scale posture: the merge fold is PRE-PAID per distinct word in the
+    * [[bpeWords]] lexicon layer; the query is one corpus-side explode →
+    * broadcast join against the vocab-sized lexicon → one per-doc
+    * aggregate. The first-8 slice rides the same aggregate with bounded
+    * per-group state (≤8 structs collected under `pos < 8`), never a
+    * per-doc window. Docs with no non-empty token have no encode row
+    * (the ta13 contract). [[ta17With]] is the swap hook: an alternative
+    * (tok, ids, n_sub) lexicon — e.g. a real 32k-merge export encoded
+    * through the same fold — changes every number under an identical
+    * plan. */
+  private[graft] def ta17With(s: SparkSession, dir: String,
+      enc: DataFrame): DataFrame = {
+    val toksF = filter(ws, t => t =!= "")
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(toksF))
+      .toDF("doc_id", "pos", "tok")
+    t.join(broadcast(enc.select(col("tok"), col("ids"), col("n_sub"))), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("n_sub")).as("n_bpe"),
+        flatten(transform(
+          sort_array(collect_list(
+            when(col("pos") < 8, struct(col("pos"), col("ids"))))),
+          x => x.getField("ids"))).as("flat"))
+      .withColumn("ids8",
+        array_join(transform(slice(col("flat"), 1, 8), x => x.cast("string")), ","))
+      .withColumn("bpe_per_tok",
+        col("n_bpe").cast("double") / col("n_tokens").cast("double"))
+      .select("doc_id", "n_tokens", "n_bpe", "bpe_per_tok", "ids8")
+      // plain orderBy, not Present.sorted: the child has shuffles (join +
+      // agg), so the range-bound sampling pass reuses shuffle files and a
+      // presentation cache would only hide the plan from the census
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the full BPE pipeline replayed in SQL — training unrolled
+    * one CTE-chain per round (pair counts via an adjacency self-join,
+    * 1-row argmax, merge application as the fence-string `replace`; an
+    * exhausted round LEFT-JOINs an empty argmax and COALESCEs to a
+    * no-op), then the id layout and per-doc assembly. Values are exact
+    * integers plus one final division, so the hash compare is skew-free
+    * by construction. */
+  /** Shared oracle prefix of the BPE family (ta17/ta18/sp11): the ws
+    * token stream with per-doc ordinals, the word dict, the unrolled
+    * training rounds, and the per-word subword decomposition + counts.
+    * AS MATERIALIZED on every chained CTE: DuckDB 1.0 inlines CTEs by
+    * default, and each round references the previous round's relation
+    * more than once — inlining would re-expand the whole training
+    * prefix per reference (exponential in BpeRounds). */
+  private[operators] val bpePrefixSql: String = {
+    val S = BpeSepSql
+    val SS = s"$S||$S"
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""ex$r AS MATERIALIZED (
+         |  SELECT tok, c, unnest(s) AS sym, generate_subscripts(s, 1) AS i
+         |  FROM (SELECT tok, c, string_split(trim(syms, $S), $SS) AS s FROM w${r - 1})),
+         |best$r AS MATERIALIZED (
+         |  SELECT a.sym AS l, b.sym AS r, SUM(a.c) AS cnt
+         |  FROM ex$r a JOIN ex$r b ON a.tok = b.tok AND b.i = a.i + 1
+         |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT tok, c,
+         |         COALESCE(replace(syms, $S||l||$S||$S||r||$S, $S||l||r||$S), syms) AS syms
+         |  FROM w${r - 1} LEFT JOIN best$r ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""$wsSqlCte,
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, tok, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS j
+       |  FROM (SELECT doc_id, unnest(ws) AS tok,
+       |               generate_subscripts(ws, 1) AS i FROM w)
+       |  WHERE tok <> ''),
+       |gf AS MATERIALIZED (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+       |w0 AS MATERIALIZED (
+       |  SELECT tok, c,
+       |         $S || array_to_string(regexp_extract_all(tok, '.'), $SS) || $S AS syms
+       |  FROM gf),
+       |$rounds,
+       |wenc AS MATERIALIZED (
+       |  SELECT tok, string_split(trim(syms, $S), $SS) AS subs FROM w$BpeRounds),
+       |wn AS (SELECT tok, CAST(len(subs) AS BIGINT) AS n_sub FROM wenc)""".stripMargin
+  }
+
+  /** Per-doc BPE count CTE (`bpecnt`) over [[bpePrefixSql]] — every doc
+    * keeps its lang; docs with no non-empty token count 0 (they still
+    * pack/bucket downstream, the sp06 contract). */
+  private[operators] val bpeCntSql: String =
+    """bpecnt AS MATERIALIZED (
+      |  SELECT d.doc_id, d.lang, COALESCE(a.n_bpe, 0) AS n_bpe
+      |  FROM documents d LEFT JOIN (
+      |    SELECT t.doc_id, CAST(SUM(n.n_sub) AS BIGINT) AS n_bpe
+      |    FROM tok t JOIN wn n USING (tok) GROUP BY 1) a USING (doc_id))""".stripMargin
+
+  val ta17Sql: String = {
+    val S = BpeSepSql
+    val SS = s"$S||$S"
+    val mergeUnion = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS rank, l, r FROM best$r").mkString(" UNION ALL ")
+    s"""WITH $bpePrefixSql,
+       |merges AS ($mergeUnion),
+       |chars AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(regexp_extract_all(tok, '.')) AS sym FROM gf),
+       |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS a FROM chars),
+       |alpha AS (SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+       |          FROM chars),
+       |symmap AS MATERIALIZED (
+       |  SELECT sym, MIN(id) AS id FROM (
+       |    SELECT sym, id FROM alpha
+       |    UNION ALL
+       |    SELECT l || r AS sym, a + rank - 1 AS id FROM merges, na)
+       |  GROUP BY sym),
+       |wid AS (SELECT u.tok, u.i, s.id
+       |        FROM (SELECT tok, unnest(subs) AS sub,
+       |                     generate_subscripts(subs, 1) AS i FROM wenc) u
+       |        JOIN symmap s ON u.sub = s.sym),
+       |agg1 AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |                CAST(SUM(n.n_sub) AS BIGINT) AS n_bpe
+       |         FROM tok t JOIN wn n USING (tok) GROUP BY t.doc_id),
+       |firsts AS (SELECT doc_id, id,
+       |                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j, i) AS rn
+       |           FROM (SELECT t.doc_id, t.j, u.i, u.id
+       |                 FROM tok t JOIN wid u USING (tok) WHERE t.j <= 8)),
+       |ids8 AS (SELECT doc_id, string_agg(CAST(id AS VARCHAR), ',' ORDER BY rn) AS ids8
+       |         FROM firsts WHERE rn <= 8 GROUP BY doc_id)
+       |SELECT a.doc_id, a.n_tokens, a.n_bpe,
+       |       CAST(a.n_bpe AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) AS bpe_per_tok,
+       |       i.ids8
+       |FROM agg1 a JOIN ids8 i USING (doc_id)
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- ta18
+  /** Per-doc BPE token counts (doc_id, lang, n_bpe) — the measurement
+    * relation the tokenizer-parameterized variants (ta18's histogram,
+    * sp11's packing) consume instead of whitespace counts: context
+    * budgets and packing caps are spent in MODEL tokens, so the
+    * engine must be able to measure in them. Same join shape as ta17
+    * (explode → broadcast lexicon → per-doc sum); `explode_outer` +
+    * left join keep zero-token docs at count 0 (they still pack). */
+  private[operators] def bpeDocCounts(s: SparkSession, dir: String): DataFrame = {
+    val enc = bpeWords(s, dir).select(col("tok"), col("n_sub"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode_outer(filter(ws, t => t =!= "")).as("tok"))
+      .join(broadcast(enc), Seq("tok"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(coalesce(sum(col("n_sub")), lit(0L)).as("n_bpe"))
+  }
+
+  /** ta18: ta15's context-length histogram measured in BPE TOKENS — the
+    * tokenizer-parameterized twin (same buckets, same shares, same
+    * cumulative mass) that answers the question ta15 only approximates:
+    * how the corpus distributes over MODEL-token context lengths. The
+    * whitespace→BPE swap multiplies lengths by the fertility rate, so
+    * docs migrate ~log2(fertility)≈2 buckets up; everything else about
+    * the plan is ta15's (one agg + broadcast-side shares). */
+  def ta18(s: SparkSession, dir: String): DataFrame = {
+    val grouped = bpeDocCounts(s, dir)
+      .filter(col("n_bpe") > 0)
+      .withColumn("bucket", (length(bin(col("n_bpe"))) - 1).cast("int"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).cast("long").as("sum_tokens"))
+    val wl = Window.partitionBy(col("lang"))
+    val wcum = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped
+      .withColumn("lo_tokens", expr("shiftleft(CAST(1 AS BIGINT), bucket)"))
+      .withColumn("doc_share",
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(wl).cast("double"))
+      .withColumn("token_share",
+        col("sum_tokens").cast("double") /
+          sum(col("sum_tokens")).over(wl).cast("double"))
+      .withColumn("cum_token_share",
+        sum(col("sum_tokens")).over(wcum).cast("double") /
+          sum(col("sum_tokens")).over(wl).cast("double"))
+      .select("lang", "bucket", "lo_tokens", "n_docs", "sum_tokens",
+        "doc_share", "token_share", "cum_token_share")
+      .orderBy("lang", "bucket")
+  }
+
+  val ta18Sql: String =
+    s"""WITH $bpePrefixSql,
+       |$bpeCntSql,
+       |b AS (SELECT lang, CAST(length(bin(n_bpe)) - 1 AS INT) AS bucket, n_bpe
+       |      FROM bpecnt WHERE n_bpe > 0),
+       |g AS (SELECT lang, bucket, COUNT(*) AS n_docs,
+       |             CAST(SUM(n_bpe) AS BIGINT) AS sum_tokens
+       |      FROM b GROUP BY 1, 2)
+       |SELECT lang, bucket,
+       |       CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS lo_tokens,
+       |       n_docs, sum_tokens,
+       |       CAST(n_docs AS DOUBLE)
+       |         / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS doc_share,
+       |       CAST(sum_tokens AS DOUBLE)
+       |         / CAST(SUM(sum_tokens) OVER (PARTITION BY lang) AS DOUBLE) AS token_share,
+       |       CAST(SUM(sum_tokens) OVER (PARTITION BY lang ORDER BY bucket
+       |                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+       |         / CAST(SUM(sum_tokens) OVER (PARTITION BY lang) AS DOUBLE) AS cum_token_share
+       |FROM g ORDER BY lang, bucket""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("ta01_langid", "stopword-heuristic language ID + accuracy flag", ta01, Some(ta01Sql)),
     Q("ta02_quality_score", "length/punct/stopword quality score", ta02, Some(ta02Sql)),
@@ -1274,5 +1612,7 @@ object TextAnalysis {
     Q("ta14_bigram_lm", "bigram-LM cross-entropy with stupid backoff (KenLM serving shape)", ta14, Some(ta14Sql)),
     Q("ta15_length_histogram", "log2-bucket sequence-length distribution (context-length planning)", ta15, Some(ta15Sql)),
     Q("ta16_vocab_encode", "vocab token->id encode + OOV coverage audit (broadcast model)", ta16, Some(ta16Sql)),
+    Q("ta17_bpe_encode", "BPE subword encode — learned merges + per-doc fertility (tokenizer serving shape)", ta17, Some(ta17Sql)),
+    Q("ta18_bpe_length_histogram", "ta15's context-length histogram measured in BPE model tokens", ta18, Some(ta18Sql)),
   )
 }

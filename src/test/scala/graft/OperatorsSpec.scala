@@ -1476,4 +1476,68 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     assert(out.exists(r => !s4pairs((r.getLong(0), r.getLong(3)))))
   }
+
+  test("ta17: BPE training learns the hand-derivable merges; encode + swap hook") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ta17").toString
+    // word dict: aaab×2, ab×2, b×1 — round 1 pair counts (a,a)=4 and
+    // (a,b)=4 TIE, broken (l,r)-ascending → (a,a); round 2 (a,b)=4 over
+    // (aa,a)=2; round 3 (aa,ab)=2; round 4 has no pairs left → early
+    // stop at 3 merges. "aaa" → [aa, a] pins the left-to-right
+    // non-overlapping application rule. ids: a=0, b=1, aa=2, ab=3, aaab=4.
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "ab b"))
+    docs.map { case (id, t) => (id, t, "en", "u", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val mg = graft.operators.TextAnalysis.bpeMerges(spark, dir)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(mg.toSeq == Seq((1L, "a", "a"), (2L, "a", "b"), (3L, "aa", "ab")))
+    // lexicon: reconstruction invariant + id layout
+    val lex = graft.operators.TextAnalysis.bpeWords(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getSeq[String](1), r.getSeq[Long](2), r.getLong(3))).toMap
+    assert(lex.keySet == Set("aaab", "ab", "b"))
+    for ((tok, (subs, ids, n)) <- lex) {
+      assert(subs.mkString("") == tok, s"reconstruction broke for $tok")
+      assert(n == subs.length && ids.length == subs.length)
+    }
+    assert(lex("aaab")._2 == Seq(4L) && lex("ab")._2 == Seq(3L)
+      && lex("b")._2 == Seq(1L))
+    val out = graft.operators.TextAnalysis.ta17(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 3 && out(1L).getLong(2) == 3
+      && out(1L).getString(4) == "4,4,3")
+    assert(out(2L).getLong(1) == 2 && out(2L).getLong(2) == 2
+      && out(2L).getString(4) == "3,1")
+    // swap hook: a character-identity lexicon (the "no merges learned"
+    // tokenizer) changes every count under the identical serving plan
+    val alt = Seq(
+      ("aaab", Seq("a", "a", "a", "b"), Seq(0L, 0L, 0L, 1L), 4L),
+      ("ab", Seq("a", "b"), Seq(0L, 1L), 2L),
+      ("b", Seq("b"), Seq(1L), 1L)).toDF("tok", "subs", "ids", "n_sub")
+    val sw = graft.operators.TextAnalysis.ta17With(spark, dir, alt).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(sw(1L).getLong(2) == 10
+      && sw(1L).getString(4) == "0,0,0,1,0,0,0,1")
+    for (df <- Seq(graft.operators.TextAnalysis.ta17(spark, dir),
+                   graft.operators.TextAnalysis.ta17With(spark, dir, alt)))
+      assert(PlanAudit.exchangeCount(df) ==
+        PlanAudit.exchangeCount(graft.operators.TextAnalysis.ta17(spark, dir)))
+  }
+
+  test("ta17 lexicon on the test corpus: reconstruction, contiguous ranks, no null ids") {
+    val dir = "/root/testdata/sf0.001"
+    val mg = graft.operators.TextAnalysis.bpeMerges(spark, dir)
+      .orderBy("rank").collect().map(_.getLong(0))
+    assert(mg.toSeq == (1L to mg.length.toLong))
+    val lex = graft.operators.TextAnalysis.bpeWords(spark, dir).collect()
+    assert(lex.nonEmpty)
+    for (r <- lex) {
+      val (tok, subs) = (r.getString(0), r.getSeq[String](1))
+      assert(subs.mkString("") == tok, s"reconstruction broke for $tok")
+      assert(r.getSeq[Any](2).forall(_ != null), s"null id in $tok")
+      assert(r.getLong(3) == subs.length)
+    }
+  }
 }

@@ -128,7 +128,17 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // ta16 (r9): zero-shuffle map-side encode (vocab arrives as an
     // in-plan literal map from the model-table load — ta13's contract)
     // + presentation sort
-    "ta16_vocab_encode" -> 1)
+    "ta16_vocab_encode" -> 1,
+    // ta17 (r10): the merge fold is pre-paid per distinct word in the
+    // bpewords lexicon layer; the query is explode -> broadcast join
+    // (1) -> per-doc agg (1) -> presentation sort (1)
+    "ta17_bpe_encode" -> 3,
+    // ta18 (r10): ta17's count join (2) + bucket agg (1) + per-lang
+    // share window (1) + sort (1)
+    "ta18_bpe_length_histogram" -> 5,
+    // sp11 (r10): ta17's count join (2) + the sp06 pack repartition
+    // (1) + presentation sort (1)
+    "sp11_bpe_pack" -> 4)
 
   /** sf1.0 budgets where they differ from the small tree — all four are
     * SIZE-DRIVEN STRATEGY FLIPS (a side outgrowing the broadcast
