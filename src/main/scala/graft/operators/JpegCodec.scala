@@ -5,15 +5,20 @@ package graft.operators
   * this whole family is north-star extension, SURVEY.md §0/§7.3).
   *
   * Decoder scope — baseline sequential DCT (SOF0), 8-bit, single
-  * interleaved scan, 1×1 sampling on every component (no chroma
-  * subsampling), optional restart intervals: the shape the synthetic
-  * fixtures and small real-world encoders (JDK ImageIO on gray/small
-  * images) emit. Everything is implemented from the public spec
-  * (ITU-T T.81): marker walk (DQT/DHT/SOF0/SOS/DRI), canonical Huffman
-  * decode, zigzag dequantization, separable double-precision IDCT with
-  * level shift + clamp, and libjpeg-style fixed-point YCbCr→RGB for
-  * 3-component streams (floorDiv so the DuckDB oracle can mirror the
-  * exact integer arithmetic with FLOOR division).
+  * interleaved scan, per-component sampling factors 1 or 2 (so 4:4:4,
+  * 4:2:2, 4:4:0 and the web-dominant 4:2:0 all decode; r9 verdict #3
+  * retired the 1×1-only refusal), optional restart intervals.
+  * Everything is implemented from the public spec (ITU-T T.81): marker
+  * walk (DQT/DHT/SOF0/SOS/DRI), interleaved MCU layout (h×v blocks per
+  * component per MCU, §A.2.3), canonical Huffman decode, zigzag
+  * dequantization, separable double-precision IDCT with level shift +
+  * clamp, triangular-filter ("fancy") chroma upsampling for the 2:1
+  * ratios — the 3:1-weighted centered interpolation every IJG-derived
+  * decoder (including the JDK's ImageIO) applies, so the ±1 ImageIO
+  * cross-check holds on subsampled streams too — and libjpeg-style
+  * fixed-point YCbCr→RGB for 3-component streams (floorDiv so the
+  * DuckDB oracle can mirror the exact integer arithmetic with FLOOR
+  * division).
   *
   * Encoder scope — the fixture generator: DC-only blocks (every AC
   * coefficient zero → one EOB per block) against a flat all-8s quant
@@ -276,6 +281,8 @@ private[graft] object JpegCodec {
     var h = 0
     var nc = 0
     var compQ: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
     var dri = 0
     var i = 2
     var scanAt = -1
@@ -315,10 +322,22 @@ private[graft] object JpegCodec {
           nc = p(body + 5) & 0xFF
           if (w == 0 || h == 0 || (nc != 1 && nc != 3)) return None
           compQ = new Array[Int](nc)
+          compH = new Array[Int](nc)
+          compV = new Array[Int](nc)
           for (c <- 0 until nc) {
-            if ((p(body + 6 + 3 * c + 1) & 0xFF) != 0x11) return None // 1×1 only
+            val samp = p(body + 6 + 3 * c + 1) & 0xFF
+            compH(c) = (samp & 0xF0) >> 4
+            compV(c) = samp & 0x0F
+            // factors 1 and 2 cover 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 —
+            // everything real encoders emit for photos; 4× is legal but
+            // unseen in the wild, refuse rather than half-support
+            if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
+              return None
             compQ(c) = p(body + 6 + 3 * c + 2) & 0xFF
           }
+          // a single-component scan is never interleaved (§A.2.2): its
+          // data units tile the image directly, sampling factors unused
+          if (nc == 1) { compH(0) = 1; compV(0) = 1 }
         case 0xC1 | 0xC2 | 0xC3 => return None // non-baseline SOF
         case 0xDD => dri = ((p(body) & 0xFF) << 8) | (p(body + 1) & 0xFF)
         case 0xDA => // SOS
@@ -338,77 +357,194 @@ private[graft] object JpegCodec {
     if (compTabs.exists { case (d, a) =>
       !huffs.contains((0, d)) || !huffs.contains((1, a)) }) return None
 
-    val bw = (w + 7) / 8
-    val bh = (h + 7) / 8
-    val planes = Array.fill(nc)(new Array[Int](bw * 8 * bh * 8))
+    val hmax = compH.max
+    val vmax = compV.max
+    // MCU grid over the image (§A.2.3); each component contributes
+    // h×v blocks per MCU, raster order, into its own (padded) plane
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val planeW = Array.tabulate(nc)(c => mcusX * compH(c) * 8)
+    val planes = Array.tabulate(nc)(c => new Array[Int](planeW(c) * mcusY * compV(c) * 8))
     val br = new BitReader(p, scanAt)
     val pred = new Array[Int](nc)
     val coef = new Array[Int](64)
     var mcu = 0
-    val nMcu = bw * bh
+    val nMcu = mcusX * mcusY
     while (mcu < nMcu) {
       if (dri > 0 && mcu > 0 && mcu % dri == 0) {
         if (!br.restart()) return None
         java.util.Arrays.fill(pred, 0)
       }
-      val bx = mcu % bw
-      val by = mcu / bw
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
       var c = 0
       while (c < nc) {
-        java.util.Arrays.fill(coef, 0)
         val q = qt(compQ(c))
         val dcT = huffs((0, compTabs(c)._1))
         val acT = huffs((1, compTabs(c)._2))
-        val t = br.decode(dcT)
-        pred(c) += extend(br.receive(t), t)
-        coef(0) = pred(c) * q(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = br.decode(acT)
-          val r = (rs & 0xF0) >> 4
-          val sz = rs & 0x0F
-          if (sz == 0) { if (r == 15) k += 16 else eob = true }
-          else {
-            k += r
-            if (k > 63) return None
-            coef(Zigzag(k)) = extend(br.receive(sz), sz) * q(k)
-            k += 1
+        var bv = 0
+        while (bv < compV(c)) {
+          var bhx = 0
+          while (bhx < compH(c)) {
+            java.util.Arrays.fill(coef, 0)
+            val t = br.decode(dcT)
+            pred(c) += extend(br.receive(t), t)
+            coef(0) = pred(c) * q(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = br.decode(acT)
+              val r = (rs & 0xF0) >> 4
+              val sz = rs & 0x0F
+              if (sz == 0) { if (r == 15) k += 16 else eob = true }
+              else {
+                k += r
+                if (k > 63) return None
+                coef(Zigzag(k)) = extend(br.receive(sz), sz) * q(k)
+                k += 1
+              }
+            }
+            if (br.hitMarker && mcu < nMcu - 1 && !(dri > 0)) return None
+            val block = idct(coef)
+            val plane = planes(c)
+            val bx = mx * compH(c) + bhx
+            val by = my * compV(c) + bv
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                plane((by * 8 + yy) * planeW(c) + bx * 8 + xx) = block(yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            bhx += 1
           }
-        }
-        if (br.hitMarker && mcu < nMcu - 1 && !(dri > 0)) return None
-        val block = idct(coef)
-        val plane = planes(c)
-        var yy = 0
-        while (yy < 8) {
-          var xx = 0
-          while (xx < 8) {
-            plane((by * 8 + yy) * (bw * 8) + bx * 8 + xx) = block(yy * 8 + xx)
-            xx += 1
-          }
-          yy += 1
+          bv += 1
         }
         c += 1
       }
       mcu += 1
     }
     val ch = if (nc == 3) 3 else 1
+    // bring every component to full resolution before color transform
+    val full = Array.tabulate(nc) { c =>
+      val dw = (w * compH(c) + hmax - 1) / hmax  // downsampled dims
+      val dh = (h * compV(c) + vmax - 1) / vmax
+      upsample(planes(c), planeW(c), dw, dh, hmax / compH(c), vmax / compV(c), w, h)
+    }
     val px = new Array[Byte](w * h * ch)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         if (nc == 3) {
-          val (r, g, b) = ycc2rgb(planes(0)(y * bw * 8 + x),
-            planes(1)(y * bw * 8 + x), planes(2)(y * bw * 8 + x))
+          val (r, g, b) = ycc2rgb(full(0)(y * w + x),
+            full(1)(y * w + x), full(2)(y * w + x))
           px((y * w + x) * 3) = r.toByte
           px((y * w + x) * 3 + 1) = g.toByte
           px((y * w + x) * 3 + 2) = b.toByte
-        } else px(y * w + x) = planes(0)(y * bw * 8 + x).toByte
+        } else px(y * w + x) = full(0)(y * w + x).toByte
         x += 1
       }
       y += 1
     }
     Some((w, h, ch, px))
+  }
+
+  // --------------------------------------------------------- upsampling
+
+  /** Upsample one component plane to full image resolution (w×h,
+    * stride w). `stride` is the DECODED plane's row stride (block-
+    * padded); only the top-left dw×dh samples are image data — edge
+    * handling must replicate those, never read the pad. Ratios:
+    *  - 1×1: crop;
+    *  - 2×1 / 2×2: the triangular ("fancy") filter — output samples sit
+    *    at quarter/three-quarter positions between input centers, so
+    *    each takes its nearer neighbor ×3 + farther neighbor, rounded —
+    *    exactly the centered interpolation IJG-family decoders use,
+    *    which is what keeps the ±1 ImageIO cross-check true on
+    *    subsampled chroma;
+    *  - anything else (1×2): plain replication (as IJG does for
+    *    non-2:1 ratios). */
+  private def upsample(plane: Array[Int], stride: Int, dw: Int, dh: Int,
+      rh: Int, rv: Int, w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    def in(x: Int, y: Int): Int = plane(y * stride + x)
+    if (rh == 1 && rv == 1) {
+      var y = 0
+      while (y < h) {
+        System.arraycopy(plane, y * stride, out, y * w, w)
+        y += 1
+      }
+    } else if (rh == 2 && rv == 1) {
+      // h2v1: out[2i] = (3·in[i] + in[i-1] + 1) >> 2,
+      //       out[2i+1] = (3·in[i] + in[i+1] + 2) >> 2, edges replicate
+      val row = new Array[Int](2 * dw)
+      var y = 0
+      while (y < h) {
+        h2Row(x => in(x, y), dw, row)
+        System.arraycopy(row, 0, out, y * w, w)
+        y += 1
+      }
+    } else if (rh == 2 && rv == 2) {
+      // h2v2: vertical triangular pass (3:1 between the two nearest
+      // input rows) into column sums, then the horizontal pass over the
+      // sums with 16-denominator rounding (+8 / +7)
+      val sums = new Array[Int](dw)
+      val row = new Array[Int](2 * dw)
+      var oy = 0
+      while (oy < h) {
+        val v0 = oy >> 1
+        val v1 = if ((oy & 1) == 0) math.max(v0 - 1, 0) else math.min(v0 + 1, dh - 1)
+        var i = 0
+        while (i < dw) { sums(i) = 3 * in(i, v0) + in(i, v1); i += 1 }
+        // horizontal: first/last columns replicate
+        if (dw == 1) {
+          row(0) = (sums(0) * 4 + 8) >> 4
+          row(1) = (sums(0) * 4 + 7) >> 4
+        } else {
+          row(0) = (sums(0) * 4 + 8) >> 4
+          row(1) = (sums(0) * 3 + sums(1) + 7) >> 4
+          i = 1
+          while (i < dw - 1) {
+            row(2 * i) = (sums(i) * 3 + sums(i - 1) + 8) >> 4
+            row(2 * i + 1) = (sums(i) * 3 + sums(i + 1) + 7) >> 4
+            i += 1
+          }
+          row(2 * dw - 2) = (sums(dw - 1) * 3 + sums(dw - 2) + 8) >> 4
+          row(2 * dw - 1) = (sums(dw - 1) * 4 + 7) >> 4
+        }
+        System.arraycopy(row, 0, out, oy * w, w)
+        oy += 1
+      }
+    } else {
+      // replication for the remaining (1×2) shape
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = in(x / rh, y / rv)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    out
+  }
+
+  /** One h2v1 fancy row: dw input samples → 2·dw output samples. */
+  private def h2Row(in: Int => Int, dw: Int, out: Array[Int]): Unit = {
+    if (dw == 1) { out(0) = in(0); out(1) = in(0); return }
+    out(0) = in(0)
+    out(1) = (in(0) * 3 + in(1) + 2) >> 2
+    var i = 1
+    while (i < dw - 1) {
+      out(2 * i) = (in(i) * 3 + in(i - 1) + 1) >> 2
+      out(2 * i + 1) = (in(i) * 3 + in(i + 1) + 2) >> 2
+      i += 1
+    }
+    out(2 * dw - 2) = (in(dw - 1) * 3 + in(dw - 2) + 1) >> 2
+    out(2 * dw - 1) = in(dw - 1)
   }
 }

@@ -103,14 +103,67 @@ class JpegCodecSpec extends AnyFunSuite {
       assert(img.getRaster.getSample(x, y, 0) == fixtureVal(id)(x / 8, y / 8, 0))
   }
 
-  test("chroma-subsampled color (JDK RGB encode) is refused, not mis-decoded") {
-    val img = new java.awt.image.BufferedImage(16, 16,
+  /** Encode an RGB image with the JDK's default JPEG writer (which
+    * 4:2:0-subsamples RGB input) and return (bytes, ImageIO's decoded
+    * RGB reference, the SOF0 sampling byte of component 1). */
+  private def imageIoColor(w: Int, h: Int,
+      f: (Int, Int) => Int): (Array[Byte], Array[Int], Int) = {
+    val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, (x * 16) << 16 | (y * 16) << 8 | 128)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
     val bos = new java.io.ByteArrayOutputStream()
-    assume(javax.imageio.ImageIO.write(img, "jpg", bos))
-    // the JDK encoder 4:2:0-subsamples RGB input; our decoder's scope
-    // is 1×1 sampling only and must return None rather than garbage
-    assert(JpegCodec.decodePixels(bos.toByteArray).isEmpty)
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "JDK JPEG encoder unavailable")
+    val bytes = bos.toByteArray
+    // walk to SOF0 and read component 1's sampling factors
+    var i = 2
+    var samp = -1
+    while (samp < 0 && i + 4 <= bytes.length) {
+      val m = bytes(i + 1) & 0xFF
+      val len = ((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF)
+      if (m == 0xC0) samp = bytes(i + 4 + 6 + 1) & 0xFF
+      i += 2 + len
+    }
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val ref = new Array[Int](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = back.getRGB(x, y)
+      ref((y * w + x) * 3) = (rgb >> 16) & 0xFF
+      ref((y * w + x) * 3 + 1) = (rgb >> 8) & 0xFF
+      ref((y * w + x) * 3 + 2) = rgb & 0xFF
+    }
+    (bytes, ref, samp)
+  }
+
+  test("4:2:0 chroma-subsampled color (JDK RGB encode): within ±2 of ImageIO") {
+    // r9 verdict #3: the web-dominant encoding must DECODE, not be
+    // refused. Smooth gradient: chroma varies, every upsample path
+    // (interior + all four edges) is exercised; odd dims hit the
+    // cropped-MCU paths. Tolerance ±2, not ±1: both decoders are ±1
+    // per COMPONENT sample (IDCT tolerance), and the color transform
+    // multiplies the Cr deviation by 1.4 into R/G.
+    for ((w, h) <- Seq((16, 16), (17, 13), (32, 24))) {
+      val (bytes, ref, samp) = imageIoColor(w, h, (x, y) =>
+        ((40 + 5 * x) min 255) << 16 | ((60 + 4 * y) min 255) << 8 | ((200 - 3 * x - 2 * y) max 0))
+      assert(samp == 0x22, f"JDK encoder emitted sampling 0x$samp%02x, not 4:2:0")
+      val Some((dw, dh, ch, px)) = JpegCodec.decodePixels(bytes)
+      assert((dw, dh, ch) == (w, h, 3))
+      for (k <- 0 until w * h * 3)
+        assert(math.abs((px(k) & 0xFF) - ref(k)) <= 2,
+          s"sample $k (${w}x$h): ${px(k) & 0xFF} vs ${ref(k)}")
+    }
+  }
+
+  test("4:2:0 grayscale-content color stream: chroma flat, decode matches gray ±1") {
+    // flat chroma makes fancy upsampling exact (all neighbors equal),
+    // isolating the subsampled-MCU layout from the filter arithmetic
+    val (bytes, ref, samp) = imageIoColor(24, 16, (x, y) => {
+      val v = clamp(x * 7 + y * 9); v << 16 | v << 8 | v
+    })
+    assert(samp == 0x22)
+    val Some((w, h, ch, px)) = JpegCodec.decodePixels(bytes)
+    assert((w, h, ch) == (24, 16, 3))
+    for (k <- 0 until w * h * 3)
+      assert(math.abs((px(k) & 0xFF) - ref(k)) <= 1,
+        s"sample $k: ${px(k) & 0xFF} vs ${ref(k)}")
   }
 }
