@@ -199,7 +199,16 @@ object LayerMaintenance {
                 s.table(newName).count()
             }
           }
-          if (f.family != "unifreq") DedupPrepare.aliasLayer(newName, actual)
+          if (f.family != "unifreq") {
+            DedupPrepare.aliasLayer(newName, actual)
+            // drop S's cached relation (file listing) for the appended
+            // table: the write may have run on a DIFFERENT session (the
+            // foreachBatch clone in [[maintainStream]]), whose
+            // saveAsTable refresh only touches its own session catalog —
+            // without this, s-side readers keep serving the pre-append
+            // file set
+            s.catalog.refreshTable(actual)
+          }
           val action = if (f.family == "unifreq") "merged" else "appended"
           LayerDelta(f.family + f.variant, action, rows, secs)
       }
@@ -243,4 +252,55 @@ object LayerMaintenance {
         }
       }
     }
+
+  // ---------------------------------------------------------- streaming
+
+  private val DocCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** One micro-batch of the ONLINE ingest-with-maintenance loop, shared
+    * by [[maintainStream]] and the batch path so the spec can pin
+    * stream ≡ one-shot batch ≡ from-scratch rebuild: gate the arrivals
+    * (the stateless content-intrinsic gate — the same first stage as
+    * [[Curation.ingestStream]]), append the survivors into the corpus
+    * directory, then absorb them into the standing maintained layers at
+    * batch cost ([[appendIngest]]). Returns the per-layer report. */
+  def ingestBatch(s: SparkSession, batch: DataFrame,
+      dir: String): Seq[LayerDelta] = {
+    // register the compiled kernels on the BATCH's session: inside
+    // foreachBatch the micro-batch rides a cloned session whose function
+    // registry was snapshotted at stream start
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    graft.functions.GraftFunctions.register(s)
+    val accepted = TextAnalysis.gateDf(batch.selectExpr(DocCols: _*))
+      .filter(col("drop_reason") === "keep")
+      .selectExpr(DocCols: _*)
+    if (accepted.isEmpty) Nil
+    else {
+      accepted.write.mode("append").parquet(s"$dir/documents.parquet")
+      appendIngest(s, dir, accepted)
+    }
+  }
+
+  /** The SELF-SUSTAINING online maintenance path (r9 verdict #4):
+    * [[Curation.probeStream]] decides against the standing indexes but
+    * never maintains them — this stream closes the loop. Each
+    * micro-batch of arrivals is gated, appended into the corpus, and
+    * absorbed into the maintained layers inside `foreachBatch`, so the
+    * NEXT batch's layer reads (every `ensure` consumer re-resolves the
+    * append alias) already include this one. Streaming state is the
+    * engine's offsets only — the layers ARE the state, growing
+    * batch-bounded per trigger; a restart resumes from the checkpoint
+    * and the monotonic-id contract makes a replayed batch fail loudly
+    * instead of double-appending. Caller contract: arrivals carry
+    * fresh, strictly increasing doc_ids (the [[appendIngest]]
+    * contract). */
+  def maintainStream(s: SparkSession, docs: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        ingestBatch(s, b.toDF(), dir); ()
+      }
+      .start()
 }

@@ -144,4 +144,64 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
     assert(admitted == (2000L until 2010L).toSeq)
   }
+
+  // gate-passing ingest body: ≥10 tokens, en stopword signal, low
+  // bigram duplication — survives TextAnalysis.gateDf so the streaming
+  // ingest path actually appends it
+  private def streamBody(i: Long): String =
+    s"the quick tok$i fox of and jumps to over in the lazy tok${i % 5} dog is a good"
+
+  test("streaming maintenance: N micro-batches ≡ one-shot batch ≡ rebuild; alias bumped per batch") {
+    import spark.implicits._
+    val dirS = java.nio.file.Files.createTempDirectory("graft_lm_s").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_lm_sb").toString
+    val dirR = java.nio.file.Files.createTempDirectory("graft_lm_sr").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_lm_ck").toString
+    val v1 = (0L until 300L).map(i => doc(i, streamBody(i)))
+    val arrivals = (1000L until 1060L).map(i => doc(i, streamBody(i)))
+    // one junk arrival the gate must reject (too short → never appended)
+    val junk = doc(1060L, "tiny")
+
+    for (d <- Seq(dirS, dirB, dirR)) writeDocs(d, v1, "overwrite")
+    LayerMaintenance.ensureMaintained(spark, dirS)
+    LayerMaintenance.ensureMaintained(spark, dirB)
+
+    // STREAM path: 3 micro-batches through maintainStream's foreachBatch
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, String, Long)](spark)
+    val q = LayerMaintenance.maintainStream(spark,
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"), dirS, ck)
+    try {
+      mem.addData(arrivals.take(20)); q.processAllAvailable()
+      // after batch 1 the append alias must already be live: the
+      // expected (new-fingerprint) name resolves to the standing table
+      assert(LayerMaintenance.physicalName(spark, dirS, "shingles3") !=
+        LayerMaintenance.expectedName(spark, dirS, "shingles3"))
+      mem.addData(arrivals.slice(20, 40)); q.processAllAvailable()
+      mem.addData(arrivals.drop(40) :+ junk); q.processAllAvailable()
+    } finally q.stop()
+
+    // BATCH path: the same arrivals as ONE ingestBatch call
+    val report = LayerMaintenance.ingestBatch(spark,
+      (arrivals :+ junk).toDF("doc_id", "text", "lang", "source", "n_chars"), dirB)
+    assert(report.map(_.action).sorted ==
+      Seq("appended", "appended", "appended", "merged"))
+
+    // REBUILD path: corpus v2 built from scratch
+    writeDocs(dirR, v1 ++ arrivals, "overwrite")
+    LayerMaintenance.ensureMaintained(spark, dirR)
+
+    // the junk doc was gated out everywhere: corpora are identical
+    for (d <- Seq(dirS, dirB))
+      assert(sortedRows(spark.read.parquet(s"$d/documents.parquet")) ==
+        sortedRows(spark.read.parquet(s"$dirR/documents.parquet")), s"corpus $d")
+    for (f <- layers)
+      assert(sortedRows(LayerMaintenance.maintainedLayer(spark, dirS, f)) ==
+        sortedRows(LayerMaintenance.maintainedLayer(spark, dirR, f)),
+        s"stream vs rebuild: $f") // transitively pins batch ≡ rebuild too
+    for (f <- layers)
+      assert(sortedRows(LayerMaintenance.maintainedLayer(spark, dirB, f)) ==
+        sortedRows(LayerMaintenance.maintainedLayer(spark, dirR, f)),
+        s"batch vs rebuild: $f")
+  }
 }
