@@ -340,7 +340,7 @@ object DedupPrepare {
     * relation is worth materializing. */
   def simhashChunks(s: SparkSession, dir: String): DataFrame =
     ensure(s, "simchunks", dir,
-      () => Dedup.capPerKey(
+      () => capForLayer(s, "simchunks", dir, "",
         Dedup.simhashSig(Tables.documents(s, dir))
           .select(col("doc_id"), col("simhash"),
             explode(map_from_arrays(
@@ -349,6 +349,89 @@ object DedupPrepare {
         Seq("j", "c"), "doc_id", Dedup.BucketCap)
         .select(col("j"), col("c"), col("doc_id"), col("simhash")),
       Seq("j", "c"), Seq("j", "c", "doc_id"))
+
+  // ------------------------------------------------------ cap auditing
+
+  /** Truncation audit of a capped layer write (r9 verdict #6 — the "no
+    * silent caps" rule): what the cap dropped, recorded where a user
+    * can query it. One row per build (or per ingest append) of a capped
+    * layer. */
+  final case class CapAudit(layer: String, cap: Long, keysTotal: Long,
+      keysCapped: Long, rowsIn: Long, rowsKept: Long, rowsDropped: Long)
+
+  /** In-session cap-audit log, drained like [[drainBuildLog]]. */
+  private val capLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[CapAudit]
+
+  private[graft] def drainCapLog(): Seq[CapAudit] = {
+    val b = Seq.newBuilder[CapAudit]
+    var e = capLog.poll()
+    while (e != null) { b += e; e = capLog.poll() }
+    b.result()
+  }
+
+  /** The queryable audit table of a capped physical layer table —
+    * `<physical-name>__audit`, one row per build/append event. */
+  private[graft] def capAuditName(physical: String): String =
+    physical + "__audit"
+
+  private[graft] def writeCapAudit(s: SparkSession, physical: String,
+      a: CapAudit, mode: String): Unit = {
+    capLog.add(a)
+    val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+    val msg = s"capped layer ${a.layer}: cap=${a.cap} keys=${a.keysTotal} " +
+      s"capped_keys=${a.keysCapped} rows_in=${a.rowsIn} kept=${a.rowsKept} " +
+      s"DROPPED=${a.rowsDropped}"
+    if (a.rowsDropped > 0) logger.warn(msg) else logger.info(msg)
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("layer",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cap",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("keys_total",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("keys_capped",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rows_in",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rows_kept",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rows_dropped",
+        org.apache.spark.sql.types.LongType)))
+    val row = org.apache.spark.sql.Row(a.layer, a.cap, a.keysTotal,
+      a.keysCapped, a.rowsIn, a.rowsKept, a.rowsDropped)
+    s.createDataFrame(Seq(row).asJava, schema)
+      .write.mode(mode).format("parquet")
+      .saveAsTable(capAuditName(physical))
+  }
+
+  /** Cap a layer-build relation per key AND account for what the cap
+    * drops — every capped LAYER WRITE goes through here, never through
+    * a bare [[Dedup.capPerKey]]: computes the per-key histogram once on
+    * the build-sized relation (pooled so the capped write below reuses
+    * it), logs the truncation (WARN when anything was dropped), records
+    * an in-session audit entry, and persists a queryable audit row next
+    * to the layer. */
+  private[operators] def capForLayer(s: SparkSession, family: String,
+      dir: String, variant: String, df: DataFrame, keys: Seq[String],
+      ord: String, cap: Int): DataFrame = {
+    val base = Present.pooled(df)
+    val perKey = base.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    val r = perKey.agg(
+      count(lit(1)).as("keys_total"),
+      sum(when(col("n") > cap, 1L).otherwise(0L)).as("keys_capped"),
+      sum(col("n")).as("rows_in"),
+      sum(least(col("n"), lit(cap.toLong))).as("rows_kept")).head()
+    val (kt, kc, ri, rk) = (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) 0L else r.getLong(2),
+      if (r.isNullAt(3)) 0L else r.getLong(3))
+    val physical = naming(s, family, dir, variant)._2
+    writeCapAudit(s, physical,
+      CapAudit(s"$family$variant", cap.toLong, kt, kc, ri, rk, ri - rk),
+      mode = "overwrite")
+    Dedup.capPerKey(base, keys, ord, cap)
+  }
 
   /** (b, bh, doc_id) band rows off a MinHash signature relation — the
     * un-capped lshBands body, shared with [[LayerMaintenance]]'s
@@ -366,7 +449,8 @@ object DedupPrepare {
     * part of the operator's semantics, not a per-query choice). */
   def lshBands(s: SparkSession, dir: String): DataFrame =
     ensure(s, "lshbands", dir,
-      () => Dedup.capPerKey(bandsFromSig(minhashSig(s, dir)),
+      () => capForLayer(s, "lshbands", dir, "",
+          bandsFromSig(minhashSig(s, dir)),
           Seq("b", "bh"), "doc_id", Dedup.BucketCap)
         .select(col("b"), col("bh"), col("doc_id")),
       Seq("b", "bh"), Seq("b", "bh", "doc_id"))

@@ -168,22 +168,39 @@ object LayerMaintenance {
                   mode = "append")
                 d.count()
               case "lshbands" =>
-                val bandsDelta = DedupPrepare.bandsFromSig(
-                  Dedup.minhashSigFromShingles(deltaShingles))
+                val bandsDelta = Present.pooled(DedupPrepare.bandsFromSig(
+                  Dedup.minhashSigFromShingles(deltaShingles)))
                 // admit up to cap − n_old per bucket, lowest batch ids
                 // first — the window is over the BATCH's bands only
                 val oldCnt = s.table(actual).groupBy(col("b"), col("bh"))
                   .agg(count(lit(1)).as("n_old"))
-                val d = bandsDelta
+                val d = Present.pooled(bandsDelta
                   .withColumn("rn", row_number().over(
                     Window.partitionBy(col("b"), col("bh")).orderBy(col("doc_id"))))
                   .join(oldCnt, Seq("b", "bh"), "left")
                   .filter(col("rn") <=
                     lit(Dedup.BucketCap.toLong) - coalesce(col("n_old"), lit(0L)))
-                  .select(col("b"), col("bh"), col("doc_id"))
+                  .select(col("b"), col("bh"), col("doc_id")))
                 DedupPrepare.writeBucketed(d, actual, f.bucketCols, f.sortCols,
                   mode = "append")
-                d.count()
+                // "no silent caps": account for delta rows the cap−n_old
+                // admission rejected, appended to the layer's audit table
+                val r = bandsDelta.groupBy(col("b"), col("bh"))
+                  .agg(count(lit(1)).as("nd"))
+                  .join(d.groupBy(col("b"), col("bh"))
+                    .agg(count(lit(1)).as("nk")), Seq("b", "bh"), "left")
+                  .agg(count(lit(1)).as("keys_total"),
+                    sum(when(coalesce(col("nk"), lit(0L)) < col("nd"), 1L)
+                      .otherwise(0L)).as("keys_capped"),
+                    sum(col("nd")).as("rows_in"),
+                    sum(coalesce(col("nk"), lit(0L))).as("rows_kept")).head()
+                def lg(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+                DedupPrepare.writeCapAudit(s, actual,
+                  DedupPrepare.CapAudit("lshbands/append",
+                    Dedup.BucketCap.toLong, lg(0), lg(1),
+                    lg(2), lg(3), lg(2) - lg(3)),
+                  mode = "append")
+                lg(3)
               case "unifreq" =>
                 // counts merge: vocab-sized rewrite under the NEW
                 // fingerprint name (content changes per-row, so this

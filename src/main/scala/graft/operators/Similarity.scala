@@ -432,7 +432,17 @@ object Similarity {
     * serving is not. Parity with ss08 is spec-pinned on the same
     * query set.
     */
-  def rangeStream(s: SparkSession, queries: DataFrame, dir: String): DataFrame = {
+  def rangeStream(s: SparkSession, queries: DataFrame, dir: String): DataFrame =
+    rangeStreamWhere(s, queries, dir, meta = None)
+
+  /** [[rangeStream]] with ss10's metadata PRE-filter — the online twin
+    * of the filtered range search: `meta` is a static (neighbor_id)
+    * relation (e.g. the lang-predicate survivors) joined into the
+    * capped membership BEFORE scoring, exactly the batch composition
+    * rule. Still a stateless stream-static join chain (the predicate
+    * side is static), so append mode with no state store. */
+  def rangeStreamWhere(s: SparkSession, queries: DataFrame, dir: String,
+      meta: Option[DataFrame]): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val centRows = ivfCent(s, dir).collect()
     val dims = centRows.map(_.getAs[Int]("pos")).max + 1
@@ -462,11 +472,12 @@ object Similarity {
       .select(col("query_id"), col("embedding").as("qe"), explode(best2).as("bc"))
       .select(col("query_id"), col("qe"), col("bc.cell").as("ccell"))
       .withColumn("qn2", normL(col("qe")))
-    val members = Dedup.capPerKey(
+    val capped = Dedup.capPerKey(
         Tables.embeddings(s, dir).join(ivfAssign(s, dir), Seq("vec_id")),
         Seq("cell"), "vec_id", Dedup.BucketCap)
       .select(col("vec_id").as("neighbor_id"), col("cell"),
         col("embedding").as("ne"))
+    val members = meta.fold(capped)(m => capped.join(m, Seq("neighbor_id")))
       .withColumn("nn2", normL(col("ne")))
     q.join(members,
         col("cell") === col("ccell") && col("neighbor_id") =!= col("query_id"))
@@ -1024,6 +1035,100 @@ object Similarity {
        |SELECT query_id, ccell AS cell, CAST(rank AS INT) AS rank, neighbor_id, cosine
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- ss10
+  /** ss10: FILTERED RANGE SEARCH — ss08's radius emission composed with
+    * ss09's metadata PRE-filter, completing the serving matrix
+    * (top-k/range × filtered/unfiltered × batch/stream): "all neighbors
+    * with cosine ≥ θ matching a predicate" is the production near-dup
+    * sweep shape ("find everything this similar among docs I could
+    * actually dedup against"). Composition rules are inherited, not
+    * re-decided: the predicate prunes the CAPPED membership before
+    * scoring (never post-filter-under-θ — though for a θ-filter, unlike
+    * top-k, post-filtering would only waste compute, not lose results),
+    * routing stays unfiltered, and one-cell-per-vector makes per-pair
+    * dedup unnecessary. */
+  def ss10(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val assign = ivfAssign(s, dir)
+    val best = bestCells(s, dir, nprobe = 2)
+    val meta = Tables.documents(s, dir)
+      .filter(col("lang") === FilterLang)
+      .select(col("doc_id").as("neighbor_id"))
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .filter(col("query_id") < 10).join(broadcast(best), Seq("query_id"))
+      .withColumn("qn2", normL(col("qe")))
+    val members = Dedup.capPerKey(e.join(assign, Seq("vec_id")),
+        Seq("cell"), "vec_id", Dedup.BucketCap)
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding").as("ne"))
+      .join(meta, Seq("neighbor_id"))
+      .withColumn("nn2", normL(col("ne")))
+    val scored = members.join(broadcast(q),
+        col("cell") === col("ccell") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosine(dotL(col("qe"), col("ne")), col("qn2"), col("nn2")))
+      .filter(col("cosine") >= RangeTheta)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val wq = Window.partitionBy(col("query_id"))
+    scored.withColumn("n_in_range", count(lit(1)).over(wq))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("n_in_range"))
+      .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+  }
+
+  /** Oracle: ss08's chain with ss09's fm predicate joined into the
+    * capped membership. */
+  val ss10Sql: String =
+    s"""WITH $elCte,
+       |${kmeansCtes(IvfRounds)},
+       |${ivfRouteCtes(nprobe = 2)},
+       |fm AS (SELECT doc_id FROM documents WHERE lang = '$FilterLang'),
+       |dot AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, b.ccell,
+       |               SUM(CAST(ROUND((q.x * c.x) * 1e9) AS BIGINT)) AS dot
+       |        FROM el q JOIN best b ON q.vec_id = b.query_id AND q.vec_id < 10
+       |                  JOIN cappedc cc ON cc.cell = b.ccell
+       |                  JOIN fm ON fm.doc_id = cc.vec_id
+       |                  JOIN el c ON c.vec_id = cc.vec_id AND q.pos = c.pos
+       |                           AND c.vec_id <> q.vec_id
+       |        GROUP BY 1, 2, 3),
+       |scored AS (SELECT query_id, neighbor_id,
+       |                  CAST(dot AS DOUBLE) / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE))) AS cosine
+       |           FROM dot JOIN nrm n1 ON query_id = n1.vec_id
+       |                    JOIN nrm n2 ON neighbor_id = n2.vec_id),
+       |rng AS (SELECT * FROM scored WHERE cosine >= $RangeTheta)
+       |SELECT query_id, neighbor_id, cosine,
+       |       COUNT(*) OVER (PARTITION BY query_id) AS n_in_range
+       |FROM rng ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin
+
+  // ---------------------------------------------------------------- ss11
+  /** ss11: IVF CAP AUDIT — the queryable truncation report for the
+    * query-time membership cap every probe path applies (r9 verdict #6,
+    * "no silent caps"): per cell, how many vectors the index holds, how
+    * many a probe actually scans under [[Dedup.BucketCap]], and how
+    * many the cap hides. The write-time layer caps (lshbands,
+    * simchunks) persist the same accounting as `__audit` tables at
+    * build; this is the probe-side twin, an index-sized aggregate a
+    * user runs before trusting a sweep's recall. */
+  def ss11(s: SparkSession, dir: String): DataFrame =
+    ivfAssign(s, dir)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"))
+      .withColumn("cap", lit(Dedup.BucketCap.toLong))
+      .withColumn("n_scanned", least(col("n_members"), col("cap")))
+      .withColumn("n_dropped",
+        greatest(col("n_members") - col("cap"), lit(0L)))
+      .select("cell", "n_members", "cap", "n_scanned", "n_dropped")
+      .orderBy("cell")
+
+  val ss11Sql: String =
+    s"""WITH ${ivfAssignSqlCtes}
+       |SELECT cell, COUNT(*) AS n_members,
+       |       CAST(${Dedup.BucketCap} AS BIGINT) AS cap,
+       |       LEAST(COUNT(*), ${Dedup.BucketCap}) AS n_scanned,
+       |       GREATEST(COUNT(*) - ${Dedup.BucketCap}, 0) AS n_dropped
+       |FROM $ivfFinalAssignCte GROUP BY cell ORDER BY cell""".stripMargin
+
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(
     Q("ss01_knn_bruteforce", "broadcast brute-force cosine top-5", ss01, Some(ss01Sql)),
@@ -1035,5 +1140,7 @@ object Similarity {
     Q("ss07_knn_ivfpq", "IVF-PQ: cell-routed ADC scan + exact shortlist rerank", ss07, Some(ss07Sql)),
     Q("ss08_range_search", "IVF-routed radius query: all neighbors with cosine >= theta", ss08, Some(ss08Sql)),
     Q("ss09_knn_filtered", "metadata-filtered IVF ANN: predicate pre-filters the probe", ss09, Some(ss09Sql)),
+    Q("ss10_range_filtered", "filtered range search: radius emission over a pre-filtered probe", ss10, Some(ss10Sql)),
+    Q("ss11_ivf_cap_audit", "per-cell membership vs probe cap: what the cap hides", ss11, Some(ss11Sql)),
   )
 }

@@ -145,6 +145,46 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     assert(admitted == (2000L until 2010L).toSeq)
   }
 
+  test("no silent caps: capped builds and appends write queryable truncation audits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_cap").toString
+    // 1100 identical docs: every band bucket of the clique holds 1100
+    // candidates but the layer caps at 1000 — the build must SAY so
+    val v1 = (0L until 1100L).map(i => doc(i, "same same same same same text here"))
+    writeDocs(dir, v1, "overwrite")
+    DedupPrepare.drainCapLog()
+    DedupPrepare.lshBands(spark, dir)
+    val physical = LayerMaintenance.physicalName(spark, dir, "lshbands")
+    val audit = spark.table(DedupPrepare.capAuditName(physical)).collect()
+    assert(audit.length == 1)
+    val a = audit.head
+    assert(a.getAs[String]("layer") == "lshbands")
+    assert(a.getAs[Long]("cap") == Dedup.BucketCap.toLong)
+    assert(a.getAs[Long]("keys_total") == 4L)     // 4 bands, one bucket each
+    assert(a.getAs[Long]("keys_capped") == 4L)
+    assert(a.getAs[Long]("rows_in") == 4400L)
+    assert(a.getAs[Long]("rows_kept") == 4000L)
+    assert(a.getAs[Long]("rows_dropped") == 400L)
+    val logged = DedupPrepare.drainCapLog()
+    assert(logged.exists(e => e.layer == "lshbands" && e.rowsDropped == 400L))
+
+    // ingest a batch into the already-full buckets: admission drops ALL
+    // of it, and the audit table gains an append row saying exactly that
+    LayerMaintenance.ensureMaintained(spark, dir)
+    val batch = (9000L until 9030L).map(i => doc(i, "same same same same same text here"))
+    writeDocs(dir, batch, "append")
+    import spark.implicits._
+    LayerMaintenance.appendIngest(spark, dir,
+      batch.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val audit2 = spark.table(DedupPrepare.capAuditName(physical))
+      .filter(col("layer") === "lshbands/append").collect()
+    assert(audit2.length == 1)
+    val b = audit2.head
+    assert(b.getAs[Long]("rows_in") == 120L)
+    assert(b.getAs[Long]("rows_kept") == 0L)
+    assert(b.getAs[Long]("rows_dropped") == 120L)
+    assert(b.getAs[Long]("keys_capped") == 4L)
+  }
+
   // gate-passing ingest body: ≥10 tokens, en stopword signal, low
   // bigram duplication — survives TextAnalysis.gateDf so the streaming
   // ingest path actually appends it

@@ -105,6 +105,11 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // metadata predicate joined into the membership BEFORE scoring —
     // +1 for the predicate side's exchange
     "ss09_knn_filtered" -> 13,
+    // ss10 (r10): ss08's radius chain (12) + ss09's predicate-side
+    // exchange (+1) — the composition adds nothing else
+    "ss10_range_filtered" -> 13,
+    // ss11 (r10): index-layer read + per-cell agg + sort
+    "ss11_ivf_cap_audit" -> 2,
     "ta01_langid" -> 1, "ta02_quality_score" -> 1,
     "ta03_token_counts" -> 1, "ta04_fingerprint" -> 1,
     "ta05_lexical_stats" -> 1, "ta06_repetition_stats" -> 1,

@@ -270,6 +270,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == batch)
   }
 
+  test("rangeStreamWhere: predicate variant matches batch ss10 (filtered range)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.operators.Similarity.ss10(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty)
+    val meta = graft.Tables.documents(spark, dir)
+      .filter(col("lang") === graft.operators.Similarity.FilterLang)
+      .select(col("doc_id").as("neighbor_id"))
+    val qvecs = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.operators.Similarity
+      .rangeStreamWhere(spark, mem.toDF().toDF("query_id", "embedding"), dir,
+        Some(meta))
+      .writeStream.format("memory").queryName("rngf").outputMode("append").start()
+    mem.addData(qvecs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rngf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == batch)
+    // and the unfiltered stream strictly contains the filtered one
+    val unf = graft.operators.Similarity.ss08(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.subsetOf(unf) && got.size < unf.size)
+  }
+
   test("quality gate runs statelessly on a stream and matches the batch gate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
