@@ -523,6 +523,8 @@ object GraftFunctions {
         "text_metrics", exprs => TextMetrics(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction(
         "pii_scrub", exprs => PiiScrub(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "clf_margin", exprs => ClfMargin(exprs(0), exprs(1)), "built-in")
     }
   }
 }

@@ -206,3 +206,100 @@ object PiiScrub {
   private[functions] val Ipv4 = java.util.regex.Pattern.compile(Ipv4Pat)
   private[functions] val Phone = java.util.regex.Pattern.compile(PhonePat)
 }
+
+/** Native Catalyst expression: hashed-feature linear-classifier
+  * accumulation in ONE compiled pass — `clf_margin(text, weights)` with
+  * `weights` a FOLDABLE `array<long>` of w_milli values (the model's
+  * whole parameter set, shipped in-plan as a literal — ta13's
+  * "broadcast the model" step). Returns `struct(n_tokens, w_milli)`:
+  * every non-empty `\s+` token of lower(trim(text)) indexes the weight
+  * array at `poly131(tok) mod len(weights)` and the margins sum in
+  * exact integer millis.
+  *
+  * The feature hash is [[ClfMargin.poly131]] — `h = (h·131 + codepoint)
+  * mod 1e9+7` — replacing the md5-based h60 that was ta13's measured
+  * per-token hot loop at sf10 (r9 verdict #8): one multiply-add per
+  * code point instead of an MD5 block round per token. Chosen for exact
+  * oracle mirrorability:
+  * `list_reduce(list_prepend(0, list_transform(
+  *    regexp_extract_all(t, '.'), c -> ord(c))),
+  *    (a, b) -> (a * 131 + b) % 1000000007)`
+  * (DuckDB `ord` returns the code point, `.` matches one code point;
+  * all intermediates stay far inside BIGINT). Hash-swap note: feature
+  * ASSIGNMENT changes vs h60, but the model contract doesn't — weights
+  * are data keyed by feature id, and the spec pins that the plan shape
+  * is invariant to the hash family.
+  */
+case class ClfMargin(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(LongType, _)) if right.foldable =>
+        if (right.eval(null) == null)
+          TypeCheckResult.TypeCheckFailure("clf_margin weights must not be NULL")
+        else TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "clf_margin expects (string, foldable array<long>)")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("w_milli", org.apache.spark.sql.types.LongType,
+      nullable = false)))
+  override def prettyName: String = "clf_margin"
+
+  @transient private lazy val weights: Array[Long] =
+    right.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+
+  /** Kernel shared by interpreted eval and codegen (called per row). */
+  def kernel(a: Any): Any = {
+    val u = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val toks = TokensH60.Ws.split(u.trim().toLowerCase().toString, -1)
+    val dim = weights.length
+    var n = 0
+    var w = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (!t.isEmpty) {
+        n += 1
+        w += weights((ClfMargin.poly131(t) % dim).toInt)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, w))
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = kernel(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("clfMargin", this, classOf[ClfMargin].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $self.kernel($a);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ClfMargin {
+  /** The cheap feature hash: polynomial 131 fold over CODE POINTS,
+    * mod 1e9+7 (prime; every intermediate < 2^41, BIGINT/long-exact in
+    * both engines). */
+  def poly131(s: String): Long = {
+    var h = 0L
+    var j = 0
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      h = (h * 131L + cp) % 1000000007L
+      j += Character.charCount(cp)
+    }
+    h
+  }
+}

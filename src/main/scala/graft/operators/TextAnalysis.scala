@@ -861,19 +861,21 @@ object TextAnalysis {
     * scores change while the plan shape does not. */
   private[graft] def ta13With(s: SparkSession, dir: String,
       weights: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val wArr = new Array[Long](ClfFeatDim)
     weights.select(col("feature"), col("w_milli")).collect()
       .foreach(r => wArr(r.getInt(0)) = r.getLong(1))
-    val wLit = typedlit(wArr.toSeq)
-    val toks = filter(ws, t => t =!= "")
-    val wMilli = aggregate(toks, lit(0L),
-      (acc, t) => acc +
-        element_at(wLit, (Dedup.h60(t) % ClfFeatDim).cast("int") + 1))
+    // tokenize + hash + lookup + accumulate fused in the compiled
+    // clf_margin kernel (r9 verdict #8 — the per-token md5 h60 was the
+    // suite's sf10 hot loop; poly131 is one multiply-add per code point)
+    val cm = call_function("clf_margin", col("text"), typedlit(wArr.toSeq))
     val margin =
       (col("w_milli").cast("double") / 1000.0) / col("n_tokens").cast("double")
     val sig = lit(1.0) / (lit(1.0) + exp(-col("margin")))
     Tables.documents(s, dir)
-      .select(col("doc_id"), size(toks).as("n_tokens"), wMilli.as("w_milli"))
+      .select(col("doc_id"), cm.as("cm"))
+      .select(col("doc_id"), col("cm.n_tokens").as("n_tokens"),
+        col("cm.w_milli").as("w_milli"))
       .filter(col("n_tokens") > 0)
       .withColumn("margin", margin)
       .withColumn("score", Dedup.gridL(sig).cast("double") / 1e9)
@@ -882,11 +884,18 @@ object TextAnalysis {
       .transform(Present.sorted(_, "doc_id"))
   }
 
+  /** The oracle twin of [[graft.functions.ClfMargin.poly131]]. */
+  private[operators] def poly131Sql(t: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(regexp_extract_all($t, '.'), " +
+      s"c -> CAST(ord(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007)"
+
   val ta13Sql: String = {
     // the oracle regenerates the weight TABLE's fixture formula in
-    // closed form: feature = h60(tok) mod ClfFeatDim, then
-    // w_milli = h60(str(feature)) mod 2001 − 1000
-    val feat = s"(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % $ClfFeatDim)"
+    // closed form: feature = poly131(tok) mod ClfFeatDim, then
+    // w_milli = h60(str(feature)) mod 2001 − 1000 (the weight TABLE
+    // keeps its md5 fixture formula — it is data, built once per model)
+    val feat = s"(${poly131Sql("t")} % $ClfFeatDim)"
     val wOfT = s"CAST(concat('0x', substr(md5(CAST($feat AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000"
     s"""WITH $wsSqlCte,
        |m AS (SELECT doc_id,

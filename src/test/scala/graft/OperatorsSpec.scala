@@ -485,10 +485,13 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
     val out = graft.operators.TextAnalysis.ta13(spark, dir).collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
-    // the weight TABLE's fixture formula: feature-hash the token, then
-    // hash the feature id — w(tok) = h60(str(h60(tok) mod D)) mod 2001 − 1000
+    // the weight TABLE's fixture formula: feature-hash the token
+    // (poly131, the r10 cheap hash — the table itself stays md5-keyed),
+    // then hash the feature id —
+    // w(tok) = h60(str(poly131(tok) mod D)) mod 2001 − 1000
     def w(tok: String): Long =
-      h60((h60(tok) % graft.operators.TextAnalysis.ClfFeatDim).toString) % 2001L - 1000L
+      h60((graft.functions.ClfMargin.poly131(tok) %
+        graft.operators.TextAnalysis.ClfFeatDim).toString) % 2001L - 1000L
     for (r <- out) {
       val ts = texts(r.getLong(0)).toLowerCase.split("\\s+").filter(_.nonEmpty)
       assert(r.getInt(1) == ts.length) // n_tokens

@@ -210,4 +210,34 @@ class TextKernelsSpec extends AnyFunSuite with SparkTestBase {
       .select(call_function("pii_scrub", col("text"))).head()
     assert(r.isNullAt(0))
   }
+
+  test("clf_margin == the HOF aggregate form with poly131 (codegen on/off)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // small odd dim so collisions actually happen; weights non-uniform
+    val dim = 7
+    val w = (0 until dim).map(i => (i * 37 - 100).toLong)
+    val wLit = typedlit(w)
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      val df = fixtures.toDF("text")
+      val got = df.select(
+        call_function("clf_margin", col("text"), wLit).as("cm")).collect()
+      val exp = fixtures.map { text =>
+        val ts = text.trim.toLowerCase.split("\\s+", -1).filter(_.nonEmpty)
+        (ts.length,
+          ts.map(t => w((graft.functions.ClfMargin.poly131(t) % dim).toInt)).sum)
+      }
+      got.map(r => (r.getStruct(0).getInt(0), r.getStruct(0).getLong(1)))
+        .zip(exp).foreach { case (g, e) =>
+          assert(g == e, s"codegen=$cg")
+        }
+    }
+    // poly131 pinned against the oracle's list_reduce fold: the DuckDB
+    // expression for 'abc' evaluates to 1677554 (verified constant)
+    assert(graft.functions.ClfMargin.poly131("abc") == 1677554L)
+    // null in, null out
+    val r = Seq[Option[String]](None).toDF("text")
+      .select(call_function("clf_margin", col("text"), wLit)).head()
+    assert(r.isNullAt(0))
+  }
 }
