@@ -238,8 +238,14 @@ case class ClfMargin(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, ArrayType(LongType, _)) if right.foldable =>
-        if (right.eval(null) == null)
+        val w = right.eval(null)
+        if (w == null)
           TypeCheckResult.TypeCheckFailure("clf_margin weights must not be NULL")
+        else if (w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .numElements() == 0)
+          // dim == 0 would make the per-row `hash % dim` divide by zero at
+          // execution time; reject at analysis like the NULL case
+          TypeCheckResult.TypeCheckFailure("clf_margin weights must not be empty")
         else TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         "clf_margin expects (string, foldable array<long>)")

@@ -216,6 +216,10 @@ object DedupPrepare {
       // which at sf1.0 measured ~2x the query's entire budget).
       val enclosing = nestedBuildSecs
       nestedBuildSecs = 0.0
+      // isolate this build's pending cap audits from an enclosing build's
+      // (nested ensure calls run while the outer closure evaluates)
+      val enclosingAudits = pendingCapAudits
+      pendingCapAudits = Nil
       val t0 = System.nanoTime()
       val body = build()
       // zero-unpartitioned-window invariant, enforced where the r9
@@ -228,7 +232,12 @@ object DedupPrepare {
       require(unpart.isEmpty,
         s"layer $family$variant build plan has unpartitioned window(s): " +
           unpart.mkString("; "))
-      writeBucketed(body, name0, bucketCols, sortCols)
+      try {
+        writeBucketed(body, name0, bucketCols, sortCols)
+        // the layer is published; NOW its truncation audits may say so
+        pendingCapAudits.reverse.foreach { case (physical, a) =>
+          writeCapAudit(s, physical, a, mode = "overwrite") }
+      } finally pendingCapAudits = enclosingAudits
       val elapsed = (System.nanoTime() - t0) / 1e9
       buildLog.add((s"$family$variant", elapsed - nestedBuildSecs))
       nestedBuildSecs = enclosing + elapsed
@@ -363,6 +372,14 @@ object DedupPrepare {
   private val capLog =
     new java.util.concurrent.ConcurrentLinkedQueue[CapAudit]
 
+  /** Cap audits stashed by [[capForLayer]] during a build closure,
+    * persisted by [[ensure]] only AFTER the layer write succeeds (r10
+    * ADVICE: an audit row published before the layer itself would
+    * describe a layer that was never published if the write fails).
+    * Single-threaded by construction: capForLayer only runs inside
+    * ensure's synchronized build. */
+  private var pendingCapAudits: List[(String, CapAudit)] = Nil
+
   private[graft] def drainCapLog(): Seq[CapAudit] = {
     val b = Seq.newBuilder[CapAudit]
     var e = capLog.poll()
@@ -427,9 +444,11 @@ object DedupPrepare {
       if (r.isNullAt(2)) 0L else r.getLong(2),
       if (r.isNullAt(3)) 0L else r.getLong(3))
     val physical = naming(s, family, dir, variant)._2
-    writeCapAudit(s, physical,
-      CapAudit(s"$family$variant", cap.toLong, kt, kc, ri, rk, ri - rk),
-      mode = "overwrite")
+    // stash, don't write: ensure() persists the audit after the capped
+    // layer itself lands (see pendingCapAudits)
+    pendingCapAudits ::=
+      (physical -> CapAudit(s"$family$variant", cap.toLong, kt, kc, ri, rk,
+        ri - rk))
     Dedup.capPerKey(base, keys, ord, cap)
   }
 

@@ -118,23 +118,33 @@ object LayerMaintenance {
     * updated corpus, which is already correct.
     */
   def appendIngest(s: SparkSession, dir: String,
-      batch: DataFrame): Seq[LayerDelta] = DedupPrepare.synchronized {
-    val minNew = batch.agg(min(col("doc_id"))).head()
-    if (minNew.isNullAt(0)) return Nil // empty batch: nothing to absorb
+      batch: DataFrame, replay: Boolean = false): Seq[LayerDelta] =
+      DedupPrepare.synchronized {
+    val mm = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (mm.isNullAt(0)) return Nil // empty batch: nothing to absorb
+    val bMin = mm.getLong(0)
     DedupPrepare.invalidate(dir)
     val specs = Maintained.map { f =>
       val (base, newName) = DedupPrepare.naming(s, f.family, dir, f.variant)
       (f, base, newName, findExisting(s, base, f.variant))
     }
 
-    // ingest contract: strictly increasing doc_ids (see class doc)
-    specs.find(_._1.family == "shingles3").flatMap(_._4).foreach { t =>
-      val maxOld = s.table(t).agg(max(col("doc_id"))).head()
-      if (!maxOld.isNullAt(0))
-        require(minNew.getLong(0) > maxOld.getLong(0),
-          s"appendIngest: batch min doc_id ${minNew.getLong(0)} does not " +
-            s"exceed standing max ${maxOld.getLong(0)} — batch ids must be fresh")
+    // standing max doc_id per append family, for the freshness contract
+    // and (under `replay`) per-family at-least-once healing: the bucketed
+    // append is job-atomic, so ANY batch trace in a layer (its max
+    // doc_id >= batch min) means that family fully absorbed this batch.
+    def layerMax(t: String): Option[Long] = {
+      val r = s.table(t).agg(max(col("doc_id"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
     }
+    if (!replay)
+      // ingest contract: strictly increasing doc_ids (see class doc)
+      specs.find(_._1.family == "shingles3").flatMap(_._4)
+        .flatMap(layerMax).foreach { maxOld =>
+          require(bMin > maxOld,
+            s"appendIngest: batch min doc_id $bMin does not exceed " +
+              s"standing max $maxOld — batch ids must be fresh")
+        }
 
     // batch-sized delta relations; the shingle explode is shared by
     // three families, so materialize it once for the ingest
@@ -152,8 +162,18 @@ object LayerMaintenance {
           LayerDelta(f.family + f.variant, "absent", 0L, 0.0)
         case Some(actual) if actual == newName =>
           // corpus fingerprint unchanged — the batch files were not
-          // actually added under this dir; nothing to do
+          // actually added under this dir; nothing to do (this is also
+          // how a replayed unifreq merge is healed: the re-key to the
+          // post-ingest fingerprint name already happened)
           LayerDelta(f.family + f.variant, "unchanged", 0L, 0.0)
+        case Some(actual) if replay && f.family != "unifreq" &&
+            layerMax(actual).exists(_ >= bMin) =>
+          // at-least-once replay (r10 ADVICE): this family already
+          // absorbed the batch — the bucketed append is job-atomic, so
+          // any batch trace means the whole batch landed. Skip instead
+          // of double-appending; families WITHOUT a trace (a crash fell
+          // between families) still absorb below.
+          LayerDelta(f.family + f.variant, "replayed", 0L, 0.0)
         case Some(actual) =>
           val (rows, secs) = timed {
             f.family match {
@@ -280,7 +300,19 @@ object LayerMaintenance {
     * (the stateless content-intrinsic gate — the same first stage as
     * [[Curation.ingestStream]]), append the survivors into the corpus
     * directory, then absorb them into the standing maintained layers at
-    * batch cost ([[appendIngest]]). Returns the per-layer report. */
+    * batch cost ([[appendIngest]]). Returns the per-layer report.
+    *
+    * Exactly-once under at-least-once delivery (r10 ADVICE): before the
+    * corpus append, the batch's id range is checked against the corpus's
+    * standing max doc_id (a footer-stats MAX — metadata-only with parquet
+    * aggregate pushdown, no data scan). Under the monotonic-id ingest
+    * contract, `corpus max >= batch max` can only mean a replayed
+    * micro-batch whose first attempt already appended — the corpus write
+    * is skipped and [[appendIngest]] runs in replay mode, where each
+    * family independently heals (a crash between the corpus write and a
+    * family's absorption is absorbed now; an already-absorbed family is
+    * skipped, never double-appended). A PARTIAL overlap is impossible
+    * under the contract and fails loudly. */
   def ingestBatch(s: SparkSession, batch: DataFrame,
       dir: String): Seq[LayerDelta] = {
     // register the compiled kernels on the BATCH's session: inside
@@ -288,13 +320,46 @@ object LayerMaintenance {
     // registry was snapshotted at stream start
     graft.functions.GraftFunctions.register(batch.sparkSession)
     graft.functions.GraftFunctions.register(s)
+    // persisted: evaluated by the emptiness probe, the min/max agg, the
+    // corpus append, and the per-layer delta jobs in appendIngest —
+    // without it each action re-runs the gate and re-reads the source
     val accepted = TextAnalysis.gateDf(batch.selectExpr(DocCols: _*))
       .filter(col("drop_reason") === "keep")
       .selectExpr(DocCols: _*)
-    if (accepted.isEmpty) Nil
-    else {
-      accepted.write.mode("append").parquet(s"$dir/documents.parquet")
-      appendIngest(s, dir, accepted)
+      .persist()
+    try {
+      val mm = accepted.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      if (mm.isNullAt(0)) Nil // nothing survived the gate
+      else {
+        val (bMin, bMax) = (mm.getLong(0), mm.getLong(1))
+        val corpusMax = maxDocId(s, s"$dir/documents.parquet")
+        if (corpusMax >= bMax) appendIngest(s, dir, accepted, replay = true)
+        else if (corpusMax >= bMin)
+          sys.error(s"ingestBatch: batch id range [$bMin,$bMax] partially " +
+            s"overlaps corpus max $corpusMax — not a clean replay, and ids " +
+            "must be fresh; refusing to append")
+        else {
+          accepted.write.mode("append").parquet(s"$dir/documents.parquet")
+          appendIngest(s, dir, accepted)
+        }
+      }
+    } finally accepted.unpersist(blocking = false)
+  }
+
+  /** Standing max doc_id of a corpus directory, or Long.MinValue when
+    * empty. Read with parquet aggregate pushdown so the MAX resolves
+    * from file-footer statistics — per-micro-batch cost is a metadata
+    * pass, not a corpus scan. */
+  private def maxDocId(s: SparkSession, path: String): Long = {
+    val flag = "spark.sql.parquet.aggregatePushdown"
+    val prev = s.conf.getOption(flag)
+    try {
+      s.conf.set(flag, "true")
+      val r = s.read.parquet(path).agg(max(col("doc_id"))).head()
+      if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+    } finally prev match {
+      case Some(v) => s.conf.set(flag, v)
+      case None    => s.conf.unset(flag)
     }
   }
 
@@ -307,8 +372,9 @@ object LayerMaintenance {
     * append alias) already include this one. Streaming state is the
     * engine's offsets only — the layers ARE the state, growing
     * batch-bounded per trigger; a restart resumes from the checkpoint
-    * and the monotonic-id contract makes a replayed batch fail loudly
-    * instead of double-appending. Caller contract: arrivals carry
+    * and a replayed batch is healed idempotently (corpus append skipped,
+    * per-family absorption skipped-or-completed — see [[ingestBatch]])
+    * rather than double-appended. Caller contract: arrivals carry
     * fresh, strictly increasing doc_ids (the [[appendIngest]]
     * contract). */
   def maintainStream(s: SparkSession, docs: DataFrame, dir: String,

@@ -191,6 +191,64 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
   private def streamBody(i: Long): String =
     s"the quick tok$i fox of and jumps to over in the lazy tok${i % 5} dog is a good"
 
+  test("at-least-once replay: re-delivered batch is healed, not double-appended") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_rp").toString
+    val v1 = (0L until 200L).map(i => doc(i, streamBody(i)))
+    writeDocs(dir, v1, "overwrite")
+    LayerMaintenance.ensureMaintained(spark, dir)
+    val batch = (3000L until 3030L).map(i => doc(i, streamBody(i)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    // first delivery: normal ingest
+    val r1 = LayerMaintenance.ingestBatch(spark, batch, dir)
+    assert(r1.map(_.action).sorted == Seq("appended", "appended", "appended", "merged"))
+    val corpus1 = sortedRows(spark.read.parquet(s"$dir/documents.parquet"))
+    val layers1 = layers.map(f =>
+      f -> sortedRows(LayerMaintenance.maintainedLayer(spark, dir, f))).toMap
+
+    // re-delivery of the SAME batch (foreachBatch at-least-once): corpus
+    // append skipped, every layer absorption skipped — nothing changes
+    val r2 = LayerMaintenance.ingestBatch(spark, batch, dir)
+    assert(r2.map(_.action).sorted ==
+      Seq("replayed", "replayed", "replayed", "unchanged"), r2.toString)
+    assert(sortedRows(spark.read.parquet(s"$dir/documents.parquet")) == corpus1)
+    for (f <- layers)
+      assert(sortedRows(LayerMaintenance.maintainedLayer(spark, dir, f)) ==
+        layers1(f), s"replay changed layer $f")
+  }
+
+  test("crash between corpus write and absorption: replay completes the layers") {
+    import spark.implicits._
+    val dirC = java.nio.file.Files.createTempDirectory("graft_lm_cr").toString
+    val dirR = java.nio.file.Files.createTempDirectory("graft_lm_crr").toString
+    val v1 = (0L until 200L).map(i => doc(i, streamBody(i)))
+    for (d <- Seq(dirC, dirR)) writeDocs(d, v1, "overwrite")
+    LayerMaintenance.ensureMaintained(spark, dirC)
+    val arrivals = (4000L until 4030L).map(i => doc(i, streamBody(i)))
+
+    // simulate the first attempt crashing AFTER the corpus append but
+    // BEFORE any layer absorbed: the batch's files are in the corpus,
+    // the layers never saw it
+    writeDocs(dirC, arrivals, "append")
+    // the re-delivery: corpus write must be skipped (ids already
+    // standing), layer absorption must run to completion
+    val r = LayerMaintenance.ingestBatch(spark,
+      arrivals.toDF("doc_id", "text", "lang", "source", "n_chars"), dirC)
+    assert(r.map(_.action).sorted ==
+      Seq("appended", "appended", "appended", "merged"), r.toString)
+
+    // corpus has exactly one copy, layers equal a from-scratch rebuild
+    writeDocs(dirR, arrivals, "append")
+    assert(sortedRows(spark.read.parquet(s"$dirC/documents.parquet")) ==
+      sortedRows(spark.read.parquet(s"$dirR/documents.parquet")))
+    LayerMaintenance.ensureMaintained(spark, dirR)
+    for (f <- layers)
+      assert(sortedRows(LayerMaintenance.maintainedLayer(spark, dirC, f)) ==
+        sortedRows(LayerMaintenance.maintainedLayer(spark, dirR, f)),
+        s"healed vs rebuilt: $f")
+  }
+
   test("streaming maintenance: N micro-batches ≡ one-shot batch ≡ rebuild; alias bumped per batch") {
     import spark.implicits._
     val dirS = java.nio.file.Files.createTempDirectory("graft_lm_s").toString

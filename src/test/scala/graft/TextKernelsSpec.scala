@@ -240,4 +240,15 @@ class TextKernelsSpec extends AnyFunSuite with SparkTestBase {
       .select(call_function("clf_margin", col("text"), wLit)).head()
     assert(r.isNullAt(0))
   }
+
+  test("clf_margin rejects empty weights at analysis, not per-row at execution") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("some text").toDF("text")
+        .select(call_function("clf_margin", col("text"),
+          typedlit(Seq.empty[Long]))).collect()
+    }
+    assert(e.getMessage.contains("must not be empty"))
+  }
 }
