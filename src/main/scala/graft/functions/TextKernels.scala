@@ -116,16 +116,21 @@ case class TextMetrics(child: Expression) extends UnaryExpression {
   *                Email,'[EMAIL]'), Ipv4,'[IP]'), Phone,'[PHONE]'),
   *   clean = (sum of the three regexp_counts over `redacted`) == 0.
   *
-  * The kernel runs the SAME java.util.regex engine Spark's regexp_count /
-  * regexp_replace use, with the same Patterns, so equality is by
-  * construction — but in 5 passes + 3 short-circuit probes:
-  * count+replace fuse into one Matcher loop for the email pass; the
-  * ipv4/phone COUNTS scan the original text (counts are independent
-  * per pattern — an IPv4 inside an email's domain is counted even though
-  * the chained redaction has already removed it) while their REPLACES
-  * scan the partially-redacted string, exactly like the chained
-  * regexp_replace; `clean` only needs existence, so each audit probe
-  * stops at the first hit instead of counting.
+  * The kernel computes the identical program with HAND-COMPILED matchers
+  * over the original char data ([[PiiScrub.scan]], r10 verdict #5): the
+  * three patterns are fixed, lookaround-free regular expressions, so
+  * each is a direct char loop with java.util.regex's exact semantics
+  * (fuzz-pinned against [[PiiScrub.scanRegex]], the retired 5-pass
+  * Matcher form, in TextKernelsSpec). The chained replaces and the final
+  * audit probes are span arithmetic on the ORIGINAL string — exact
+  * because the replacement literals share no characters with any
+  * pattern's alphabet (see the block comment in [[PiiScrub]]) — so the
+  * whole detect+redact+audit runs in one structural pass per document
+  * instead of 5 regex passes + 3 probes. The ipv4/phone COUNTS scan the
+  * original text (counts are independent per pattern — an IPv4 inside
+  * an email's domain is counted even though the chained redaction has
+  * already removed it) while their REPLACES scan the post-redaction
+  * segments, exactly like the chained regexp_replace.
   */
 case class PiiScrub(child: Expression) extends UnaryExpression {
 
@@ -146,41 +151,8 @@ case class PiiScrub(child: Expression) extends UnaryExpression {
   override def prettyName: String = "pii_scrub"
 
   /** Kernel shared by interpreted eval and codegen (called per row). */
-  def kernel(s: Any): Any = {
-    import PiiScrub._
-    val text = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-    // email: count + replace in one Matcher loop
-    var nEmail = 0
-    val sb = new java.lang.StringBuffer()
-    val me = Email.matcher(text)
-    while (me.find()) { nEmail += 1; me.appendReplacement(sb, "[EMAIL]") }
-    me.appendTail(sb)
-    val s1 = sb.toString
-    // ipv4/phone counts run over the ORIGINAL text (independent counts);
-    // their replaces run over the chain, like nested regexp_replace
-    var nIpv4 = 0
-    val mi0 = Ipv4.matcher(text)
-    while (mi0.find()) nIpv4 += 1
-    sb.setLength(0)
-    val mi = Ipv4.matcher(s1)
-    while (mi.find()) mi.appendReplacement(sb, "[IP]")
-    mi.appendTail(sb)
-    val s2 = sb.toString
-    var nPhone = 0
-    val mp0 = Phone.matcher(text)
-    while (mp0.find()) nPhone += 1
-    sb.setLength(0)
-    val mp = Phone.matcher(s2)
-    while (mp.find()) mp.appendReplacement(sb, "[PHONE]")
-    mp.appendTail(sb)
-    val s3 = sb.toString
-    val clean =
-      if (Email.matcher(s3).find() || Ipv4.matcher(s3).find() ||
-        Phone.matcher(s3).find()) 0 else 1
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](nEmail, nIpv4, nPhone,
-        org.apache.spark.unsafe.types.UTF8String.fromString(s3), clean))
-  }
+  def kernel(s: Any): Any =
+    PiiScrub.scan(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
 
   override protected def nullSafeEval(a: Any): Any = kernel(a)
 
@@ -205,6 +177,279 @@ object PiiScrub {
   private[functions] val Email = java.util.regex.Pattern.compile(EmailPat)
   private[functions] val Ipv4 = java.util.regex.Pattern.compile(Ipv4Pat)
   private[functions] val Phone = java.util.regex.Pattern.compile(PhonePat)
+
+  // ------------------------------------------------------------------
+  // Hand-compiled matchers (r10 verdict #5): the three patterns above,
+  // implemented as direct char loops with java.util.regex's exact
+  // semantics (leftmost start, greedy with backtracking, ASCII \b), so
+  // the whole detect+redact+audit program runs in ONE structural pass
+  // instead of 5 regex passes + 3 probes. Exactness is spec-pinned by
+  // fuzzing against [[scanRegex]] (the retired java.util.regex form).
+  //
+  // Why span arithmetic on the ORIGINAL string is exact for the chained
+  // replaces/probes: the replacement literals "[EMAIL]"/"[IP]"/"[PHONE]"
+  // contain no digit, '@', '.', or '-', and every pattern's character
+  // set excludes '[' and ']' — so a later-stage match can neither touch
+  // a literal nor span across one, i.e. it lies entirely inside one
+  // surviving original-text segment; and since '['/']' are non-word
+  // chars, \b at a segment edge is exactly the string-edge rule. Each
+  // stage therefore matches per segment on the original char data.
+  // ------------------------------------------------------------------
+
+  @inline private def isDigit(c: Char) = c >= '0' && c <= '9'
+  @inline private def isAlpha(c: Char) =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  // Java \w (no UNICODE_CHARACTER_CLASS): [a-zA-Z_0-9]
+  @inline private def isWord(c: Char) = isAlpha(c) || isDigit(c) || c == '_'
+  @inline private def isLocal(c: Char) =
+    isAlpha(c) || isDigit(c) || c == '.' || c == '_' || c == '%' ||
+      c == '+' || c == '-'
+  @inline private def isDomainC(c: Char) =
+    isAlpha(c) || isDigit(c) || c == '.' || c == '-'
+
+  /** Leftmost email match in cs[from,to) starting at or after `s0`,
+    * packed as (start << 32) | end, or -1. A match starts at a local
+    * char whose maximal local run (clamped at s0/from) ends exactly at
+    * an '@' (the local class excludes '@', so `+` cannot backtrack past
+    * it); the domain resolves greedily: the rightmost '.' inside the
+    * maximal domain run that is followed by >= 2 alpha chars, the match
+    * ending after that maximal alpha run. */
+  private def findEmail(cs: String, from: Int, to: Int, s0: Int): Long = {
+    var i = math.max(s0, from)
+    var runStart = -1 // start of the current local-char run
+    while (i < to) {
+      val c = cs.charAt(i)
+      if (c == '@') {
+        if (runStart >= 0) {
+          // domain run after '@'
+          var e = i + 1
+          while (e < to && isDomainC(cs.charAt(e))) e += 1
+          if (e > i + 1) {
+            // rightmost '.' in (i+1, e) followed by >= 2 alphas
+            var d = e - 1
+            var end = -1
+            while (d > i + 1 && end < 0) {
+              if (cs.charAt(d) == '.') {
+                var a = d + 1
+                while (a < e && isAlpha(cs.charAt(a))) a += 1
+                if (a - d - 1 >= 2) end = a
+              }
+              if (end < 0) d -= 1
+            }
+            if (end >= 0) return (runStart.toLong << 32) | end.toLong
+          }
+        }
+        runStart = -1
+      } else if (isLocal(c)) { if (runStart < 0) runStart = i }
+      else runStart = -1
+      i += 1
+    }
+    -1L
+  }
+
+  /** \d{1,3} with greedy backtracking against a following literal: the
+    * number of digits consumed at `p` such that the char after them is
+    * `next` (longest of 3,2,1), or -1. */
+  @inline private def octetBefore(cs: String, p: Int, to: Int, next: Char): Int = {
+    var len = 0
+    while (len < 3 && p + len < to && isDigit(cs.charAt(p + len))) len += 1
+    while (len > 0 && !(p + len < to && cs.charAt(p + len) == next)) len -= 1
+    len
+  }
+
+  /** Leftmost IPv4 match in cs[from,to) from `s0` (string-edge \b at
+    * from/to), packed like [[findEmail]], or -1. */
+  private def findIpv4(cs: String, from: Int, to: Int, s0: Int): Long = {
+    var s = math.max(s0, from)
+    while (s < to) {
+      // leading \b then a digit
+      if (isDigit(cs.charAt(s)) &&
+          (s == from || !isWord(cs.charAt(s - 1)))) {
+        var p = s
+        var ok = true
+        var k = 0
+        while (k < 3 && ok) { // three "\d{1,3}\." groups
+          val len = octetBefore(cs, p, to, '.')
+          if (len == 0) ok = false else p += len + 1
+          k += 1
+        }
+        if (ok) {
+          // final \d{1,3}\b: greedy, shrink until the trailing char is
+          // a non-word (or end)
+          var len = 0
+          while (len < 3 && p + len < to && isDigit(cs.charAt(p + len))) len += 1
+          while (len > 0 && p + len < to && isWord(cs.charAt(p + len))) len -= 1
+          if (len > 0) return (s.toLong << 32) | (p + len).toLong
+        }
+      }
+      s += 1
+    }
+    -1L
+  }
+
+  /** Leftmost phone match (\b\d{3}-\d{3}-\d{4}\b, no backtracking) in
+    * cs[from,to) from `s0`, packed, or -1. */
+  private def findPhone(cs: String, from: Int, to: Int, s0: Int): Long = {
+    var s = math.max(s0, from)
+    while (s + 12 <= to) {
+      if (isDigit(cs.charAt(s)) && (s == from || !isWord(cs.charAt(s - 1))) &&
+          isDigit(cs.charAt(s + 1)) && isDigit(cs.charAt(s + 2)) &&
+          cs.charAt(s + 3) == '-' &&
+          isDigit(cs.charAt(s + 4)) && isDigit(cs.charAt(s + 5)) &&
+          isDigit(cs.charAt(s + 6)) && cs.charAt(s + 7) == '-' &&
+          isDigit(cs.charAt(s + 8)) && isDigit(cs.charAt(s + 9)) &&
+          isDigit(cs.charAt(s + 10)) && isDigit(cs.charAt(s + 11)) &&
+          (s + 12 == to || !isWord(cs.charAt(s + 12))))
+        return (s.toLong << 32) | (s + 12).toLong
+      s += 1
+    }
+    -1L
+  }
+
+  private type Finder = (String, Int, Int, Int) => Long
+
+  /** All matches of `f` across the given segments, appended to `out` as
+    * packed spans (find() semantics: next search resumes at match end). */
+  private def collect(cs: String, segs: Array[Long], nSegs: Int, f: Finder,
+      out: java.util.ArrayList[Long]): Unit = {
+    var i = 0
+    while (i < nSegs) {
+      val a = (segs(i) >>> 32).toInt
+      val b = (segs(i) & 0xffffffffL).toInt
+      var s0 = a
+      var m = f(cs, a, b, s0)
+      while (m >= 0) {
+        out.add(m)
+        s0 = (m & 0xffffffffL).toInt
+        m = f(cs, a, b, s0)
+      }
+      i += 1
+    }
+  }
+
+  /** Split `segs` at the spans in `cut` (both sorted, spans inside
+    * segments), returning the surviving sub-segments. */
+  private def split(segs: Array[Long], nSegs: Int,
+      cut: java.util.ArrayList[Long]): (Array[Long], Int) = {
+    val out = new Array[Long](nSegs + cut.size())
+    var n = 0
+    var ci = 0
+    var i = 0
+    while (i < nSegs) {
+      var a = (segs(i) >>> 32).toInt
+      val b = (segs(i) & 0xffffffffL).toInt
+      while (ci < cut.size() && ((cut.get(ci) & 0xffffffffL).toInt <= b) &&
+          ((cut.get(ci) >>> 32).toInt >= a)) {
+        val ca = (cut.get(ci) >>> 32).toInt
+        val cb = (cut.get(ci) & 0xffffffffL).toInt
+        if (ca > a) { out(n) = (a.toLong << 32) | ca.toLong; n += 1 }
+        a = cb
+        ci += 1
+      }
+      if (b > a) { out(n) = (a.toLong << 32) | b.toLong; n += 1 }
+      i += 1
+    }
+    (out, n)
+  }
+
+  private def hasMatch(cs: String, segs: Array[Long], nSegs: Int,
+      f: Finder): Boolean = {
+    var i = 0
+    while (i < nSegs) {
+      if (f(cs, (segs(i) >>> 32).toInt, (segs(i) & 0xffffffffL).toInt,
+        (segs(i) >>> 32).toInt) >= 0) return true
+      i += 1
+    }
+    false
+  }
+
+  /** The full detect+redact+audit program over one document, span-based
+    * (see the block comment above for why this equals the chained
+    * regexp form). */
+  def scan(text: String): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val n = text.length
+    val whole = Array((0L << 32) | n.toLong)
+
+    // stage 1: email count+replace spans on the original text
+    val emailSpans = new java.util.ArrayList[Long]()
+    collect(text, whole, 1, findEmail, emailSpans)
+    // independent counts on the ORIGINAL text
+    var nIpv4 = 0
+    var m = findIpv4(text, 0, n, 0)
+    while (m >= 0) { nIpv4 += 1; m = findIpv4(text, 0, n, (m & 0xffffffffL).toInt) }
+    var nPhone = 0
+    m = findPhone(text, 0, n, 0)
+    while (m >= 0) { nPhone += 1; m = findPhone(text, 0, n, (m & 0xffffffffL).toInt) }
+
+    // stage 2: ipv4 replace spans over the post-email segments
+    val (seg1, n1) = split(whole, 1, emailSpans)
+    val ipSpans = new java.util.ArrayList[Long]()
+    collect(text, seg1, n1, findIpv4, ipSpans)
+    // stage 3: phone replace spans over the post-ipv4 segments
+    val (seg2, n2) = split(seg1, n1, ipSpans)
+    val phoneSpans = new java.util.ArrayList[Long]()
+    collect(text, seg2, n2, findPhone, phoneSpans)
+    val (seg3, n3) = split(seg2, n2, phoneSpans)
+
+    // audit probes over the final segments (existence only)
+    val clean = if (hasMatch(text, seg3, n3, findEmail) ||
+      hasMatch(text, seg3, n3, findIpv4) ||
+      hasMatch(text, seg3, n3, findPhone)) 0 else 1
+
+    // assemble the redacted string: one walk over the disjoint sorted
+    // span lists (merge by start offset)
+    val sb = new java.lang.StringBuilder(n + 16)
+    var pos = 0
+    var ei = 0; var ii = 0; var pi = 0
+    while (pos < n) {
+      val es = if (ei < emailSpans.size()) (emailSpans.get(ei) >>> 32).toInt else Int.MaxValue
+      val is = if (ii < ipSpans.size()) (ipSpans.get(ii) >>> 32).toInt else Int.MaxValue
+      val ps = if (pi < phoneSpans.size()) (phoneSpans.get(pi) >>> 32).toInt else Int.MaxValue
+      val nxt = math.min(es, math.min(is, ps))
+      if (nxt == Int.MaxValue) { sb.append(text, pos, n); pos = n }
+      else {
+        if (nxt > pos) sb.append(text, pos, nxt)
+        if (nxt == es) { sb.append("[EMAIL]"); pos = (emailSpans.get(ei) & 0xffffffffL).toInt; ei += 1 }
+        else if (nxt == is) { sb.append("[IP]"); pos = (ipSpans.get(ii) & 0xffffffffL).toInt; ii += 1 }
+        else { sb.append("[PHONE]"); pos = (phoneSpans.get(pi) & 0xffffffffL).toInt; pi += 1 }
+      }
+    }
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](emailSpans.size(), nIpv4, nPhone,
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString), clean))
+  }
+
+  /** The retired java.util.regex form (5 passes + 3 probes) — kept as
+    * the spec's fuzz reference for [[scan]]'s hand matchers. */
+  private[graft] def scanRegex(text: String): (Int, Int, Int, String, Int) = {
+    var nEmail = 0
+    val sb = new java.lang.StringBuffer()
+    val me = Email.matcher(text)
+    while (me.find()) { nEmail += 1; me.appendReplacement(sb, "[EMAIL]") }
+    me.appendTail(sb)
+    val s1 = sb.toString
+    var nIpv4 = 0
+    val mi0 = Ipv4.matcher(text)
+    while (mi0.find()) nIpv4 += 1
+    sb.setLength(0)
+    val mi = Ipv4.matcher(s1)
+    while (mi.find()) mi.appendReplacement(sb, "[IP]")
+    mi.appendTail(sb)
+    val s2 = sb.toString
+    var nPhone = 0
+    val mp0 = Phone.matcher(text)
+    while (mp0.find()) nPhone += 1
+    sb.setLength(0)
+    val mp = Phone.matcher(s2)
+    while (mp.find()) mp.appendReplacement(sb, "[PHONE]")
+    mp.appendTail(sb)
+    val s3 = sb.toString
+    val clean =
+      if (Email.matcher(s3).find() || Ipv4.matcher(s3).find() ||
+        Phone.matcher(s3).find()) 0 else 1
+    (nEmail, nIpv4, nPhone, s3, clean)
+  }
 }
 
 /** Native Catalyst expression: hashed-feature linear-classifier

@@ -1351,46 +1351,171 @@ object TextAnalysis {
           StructField("r", StringType, nullable = false))))
     }, Seq("rank"), Seq("rank"), variant = s"_r$BpeRounds")
 
+  /** Batched BPE training — the R/k-scan path to MODEL-SCALE merge
+    * counts (r10 verdict #3): sequential training pays one full
+    * dict-wide pair-count aggregation + a 1-row collect PER MERGE, which
+    * is unusable at a real tokenizer's 32k merges. Each batched scan
+    * takes the top candidate pairs once and admits up to `k` of them
+    * greedily in rank order under SYMBOL-DISJOINTNESS — a candidate is
+    * skipped if its l, r, or surface l+r collides with any symbol or
+    * surface already admitted this scan. Disjointness is what keeps the
+    * pre-scan counts exact for every admitted pair (none of them can
+    * create or consume another's adjacencies), so admitted ranks are
+    * ordered by their true counts; the approximation vs sequential
+    * training is only that a pair whose count would have been BOOSTED by
+    * an earlier merge in the same scan waits for the next scan. k=1 is
+    * exactly sequential training (spec-pinned against [[bpeMerges]]'s
+    * loop). Driver traffic per scan is the top slice of the pair-count
+    * relation (≤ 4k rows), never the dict; the admitted merges apply as
+    * one ≤k-deep replace chain per scan (bounded, unlike a per-merge
+    * chain over the whole table). Returns (rank, l, r) like
+    * [[bpeMerges]] — a drop-in for [[bpeWordsFrom]]/[[ta17With]]. */
+  private[graft] def bpeMergesBatched(s: SparkSession, words0: DataFrame,
+      rounds: Int, k: Int,
+      onScan: (Int, Int, Double) => Unit = (_, _, _) => ()): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    // localCheckpoint, not persist: every scan derives the next dict
+    // from the previous one, and cached-plan lineage GROWS per scan —
+    // unpersisting scan s forces the cache manager to recompile scan
+    // s+1's entry over the whole chain (quadratic work, OOM at 64
+    // scans). Checkpointing truncates the lineage to a flat RDD each
+    // scan, the standard iterative-algorithm posture.
+    val words = words0
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .withColumn("syms", bpeSyms0(col("tok")))
+      .select(col("c"), col("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    var cur = words
+    var scan = 0
+    var done = false
+    while (merges.length < rounds && !done) {
+      val t0 = System.nanoTime()
+      val arr = split(trim(col("syms"), BpeSep), BpeSep + BpeSep)
+      val n = size(arr)
+      val want = math.min(k, rounds - merges.length)
+      val top = cur
+        .select(col("c"), explode(zip_with(
+          slice(arr, lit(1), n - lit(1)), slice(arr, lit(2), n - lit(1)),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(math.max(4 * want, 64)).collect()
+      if (top.isEmpty) done = true
+      else {
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val admitted = top.iterator
+          .map(r0 => (r0.getString(0), r0.getString(1)))
+          .filter { case (l, r) =>
+            if (used(l) || used(r) || used(l + r)) false
+            else { used += l; used += r; used += (l + r); true }
+          }
+          .take(want).toSeq
+        var enc = col("syms")
+        admitted.foreach { case (l, r) =>
+          merges += ((merges.length + 1L, l, r))
+          enc = replace(enc,
+            lit(BpeSep + l + BpeSep + BpeSep + r + BpeSep),
+            lit(BpeSep + l + r + BpeSep))
+        }
+        cur = cur.select(col("c"), enc.as("syms")).localCheckpoint()
+        scan += 1
+        onScan(scan, admitted.length, (System.nanoTime() - t0) / 1e9)
+      }
+    }
+    val rows = merges.toSeq.map { case (rk, l, rr) => Row(rk, l, rr) }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("rank", LongType, nullable = false),
+        StructField("l", StringType, nullable = false),
+        StructField("r", StringType, nullable = false))))
+  }
+
   /** The encoded LEXICON as a built layer — (tok, subs, ids, n_sub) for
     * every distinct corpus word, bucketed by tok: the expensive part of
     * BPE encode (the merge fold) runs once per DISTINCT WORD at layer
     * build, never per occurrence — encode cost scales with the
     * vocabulary, not the corpus, which is the property that makes BPE
-    * deployable at 100 TB. Subword ids follow the standard layout:
-    * alphabet chars (sorted, UTF-8 binary) get 0..A-1, merge `rank` gets
-    * A+rank-1; if two merges produce the same surface string the first
-    * (lowest id) wins. */
+    * deployable at 100 TB. */
   private[graft] def bpeWords(s: SparkSession, dir: String): DataFrame =
-    DedupPrepare.ensure(s, "bpewords", dir, () => {
-      val mg = bpeMerges(s, dir).orderBy("rank").collect()
-        .map(r0 => (r0.getLong(0), r0.getString(1), r0.getString(2)))
-      val words = Tables.documents(s, dir)
-        .select(explode(ws).as("tok")).filter(col("tok") =!= "")
-        .groupBy("tok").agg(count(lit(1)).as("c"))
-      // alphabet: distinct chars of the word dict, ordered by Spark's
-      // UTF8 binary sort (matches DuckDB's) — a charset-bounded model
-      // load, collected in sorted order
-      val alpha = words
-        .select(explode(regexp_extract_all(col("tok"), lit("."), lit(0))).as("sym"))
-        .distinct().orderBy("sym").collect().map(_.getString(0))
-      val symId = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-      alpha.zipWithIndex.foreach { case (sym, i) => symId(sym) = i.toLong }
-      mg.foreach { case (rank, l, r) =>
-        val sym = l + r
-        if (!symId.contains(sym)) symId(sym) = alpha.length + rank - 1
+    DedupPrepare.ensure(s, "bpewords", dir, () =>
+      bpeWordsFrom(s,
+        Tables.documents(s, dir)
+          .select(explode(ws).as("tok")).filter(col("tok") =!= "")
+          .distinct(),
+        bpeMerges(s, dir)),
+      Seq("tok"), Seq("tok"), variant = s"_r$BpeRounds")
+
+  /** Encode a distinct-word relation against a merge table — the engine
+    * behind [[bpeWords]] and the [[ta17With]] swap hook, built to load a
+    * REAL tokenizer artifact (r10 verdict #2): the 8-merge fixture table
+    * and a 32k-row merges.txt export run the identical plan. Two
+    * scale-safety properties replace the previous form:
+    *  - the merge fold is a typed `mapPartitions` over the vocab-sized
+    *    word dict — a pure Scala loop per word, never a per-merge
+    *    expression (a 32k-deep `replace` chain is uncompilable);
+    *  - subword→id assignment probes BROADCAST model maps, never an
+    *    in-plan `typedlit` of the whole symbol vocabulary.
+    * Fold semantics are EXACTLY the fence-string replace chain's
+    * (spec-pinned against it): merges apply in rank order, each once,
+    * left-to-right non-overlapping. The fold processes the lowest
+    * CURRENTLY-ADJACENT rank and then restricts to higher ranks — chain-
+    * equivalent, because every rank below the current minimum applicable
+    * one is a no-op on the current state (nothing it could match is
+    * adjacent), and each application is the same single left-to-right
+    * pass `String.replace` makes. Per-word cost is O(len · applied
+    * merges), independent of the merge-table size.
+    *
+    * Subword ids follow the standard layout: alphabet chars (sorted,
+    * UTF-8 binary) get 0..A-1, merge `rank` gets A+rank-1; if two merges
+    * produce the same surface string the first (lowest id) wins. */
+  private[graft] def bpeWordsFrom(s: SparkSession, words: DataFrame,
+      merges: DataFrame): DataFrame = {
+    import s.implicits._
+    // model-artifact-sized driver structures (32k merges ≈ a few MB),
+    // shipped once per executor as broadcasts
+    val mg = merges.orderBy("rank").collect()
+      .map(r0 => (r0.getLong(0), r0.getString(1), r0.getString(2)))
+    // alphabet: distinct chars of the word dict, ordered by Spark's
+    // UTF8 binary sort (matches DuckDB's) — a charset-bounded model
+    // load, collected in sorted order
+    val alpha = words
+      .select(explode(regexp_extract_all(col("tok"), lit("."), lit(0))).as("sym"))
+      .distinct().orderBy("sym").collect().map(_.getString(0))
+    val pairs = mg.map { case (_, l, r) => (l, r) }
+    val pairOrd = new java.util.HashMap[String, Integer](mg.length * 2)
+    pairs.zipWithIndex.foreach { case ((l, r), i) =>
+      pairOrd.putIfAbsent(l + " " + r, Integer.valueOf(i)) }
+    val symId = new java.util.HashMap[String, java.lang.Long](
+      (alpha.length + mg.length) * 2)
+    alpha.zipWithIndex.foreach { case (sym, i) => symId.put(sym, i.toLong) }
+    mg.foreach { case (rank, l, r) =>
+      symId.putIfAbsent(l + r, alpha.length + rank - 1) }
+    val bcPairs = s.sparkContext.broadcast(pairs)
+    val bcOrd = s.sparkContext.broadcast(pairOrd)
+    val bcIds = s.sparkContext.broadcast(symId)
+    words.select(col("tok")).as[String].mapPartitions { it =>
+      val ps = bcPairs.value; val ord = bcOrd.value; val ids = bcIds.value
+      it.map { tok =>
+        var syms = BpeFold.codePoints(tok)
+        var from = -1 // only ranks ABOVE the last applied one remain live
+        var next = BpeFold.minApplicable(syms, ord, from)
+        while (next >= 0) {
+          val (l, r) = ps(next)
+          syms = BpeFold.applyPair(syms, l, r)
+          from = next
+          next = BpeFold.minApplicable(syms, ord, from)
+        }
+        val idArr = new Array[Long](syms.length)
+        var i = 0
+        while (i < syms.length) {
+          idArr(i) = ids.get(syms(i)) // total by construction: every
+          i += 1 // multi-char subword IS a merge surface, every single
+        } // char is in the word dict's alphabet
+        (tok, syms.toSeq, idArr.toSeq, syms.length.toLong)
       }
-      val symLit = typedlit(symId.toMap)
-      var enc: Column = bpeSyms0(col("tok"))
-      mg.foreach { case (_, l, r) =>
-        enc = replace(enc,
-          lit(BpeSep + l + BpeSep + BpeSep + r + BpeSep),
-          lit(BpeSep + l + r + BpeSep))
-      }
-      val subs = split(trim(enc, BpeSep), BpeSep + BpeSep)
-      words.select(col("tok"), subs.as("subs"))
-        .withColumn("ids", transform(col("subs"), x => element_at(symLit, x)))
-        .withColumn("n_sub", size(col("subs")).cast("long"))
-    }, Seq("tok"), Seq("tok"), variant = s"_r$BpeRounds")
+    }.toDF("tok", "subs", "ids", "n_sub")
+  }
 
   def ta17(s: SparkSession, dir: String): DataFrame =
     ta17With(s, dir, bpeWords(s, dir))
@@ -1624,4 +1749,54 @@ object TextAnalysis {
     Q("ta17_bpe_encode", "BPE subword encode — learned merges + per-doc fertility (tokenizer serving shape)", ta17, Some(ta17Sql)),
     Q("ta18_bpe_length_histogram", "ta15's context-length histogram measured in BPE model tokens", ta18, Some(ta18Sql)),
   )
+}
+
+/** The per-word BPE merge fold — the executor-side kernel behind
+  * [[TextAnalysis.bpeWordsFrom]]. Plain static methods so the
+  * mapPartitions closure captures nothing but broadcasts. */
+private[graft] object BpeFold {
+
+  /** A word's initial symbol sequence: its code points, in order (what
+    * the `.`-regexp alphabet split and the fence encoding both see). */
+  def codePoints(tok: String): Array[String] = {
+    val b = Array.newBuilder[String]
+    var i = 0
+    while (i < tok.length) {
+      val n = Character.charCount(tok.codePointAt(i))
+      b += tok.substring(i, i + n)
+      i += n
+    }
+    b.result()
+  }
+
+  /** The lowest merge order-index strictly above `fromExclusive` whose
+    * pair is adjacent in `syms`, or -1. One hash probe per adjacency. */
+  def minApplicable(syms: Array[String],
+      ord: java.util.HashMap[String, Integer], fromExclusive: Int): Int = {
+    var best = -1
+    var i = 0
+    while (i < syms.length - 1) {
+      val o = ord.get(syms(i) + " " + syms(i + 1))
+      if (o != null && o.intValue > fromExclusive &&
+          (best < 0 || o.intValue < best)) best = o.intValue
+      i += 1
+    }
+    best
+  }
+
+  /** One merge application: replace every left-to-right non-overlapping
+    * (l, r) adjacency with the symbol l+r — exactly the single pass the
+    * fence-string `replace` makes (a just-merged symbol is never the
+    * LEFT of a later match in the same pass; the symbol after it may
+    * START one). */
+  def applyPair(syms: Array[String], l: String, r: String): Array[String] = {
+    val b = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        b += (l + r); i += 2
+      } else { b += syms(i); i += 1 }
+    }
+    b.result()
+  }
 }

@@ -141,6 +141,31 @@ class TextKernelsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("property: hand-compiled PII matchers == java.util.regex on 5000 adversarial strings") {
+    // driver-side fuzz of scan (the span automaton) against scanRegex
+    // (the retired 5-pass Matcher form) — a denser, PII-shaped alphabet
+    // than the column fuzz, hammering the backtracking corners: octet
+    // overrun ("1234.5.6.7"), boundary chemistry ("com1.2.3.4", "_1.2"),
+    // domain backtracking ("a@b.co.uk", "a@b.com1.2.3.4"), adjacent and
+    // run-sharing '@'s, phone \b tails
+    val alphabet = Seq("a", "b", "Z", "0", "1", "9", ".", "-", "@", "_",
+      "%", "+", " ", "[", "]", "co", "com", "12", "123", "555-", "@b.",
+      ".4", "1.2.3.4", "a@b.co", "555-867-5309", "x")
+    val rnd = new scala.util.Random(20260815L)
+    val cases = Seq("a@b.com1.2.3.4", "1234.5.6.7", "1.2.3.4.5",
+      "a@@b.com", "a@b a@c.com", "a@b.co.x@d.com", "x_1.2.3.4_y",
+      "555-867-53090", "0555-867-5309", ".a@-.co", "@.co", "a@b.c") ++
+      (0 until 5000).map { _ =>
+        (0 until (1 + rnd.nextInt(12))).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString }
+    for (t <- cases) {
+      val got = PiiScrub.scan(t)
+      val exp = PiiScrub.scanRegex(t)
+      assert((got.getInt(0), got.getInt(1), got.getInt(2),
+        got.getUTF8String(3).toString, got.getInt(4)) == exp, s"<$t>")
+    }
+  }
+
   test("text_metrics: null in, null out") {
     GraftFunctions.register(spark)
     import spark.implicits._
