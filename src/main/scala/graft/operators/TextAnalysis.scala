@@ -978,10 +978,32 @@ object TextAnalysis {
         .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c12"))
         .filter(col("c12") >= BigramMinCount)
         .join(uniFreq(s, dir).withColumnRenamed("tok", "t1"), Seq("t1"))
-        .select(col("t1"), col("t2"),
+        .select(col("t1"), col("t2"), col("c12"),
           Dedup.gridL(log(2.0, col("c").cast("double")) -
             log(2.0, col("c12").cast("double"))).as("g")),
-      Seq("t1", "t2"), Seq("t1", "t2"), variant = s"_mc$BigramMinCount")
+      Seq("t1", "t2"), Seq("t1", "t2"), variant = s"_mc${BigramMinCount}c")
+
+  /** Broadcast-size cap for the bigram HEAD table: the Zipf² analogue
+    * of [[RarityHeadCut]] (r10 verdict #4). A count threshold would
+    * grow the head with the corpus; a fixed top-K keeps the broadcast
+    * bounded at any scale (256k rows ≈ 10–15 MB) while hot pairs ("of
+    * the") still carry the squared-Zipf share of the probe mass —
+    * measured 59% of all sf10 bigram occurrences. */
+  val BigramHeadK = 262144
+
+  /** The top-[[BigramHeadK]] bigram model rows by corpus count — the
+    * broadcast side of ta14's split probe. Deterministic under ties
+    * ((c12, t1, t2) ordering), though head membership only moves WORK
+    * between the broadcast and shuffle branches, never scores: the
+    * shuffle branch probes the FULL model table, so a head miss is
+    * simply a colder path to the same g. */
+  private def bigramHead(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "bighead", dir,
+      () => bigramProb(s, dir)
+        .orderBy(col("c12").desc, col("t1"), col("t2")).limit(BigramHeadK)
+        .select(col("t1"), col("t2"), col("g")),
+      Seq("t1", "t2"), Seq("t1", "t2"),
+      variant = s"_mc${BigramMinCount}_k$BigramHeadK")
 
   /** Bigram-LM cross-entropy / perplexity with stupid backoff — the
     * actual KenLM serving shape (r8 verdict #3, upgrading [[ta12]]'s
@@ -993,16 +1015,26 @@ object TextAnalysis {
     * (order-independent, engine-identical) and query-time float math is
     * two scalar ops per doc (the /n division and 2^xent).
     *
-    * Scale posture: bigram extraction is map-side; the model left-join
-    * shuffles only the probe side into the (t1,t2)-bucketed table (hot
-    * bigrams like "of the" skew the probe partitions — a JOIN, so AQE
-    * skew-split applies, never a single-task window); unigram lookups
-    * (first token + backoff, both keyed on guaranteed-Zipf-skewed
-    * single tokens) ride the [[RarityHeadCut]] head-broadcast/tail-join
-    * split, ta09/ta12's idiom.
+    * Scale posture: bigram extraction is map-side; the model lookup is
+    * SPLIT like the unigram side (r10 verdict #4) — probe rows hitting
+    * the broadcast [[bigramHead]] (the top-[[BigramHeadK]] pairs, the
+    * squared-Zipf mass: "of the"-class bigrams) never shuffle, flowing
+    * map-side into the per-doc aggregate's partial combine; only head
+    * misses shuffle into the (t1,t2)-bucketed full model table (a JOIN,
+    * so AQE skew-split applies, never a single-task window). When the
+    * whole model fits under the head cap (small corpora — a stats-
+    * driven flip, decided from the head layer's own bounded count), the
+    * shuffle branch is elided entirely. Unigram lookups (first token +
+    * backoff, both keyed on guaranteed-Zipf-skewed single tokens) ride
+    * the [[RarityHeadCut]] head-broadcast/tail-join split, ta09/ta12's
+    * idiom.
     */
-  def ta14(s: SparkSession, dir: String): DataFrame =
-    ta14With(s, dir, uniProb(s, dir), bigramProb(s, dir))
+  def ta14(s: SparkSession, dir: String): DataFrame = {
+    val head = bigramHead(s, dir)
+    val coversAll = head.count() < BigramHeadK
+    ta14With(s, dir, uniProb(s, dir), bigramProb(s, dir),
+      Some((head, coversAll)))
+  }
 
   /** [[ta14]] against explicit model tables — the weights-as-data swap
     * hook (ta13's contract): `up` is the per-token table
@@ -1011,28 +1043,62 @@ object TextAnalysis {
     * tables without touching the plan; the spec pins that swapped
     * tables change scores under the same plan shape. */
   private[graft] def ta14With(s: SparkSession, dir: String,
-      up: DataFrame, bp: DataFrame): DataFrame = {
+      up: DataFrame, bp: DataFrame,
+      head: Option[(DataFrame, Boolean)] = None): DataFrame = {
     val t = filter(ws, x => x =!= "")
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), t.as("t")).filter(size(col("t")) >= 1)
     val first = docs.select(col("doc_id"), element_at(col("t"), 1).as("tok"))
     val bg = bigramPairs(Tables.documents(s, dir))
-    val j = bg.join(bp.select(col("t1"), col("t2"), col("g")), Seq("t1", "t2"), "left")
+    val bpg = bp.select(col("t1"), col("t2"), col("g"))
     val uhead = up.filter(col("c") >= RarityHeadCut)
     val utail = up.filter(col("c") < RarityHeadCut)
     def lookup(rel: DataFrame): DataFrame =
       rel.join(broadcast(uhead), Seq("tok"))
         .unionByName(rel.join(utail, Seq("tok")))
+    // head = Some((table, coversAll)): the broadcast/shuffle split —
+    // `table` must be a SUBSET of `bp` (same g values), `coversAll`
+    // asserts it is ALL of bp so the shuffle branch can be elided.
+    //
+    // The repartition(doc_id) right after the broadcast head join is
+    // the plan's SHARING POINT (r10 verdict #4 follow-through): the
+    // probe stream has up to five consumers (head-matched terms, tail-
+    // matched terms, backoff head/tail lookups), and DataFrame plans
+    // are trees — without an exchange at the fork, every consumer
+    // re-runs the corpus scan + explode (measured: the naive union
+    // form at sf10 ran FIVE probe scans, 39 s -> 49 s). With it, all
+    // consumers reuse the one shuffle (ReuseExchange), the scan runs
+    // once, and hash(doc_id) is exactly what the final per-doc
+    // aggregate wants.
+    val hj = head match {
+      case Some((hd, _)) => bg.join(
+        broadcast(hd.select(col("t1"), col("t2"), col("g").as("g_h"))),
+        Seq("t1", "t2"), "left")
+      case None => bg.withColumn("g_h", lit(null).cast("long"))
+    }
+    val e = hj.repartition(col("doc_id"))
+    val headTerms = e.filter(col("g_h").isNotNull)
+      .select(col("doc_id"), col("g_h").as("g"),
+        lit(1L).as("is_bg"), lit(0L).as("is_back"))
+    val miss = e.filter(col("g_h").isNull).select("doc_id", "t1", "t2")
+    // head misses probe the full model table — unless the head IS the
+    // whole model (small corpora: a stats-driven flip decided from the
+    // head layer's bounded count), where a miss can only be a backoff
+    val tj = head match {
+      case Some((_, true)) => miss.withColumn("g", lit(null).cast("long"))
+      case _ => miss.join(bpg, Seq("t1", "t2"), "left")
+    }
+    val tailTerms = tj.filter(col("g").isNotNull)
+      .select(col("doc_id"), col("g"), lit(1L).as("is_bg"), lit(0L).as("is_back"))
+    val backTerms = lookup(
+        tj.filter(col("g").isNull).select(col("doc_id"), col("t2").as("tok")))
+      .select(col("doc_id"), col("g_back").as("g"),
+        lit(0L).as("is_bg"), lit(1L).as("is_back"))
     val firstTerms = lookup(first)
       .select(col("doc_id"), col("g_uni").as("g"),
         lit(0L).as("is_bg"), lit(0L).as("is_back"))
-    val matched = j.filter(col("g").isNotNull)
-      .select(col("doc_id"), col("g"), lit(1L).as("is_bg"), lit(0L).as("is_back"))
-    val backTerms = lookup(
-        j.filter(col("g").isNull).select(col("doc_id"), col("t2").as("tok")))
-      .select(col("doc_id"), col("g_back").as("g"),
-        lit(0L).as("is_bg"), lit(1L).as("is_back"))
-    val perDoc = matched.unionByName(backTerms).unionByName(firstTerms)
+    val perDoc = headTerms.unionByName(tailTerms).unionByName(backTerms)
+      .unionByName(firstTerms)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("is_bg")).cast("long").as("n_bigrams"),

@@ -122,11 +122,13 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // ta13: zero-shuffle map-side column program + presentation sort
     // (weights arrive as an in-plan literal from the model-table load)
     "ta13_hash_classifier" -> 1,
-    // ta14 (r9): probe-side shuffle into the bucketed bigram log-prob
-    // table + the head-broadcast/tail-join unigram lookups (first token
-    // and backoff legs) + per-doc agg + final sort — the model tables
-    // themselves are bucketed layer reads
-    "ta14_bigram_lm" -> 9,
+    // ta14 (r11): the repartition(doc_id) SHARING POINT right after the
+    // broadcast bigram-head join (one probe scan, every term branch
+    // reuses the exchange) + head-miss shuffle into the bucketed model
+    // + the head-broadcast/tail-join unigram lookups (first token and
+    // backoff legs) + per-doc agg + final sort; several of the 12 are
+    // ReusedExchange at runtime
+    "ta14_bigram_lm" -> 12,
     // ta15 (r9): map-side token count -> tiny (lang,bucket) agg ->
     // bounded-relation share windows -> final sort
     "ta15_length_histogram" -> 3,
@@ -178,7 +180,12 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "ta13_hash_classifier", "ta14_bigram_lm", "mm05_phash_dedup")
   private val sf10Overrides = Map(
     "cp04_incremental_ingest" -> 13, // broadcast -> co-bucketed SMJ
-    "ss07_knn_ivfpq" -> 20)          // one derived agg side reused
+    "ss07_knn_ivfpq" -> 20,          // one derived agg side reused
+    // ta14 (r11): at sf10 the bigram model outgrows the head cap
+    // (1.6M rows > BigramHeadK), so the head-miss SMJ branch and its
+    // backoff legs materialize (coversAll elides them at ≤sf1.0);
+    // the extra exchanges are the miss-probe shuffle + its reuses
+    "ta14_bigram_lm" -> 17)
   private val sf10Dir = "testdata/sf10"
 
   test("every registered query has a budget (new queries must be budgeted)") {
