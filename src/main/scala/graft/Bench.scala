@@ -3,9 +3,46 @@ import org.apache.spark.sql.SparkSession
 import scala.util.control.NonFatal
 
 object Bench {
+  /** Capture guard (r10 verdict "What's wrong" #1): the committed
+    * BENCH_SF1_R10.json was poisoned by a concurrent Spark job on the
+    * same box (ta14 read 27.2 s vs 3.1 s idle). A bench capture must
+    * know whether it was contended, so the artifact itself carries the
+    * evidence: 1-minute loadavg and the set of java processes OUTSIDE
+    * this JVM's own ancestor chain, sampled at start AND end of the
+    * run. With SPARK_GRAFT_BENCH_STRICT=1 the run refuses to start
+    * contended (exit 2) — used for every committed capture; the default
+    * is stamp-only so driver automation can never be wedged by a stray
+    * JVM it didn't know about.
+    */
+  private def load1: Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case NonFatal(_) => -1.0 }
+
+  private def foreignJvms: Seq[Long] = {
+    val self = ProcessHandle.current()
+    val chain = Iterator.iterate(Option(self))(_.flatMap(h =>
+      Option(h.parent().orElse(null)))).takeWhile(_.isDefined)
+      .flatten.map(_.pid()).toSet
+    def isJava(pid: Long): Boolean =
+      try scala.io.Source.fromFile(s"/proc/$pid/comm").mkString.trim == "java"
+      catch { case NonFatal(_) => false }
+    import scala.jdk.CollectionConverters._
+    ProcessHandle.allProcesses().iterator().asScala
+      .map(_.pid()).filterNot(chain).filter(isJava).toSeq.sorted
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val (load1Start, foreignStart) = (load1, foreignJvms)
+    if (sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1") &&
+        foreignStart.nonEmpty) {
+      System.err.println(s"[bench] REFUSED (strict): competing java " +
+        s"processes ${foreignStart.mkString(",")} (load1=$load1Start). " +
+        "Idle the box or unset SPARK_GRAFT_BENCH_STRICT.")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -81,7 +118,15 @@ object Bench {
     // collects this output keeps only a ~2000-char tail of stdout, which
     // truncated the JSON mid-object two rounds running. stdout gets ONLY a
     // compact line (last, so the tail always contains it whole).
-    val verbose = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_cold":${jmap(_._2)},"queries_cold_ex_layers":${jmap(v => v._2 - v._4.map(_._2).sum)},"queries_warm_samples":$samples,"layers":$layersJson,"failed":$nFailed,"sf":${Json.quote(sfDir)}}"""
+    val (load1End, foreignEnd) = (load1, foreignJvms)
+    val contended = foreignStart.nonEmpty || foreignEnd.nonEmpty
+    val captureJson =
+      s"""{"contended":$contended,"load1_start":$load1Start,"load1_end":$load1End,""" +
+      s""""foreign_jvms_start":${foreignStart.mkString("[", ",", "]")},""" +
+      s""""foreign_jvms_end":${foreignEnd.mkString("[", ",", "]")}}"""
+    if (contended) System.err.println(
+      s"[bench] WARNING: capture contended (start=${foreignStart.mkString(",")} end=${foreignEnd.mkString(",")}) — stamped in the artifact")
+    val verbose = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_cold":${jmap(_._2)},"queries_cold_ex_layers":${jmap(v => v._2 - v._4.map(_._2).sum)},"queries_warm_samples":$samples,"layers":$layersJson,"failed":$nFailed,"capture":$captureJson,"sf":${Json.quote(sfDir)}}"""
     val verbosePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_VERBOSE_PATH", "BENCH_VERBOSE.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(verbosePath),

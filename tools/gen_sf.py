@@ -27,6 +27,15 @@ import pyarrow.parquet as pq
 
 sf = float(sys.argv[1])
 out = sys.argv[2]
+# r10 verdict #6: the default isotropic N(0,0.1) embeddings make every
+# coarse quantizer ~chance (the ss05 audit was measuring the corpus,
+# not the index). --clustered-emb draws the SAME row count/schema from
+# a 100-center Gaussian mixture (centers N(0,0.3)^64, within-cluster
+# noise N(0,0.1), label = center % 10) so the sf1.0 recall audit
+# exercises real geometry: IVF-family recall should now separate from
+# bucket-LSH/flat-PQ. Only the embeddings table changes; a clustered
+# dir is for the AUDIT, the oracle artifacts stay on the default shape.
+clustered_emb = "--clustered-emb" in sys.argv[3:]
 os.makedirs(out, exist_ok=True)
 rng = np.random.default_rng(42)
 
@@ -200,11 +209,18 @@ write("documents", pa.table({
 
 # ---------------------------------------------------------- embeddings
 n_emb = int(20_000 * sf)
+if clustered_emb:
+    n_centers = 100
+    centers = rng.normal(0, 0.3, (n_centers, 64))
+    cid = rng.integers(0, n_centers, n_emb)
+    vecs = (centers[cid] + rng.normal(0, 0.1, (n_emb, 64))).astype(np.float32)
+    labels = (cid % 10).astype(np.int32)
+else:
+    vecs = rng.normal(0, 0.1, (n_emb, 64)).astype(np.float32)
+    labels = rng.integers(0, 10, n_emb).astype(np.int32)
 write("embeddings", pa.table({
     "vec_id": pa.array(range(n_emb), pa.int64()),
-    "embedding": pa.array(
-        list(rng.normal(0, 0.1, (n_emb, 64)).astype(np.float32)),
-        pa.list_(pa.float32())),
-    "label": pa.array(rng.integers(0, 10, n_emb), pa.int32())}))
+    "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+    "label": pa.array(labels, pa.int32())}))
 
 print("written to", out)
