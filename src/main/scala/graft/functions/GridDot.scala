@@ -498,6 +498,15 @@ case class NgramStats(left: Expression, right: Expression)
   * injectable via `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 object GraftFunctions {
+  /** The engine's tokenizer as a Column: exactly
+    * `split(lower(trim(c)), '\s+')` via the compiled [[TokSplit]] byte
+    * scanner. Registers against the active session so call sites that
+    * only have a Column (Dedup/Curation shingling) stay one-liners. */
+  def tokSplit(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function("tok_split", c)
+  }
+
   def register(spark: SparkSession): Unit = {
     // idempotent: re-registering an already-present function makes Spark
     // log a "replaced a previously registered function" WARN per call —
@@ -525,6 +534,8 @@ object GraftFunctions {
         "pii_scrub", exprs => PiiScrub(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction(
         "clf_margin", exprs => ClfMargin(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "tok_split", exprs => TokSplit(exprs(0)), "built-in")
     }
   }
 }

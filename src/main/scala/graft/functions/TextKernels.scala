@@ -554,3 +554,84 @@ object ClfMargin {
     h
   }
 }
+
+/** Native Catalyst expression: the engine's whitespace tokenizer as ONE
+  * compiled pass — `tok_split(text)` returns the exact array
+  * `split(lower(trim(text)), '\s+')` produces, without java.util.regex.
+  *
+  * Why it exists (r10 verdict #4 / SCALING round-11 ta14 note): the
+  * probe-extraction floor under every explode-consumer of `ws` (ta09,
+  * ta12, ta14, ta17's lexicon build, sp11) is the regex split itself —
+  * measured 9.7 s of bare tokenize at sf10 before any join strategy
+  * matters. `\s+` is a single character class; a byte scanner replicates
+  * Pattern.split bit-for-bit with one branch per byte.
+  *
+  * Exactness contract (fuzz-pinned against the live Pattern.split in
+  * TextKernelsSpec):
+  *   - operates on `UTF8String.trim` (ASCII space only) +
+  *     `UTF8String.toLowerCase` — the identical operator chain `ws`
+  *     compiles to;
+  *   - Java `\s` is ASCII-only ([ \t\n\x0B\f\r]); in UTF-8 those five
+  *     code points appear ONLY as single bytes (every byte of a
+  *     multi-byte sequence has the high bit set), so the byte scan can
+  *     never split inside a multi-byte code point nor match a Unicode
+  *     space Java's `\s` would not;
+  *   - Pattern.split(limit -1) field structure: a leading separator
+  *     yields a leading "" field (the `\s+` match has nonzero width, so
+  *     the zero-width-at-start exemption never applies), a trailing
+  *     separator yields a trailing "" field, and empty input yields
+  *     [""] (no match → the input itself is the one field).
+  */
+case class TokSplit(child: Expression) extends UnaryExpression {
+
+  import org.apache.spark.sql.types.ArrayType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"tok_split expects string, got ${t.catalogString}")
+  }
+
+  // matches StringSplit's ArrayType(StringType) (containsNull default):
+  // consumers see the same schema whether ws is the regex split or this
+  override def dataType: DataType = ArrayType(StringType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "tok_split"
+
+  /** Kernel shared by interpreted eval and codegen (called per row). */
+  def kernel(a: Any): Any = {
+    val u = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val t = u.trim().toLowerCase()
+    val b = t.getBytes
+    val n = b.length
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](16)
+    var start = 0
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c == 0x20 || (c >= 0x09 && c <= 0x0D)) {
+        out.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(b, start, i - start))
+        i += 1
+        while (i < n && {
+          val d = b(i); d == 0x20 || (d >= 0x09 && d <= 0x0D) }) i += 1
+        start = i
+      } else i += 1
+    }
+    out.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(b, start, n - start))
+    val arr = new Array[Any](out.size())
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = kernel(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("tokSplit", this, classOf[TokSplit].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.kernel($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

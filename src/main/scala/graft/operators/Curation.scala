@@ -631,7 +631,7 @@ object Curation {
   private[graft] def bandCols(text: org.apache.spark.sql.Column)
       : Seq[org.apache.spark.sql.Column] = {
     val P = 2147483647L
-    val ws = split(lower(trim(text)), "\\s+")
+    val ws = graft.functions.GraftFunctions.tokSplit(text)
     val sh = when(size(ws) >= 3,
       array_distinct(transform(sequence(lit(1), size(ws) - 2),
         i => concat_ws(" ",

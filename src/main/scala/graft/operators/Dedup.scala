@@ -82,7 +82,7 @@ object Dedup {
     * (doc_id, s) — at 100 TB this is the standard shingling pass.
     */
   def wordShingles(docs: DataFrame, n: Int): DataFrame = {
-    val ws = split(lower(trim(col("text"))), "\\s+")
+    val ws = graft.functions.GraftFunctions.tokSplit(col("text"))
     docs
       .select(col("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= n)
@@ -876,7 +876,7 @@ object Dedup {
   private[operators] val SpanK = 10
   private[operators] def spanPositionRows(docs: DataFrame): DataFrame = {
     val K = SpanK
-    val ws = split(lower(trim(col("text"))), "\\s+")
+    val ws = graft.functions.GraftFunctions.tokSplit(col("text"))
     docs
       .select(col("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= K)

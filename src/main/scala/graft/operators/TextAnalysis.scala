@@ -20,7 +20,13 @@ object TextAnalysis {
 
   private val P = 2147483647L
 
-  private def ws: Column = split(lower(trim(col("text"))), "\\s+")
+  /** The engine's tokenizer: exactly `split(lower(trim(text)), '\s+')`,
+    * as the compiled one-pass [[graft.functions.TokSplit]] byte scanner
+    * (bit-for-bit pinned in TextKernelsSpec) — java.util.regex was the
+    * measured 9.7 s/sf10 floor under every explode-consumer (SCALING
+    * round-11 ta14 note). Registers against the active session so every
+    * consumer (not all of which touch other kernels) stays one-liner. */
+  private def ws: Column = graft.functions.GraftFunctions.tokSplit(col("text"))
 
   private[graft] val stop = Map(
     "en" -> Seq("the", "of", "and", "to", "in", "is", "a"),

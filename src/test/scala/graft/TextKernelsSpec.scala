@@ -276,4 +276,67 @@ class TextKernelsSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("must not be empty"))
   }
+  test("tok_split == split(lower(trim(text)), '\\s+') on edge fixtures (codegen on/off)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      val rows = fixtures.toDF("text")
+        .select(col("text"),
+          call_function("tok_split", col("text")).as("k"),
+          split(lower(trim(col("text"))), "\\s+").as("e"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1).toList == r.getSeq[String](2).toList,
+          s"codegen=$cg <${r.getAs[String]("text")}>")
+      }
+    }
+  }
+
+  test("property: tok_split == regex split on 400 random strings") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = fuzzStrings(400).toDF("text")
+      .select(col("text"),
+        call_function("tok_split", col("text")).as("k"),
+        split(lower(trim(col("text"))), "\\s+").as("e"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1).toList == r.getSeq[String](2).toList,
+        s"<${r.getAs[String]("text")}>")
+    }
+  }
+
+  test("property: tok_split kernel == Pattern.split on 5000 adversarial strings") {
+    // direct kernel-vs-java.util.regex pin, no Spark in the loop — the
+    // same discipline as the PII matcher fuzz. Alphabet is the fuzz
+    // alphabet (covers every Java \s char, multi-byte and astral code
+    // points); Pattern.split(limit -1) over trim+lower is the exact
+    // operator chain the old `ws` compiled to.
+    import org.apache.spark.unsafe.types.UTF8String
+    val p = java.util.regex.Pattern.compile("\\s+")
+    val rnd = new scala.util.Random(4242)
+    val strs = (0 until 5000).map { _ =>
+      val len = rnd.nextInt(60)
+      (0 until len).map(_ => fuzzAlphabet(rnd.nextInt(fuzzAlphabet.size))).mkString
+    }
+    val ts = graft.functions.TokSplit(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"))
+    strs.foreach { raw =>
+      val u = UTF8String.fromString(raw)
+      val expect = p.split(u.trim().toLowerCase().toString, -1).toSeq
+      val got = ts.kernel(u)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.map(_.asInstanceOf[UTF8String].toString).toSeq
+      assert(got == expect, s"<$raw>")
+    }
+  }
+
+  test("tok_split: null in, null out") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val r = Seq[Option[String]](None).toDF("text")
+      .select(call_function("tok_split", col("text"))).head()
+    assert(r.isNullAt(0))
+  }
+
 }
