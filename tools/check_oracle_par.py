@@ -70,7 +70,16 @@ def check_one(args):
     rec = {"rows_match": False, "schema_match": False, "hash_match": False,
            "spark_rows": None, "oracle_rows": None, "err": None}
     try:
-        con = duckdb.connect()
+        # Per-worker spill directory (r11 post-mortem): by default every
+        # worker spills to cwd/.tmp, so ONE worker's ENOSPC error-cleanup
+        # deletes the OTHERS' live temp storage — they abort ("terminate
+        # called ... Could not remove .tmp/duckdb_temp_storage") or park
+        # on a futex forever (the r8 "wedged worker" too). Isolating the
+        # temp dir per PID makes a spill failure single-query.
+        import os as _os
+        import tempfile as _tf
+        _tmp = _tf.mkdtemp(prefix=f"duck_spill_{_os.getpid()}_")
+        con = duckdb.connect(config={"temp_directory": _tmp})
         for t in TABLES:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         got = pq.read_table(f"{out_dir}/{name}")
