@@ -135,10 +135,13 @@ object MaintainSoak {
     spark.read.parquet(s"$corpus/documents.parquet")
       .write.parquet(s"$rebuild/documents.parquet")
     val (_, rebuildS) = timed(LayerMaintenance.ensureMaintained(spark, rebuild))
-    def checksum(t: DataFrame): (Long, Long) = {
+    // order-free multiset checksum; the hash sum rides DECIMAL(38,0) —
+    // a plain LONG sum of ~1e8 64-bit hashes overflows under ANSI
+    def checksum(t: DataFrame): (Long, String) = {
       val r = t.agg(count(lit(1)),
-        sum(xxhash64(t.columns.map(col).toIndexedSeq: _*))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        sum(xxhash64(t.columns.map(col).toIndexedSeq: _*)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
     }
     val equiv = Families.map { fam =>
       val (nM, hM) = checksum(LayerMaintenance.maintainedLayer(spark, corpus, fam))
