@@ -1119,6 +1119,77 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[ta14With]] re-planned with per-branch PARTIAL per-doc aggregates
+    * (r11 experiment): instead of repartition(doc_id)-ing the FULL
+    * probe stream so four consumers can share one scan, each branch
+    * folds to (doc_id, n, g_sum) partials the moment it knows its g —
+    * the head-matched squared-Zipf mass (59% of pairs at sf10) then
+    * collapses MAP-SIDE in its partial HashAggregate and never
+    * shuffles at all. The probe scan runs twice (head branch + miss
+    * branch; the miss join's exchange is shared by tail/backoff via
+    * ReuseExchange) — with tok_split the second scan is cheaper than
+    * repartitioning ~100M pair rows. Same integer sums, same counts,
+    * same division → bit-identical output to [[ta14With]]. */
+  private[graft] def ta14PartialWith(s: SparkSession, dir: String,
+      up: DataFrame, bp: DataFrame,
+      head: Option[(DataFrame, Boolean)] = None): DataFrame = {
+    val t = filter(ws, x => x =!= "")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), t.as("t")).filter(size(col("t")) >= 1)
+    val first = docs.select(col("doc_id"), element_at(col("t"), 1).as("tok"))
+    val bg = bigramPairs(Tables.documents(s, dir))
+    val bpg = bp.select(col("t1"), col("t2"), col("g"))
+    val uhead = up.filter(col("c") >= RarityHeadCut)
+    val utail = up.filter(col("c") < RarityHeadCut)
+    def lookup(rel: DataFrame): DataFrame =
+      rel.join(broadcast(uhead), Seq("tok"))
+        .unionByName(rel.join(utail, Seq("tok")))
+    val hj = head match {
+      case Some((hd, _)) => bg.join(
+        broadcast(hd.select(col("t1"), col("t2"), col("g").as("g_h"))),
+        Seq("t1", "t2"), "left")
+      case None => bg.withColumn("g_h", lit(null).cast("long"))
+    }
+    def part(rel: DataFrame, g: Column, isBg: Int, isBack: Int): DataFrame =
+      rel.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"), sum(g).as("g_sum"))
+        .select(col("doc_id"), col("n"),
+          (lit(isBg.toLong) * col("n")).as("n_bg"),
+          (lit(isBack.toLong) * col("n")).as("n_back"), col("g_sum"))
+    val headPart = part(hj.filter(col("g_h").isNotNull), col("g_h"), 1, 0)
+    val miss = hj.filter(col("g_h").isNull).select("doc_id", "t1", "t2")
+    val tj = head match {
+      case Some((_, true)) => miss.withColumn("g", lit(null).cast("long"))
+      case _ => miss.join(bpg, Seq("t1", "t2"), "left")
+    }
+    val tailPart = part(tj.filter(col("g").isNotNull), col("g"), 1, 0)
+    val backPart = part(lookup(
+      tj.filter(col("g").isNull).select(col("doc_id"), col("t2").as("tok"))),
+      col("g_back"), 0, 1)
+    val firstPart = part(lookup(first), col("g_uni"), 0, 0)
+    val perDoc = headPart.unionByName(tailPart).unionByName(backPart)
+      .unionByName(firstPart)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_tokens"),
+        sum(col("n_bg")).cast("long").as("n_bigrams"),
+        sum(col("n_back")).cast("long").as("n_backoff"),
+        (sum(col("g_sum")).cast("double") / 1e9
+          / sum(col("n")).cast("double")).as("xent"))
+    val p = pow(lit(2.0), col("xent")) * 1e6
+    perDoc
+      .withColumn("ppl",
+        when(p >= 0, floor(p + 0.5)).otherwise(ceil(p - 0.5)).cast("long")
+          .cast("double") / 1e6)
+      .orderBy("doc_id")
+  }
+
+  private[graft] def ta14Partial(s: SparkSession, dir: String): DataFrame = {
+    val head = bigramHead(s, dir)
+    val coversAll = head.count() < BigramHeadK
+    ta14PartialWith(s, dir, uniProb(s, dir), bigramProb(s, dir),
+      Some((head, coversAll)))
+  }
+
   val ta14Sql: String =
     s"""WITH $wsSqlCte,
        |fq AS (SELECT doc_id, list_filter(ws, x -> x <> '') AS t FROM w),
