@@ -507,35 +507,34 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("tok_split", c)
   }
 
+  /** Single source of truth for every native kernel: name → (impl class,
+    * builder). Both session-local [[register]] and the cluster-wide
+    * [[GraftExtensions]] injector iterate THIS list, so the two deployment
+    * modes can never drift (the r11 gap: extensions shipped 5 of 11). */
+  private[graft] val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("grid_dot",    classOf[GridDot],     exprs => GridDot(exprs(0), exprs(1))),
+    ("simhash60",   classOf[SimHash60],   exprs => SimHash60(exprs(0))),
+    ("tokens_h60",  classOf[TokensH60],   exprs => TokensH60(exprs(0))),
+    ("token_stats", classOf[TokenStats],  exprs => TokenStats(exprs(0))),
+    ("stop_hits",   classOf[StopHits],    exprs => StopHits(exprs(0), exprs(1))),
+    ("ngram_stats", classOf[NgramStats],  exprs => NgramStats(exprs(0), exprs(1))),
+    ("kmv_kth",     classOf[KmvKth],      exprs => KmvKth(exprs(0), exprs(1))),
+    ("text_metrics", classOf[TextMetrics], exprs => TextMetrics(exprs(0))),
+    ("pii_scrub",   classOf[PiiScrub],    exprs => PiiScrub(exprs(0))),
+    ("clf_margin",  classOf[ClfMargin],   exprs => ClfMargin(exprs(0), exprs(1))),
+    ("tok_split",   classOf[TokSplit],    exprs => TokSplit(exprs(0))))
+
   def register(spark: SparkSession): Unit = {
     // idempotent: re-registering an already-present function makes Spark
     // log a "replaced a previously registered function" WARN per call —
-    // pure noise when every operator defensively calls register()
+    // pure noise when every operator defensively calls register(). Guard
+    // per-function (not on one sentinel name) so a session that got a
+    // partial set from an older injector is healed, never skipped.
     val reg = spark.sessionState.functionRegistry
-    if (reg.lookupFunctionBuilder(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("grid_dot")).isEmpty) {
-      reg.createOrReplaceTempFunction(
-        "grid_dot", exprs => GridDot(exprs(0), exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "simhash60", exprs => SimHash60(exprs(0)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "tokens_h60", exprs => TokensH60(exprs(0)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "token_stats", exprs => TokenStats(exprs(0)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "stop_hits", exprs => StopHits(exprs(0), exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "ngram_stats", exprs => NgramStats(exprs(0), exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "kmv_kth", exprs => KmvKth(exprs(0), exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "text_metrics", exprs => TextMetrics(exprs(0)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "pii_scrub", exprs => PiiScrub(exprs(0)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "clf_margin", exprs => ClfMargin(exprs(0), exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "tok_split", exprs => TokSplit(exprs(0)), "built-in")
+    builders.foreach { case (name, _, builder) =>
+      if (reg.lookupFunctionBuilder(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)).isEmpty)
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
 }
@@ -545,31 +544,10 @@ object GraftFunctions {
   * session of the cluster without code changes. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    {
-    ext.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("grid_dot"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[GridDot].getName, "grid_dot"),
-      (exprs: Seq[Expression]) => GridDot(exprs(0), exprs(1))))
-    ext.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash60"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[SimHash60].getName, "simhash60"),
-      (exprs: Seq[Expression]) => SimHash60(exprs(0))))
-    ext.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("tokens_h60"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[TokensH60].getName, "tokens_h60"),
-      (exprs: Seq[Expression]) => TokensH60(exprs(0))))
-    ext.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("token_stats"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[TokenStats].getName, "token_stats"),
-      (exprs: Seq[Expression]) => TokenStats(exprs(0))))
-    ext.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("stop_hits"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[StopHits].getName, "stop_hits"),
-      (exprs: Seq[Expression]) => StopHits(exprs(0), exprs(1))))
-  }
+    GraftFunctions.builders.foreach { case (name, cls, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(cls.getName, name),
+        builder))
+    }
 }

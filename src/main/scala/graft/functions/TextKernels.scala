@@ -592,9 +592,11 @@ case class TokSplit(child: Expression) extends UnaryExpression {
       s"tok_split expects string, got ${t.catalogString}")
   }
 
-  // matches StringSplit's ArrayType(StringType) (containsNull default):
-  // consumers see the same schema whether ws is the regex split or this
-  override def dataType: DataType = ArrayType(StringType)
+  // matches StringSplit's ArrayType(StringType, containsNull = false)
+  // exactly (Spark 4.1.2 declares split's elements non-null — the kernel
+  // below never emits a null element either), so consumers see the same
+  // schema whether ws is the regex split or this
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "tok_split"
 

@@ -40,6 +40,19 @@ class FunctionRegistrationSpec extends AnyFunSuite with SparkTestBase {
       val r = s2.sql(
         "SELECT grid_dot(array(CAST(0.5 AS FLOAT)), array(CAST(2.0 AS FLOAT)))").head()
       assert(r.getLong(0) == 1000000000L)
+      // the r11 deployment gap: the injector shipped 5 of 11 kernels, so
+      // tok_split (and 5 others) failed analysis under spark.sql.extensions
+      // deployment. Pin: EVERY builder-list kernel resolves in the
+      // injector-only session — the two modes share one list and can't drift.
+      GraftFunctions.builders.foreach { case (name, _, _) =>
+        assert(
+          s2.sessionState.functionRegistry.lookupFunctionBuilder(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(name)).isDefined,
+          s"$name missing from GraftExtensions-injected session")
+      }
+      // and the one the ADVICE named, end to end through the analyzer
+      assert(s2.sql("SELECT tok_split('a  b') AS t").head()
+        .getSeq[String](0).toList == List("a", "b"))
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)

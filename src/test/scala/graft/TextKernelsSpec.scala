@@ -292,6 +292,20 @@ class TextKernelsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("tok_split schema == split schema exactly (incl. containsNull)") {
+    // Spark 4.1.2's StringSplit declares ArrayType(StringType,
+    // containsNull = false); tok_split must match or element nullability
+    // drifts in derived schemas vs the regex split it replaces
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("a b").toDF("text")
+      .select(
+        call_function("tok_split", col("text")).as("k"),
+        split(lower(trim(col("text"))), "\\s+").as("e"))
+    assert(df.schema("k").dataType == df.schema("e").dataType,
+      s"${df.schema("k").dataType} != ${df.schema("e").dataType}")
+  }
+
   test("property: tok_split == regex split on 400 random strings") {
     GraftFunctions.register(spark)
     import spark.implicits._

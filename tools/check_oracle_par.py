@@ -69,6 +69,7 @@ def check_one(args):
     t0 = time.time()
     rec = {"rows_match": False, "schema_match": False, "hash_match": False,
            "spark_rows": None, "oracle_rows": None, "err": None}
+    _tmp, con = None, None
     try:
         # Per-worker spill directory (r11 post-mortem): by default every
         # worker spills to cwd/.tmp, so ONE worker's ENOSPC error-cleanup
@@ -110,6 +111,17 @@ def check_one(args):
         rec["hash_match"] = True
     except Exception as e:  # noqa: BLE001
         rec["err"] = f"{type(e).__name__}: {e}"
+    finally:
+        # one spill dir per check_one invocation — remove it or a long
+        # run leaks a /tmp dir per query per worker
+        try:
+            if con is not None:
+                con.close()
+        except Exception:  # noqa: BLE001
+            pass
+        if _tmp is not None:
+            import shutil as _sh2
+            _sh2.rmtree(_tmp, ignore_errors=True)
     return name, rec, time.time() - t0
 
 
