@@ -32,6 +32,39 @@ object Bench {
       .map(_.pid()).filterNot(chain).filter(isJava).toSeq.sorted
   }
 
+  /** Calibration canary (r11 verdict #3): strict mode proves a capture
+    * wasn't CONTENDED, but nothing in the artifact says how fast the BOX
+    * was — r11's host measured ~25% slower than r10's on untouched
+    * queries, and every cross-round per-query delta that round was
+    * noise. The canary is a fixed, deterministic CPU+shuffle micro-task
+    * (hash chain over range → 1M-group shuffle → checksum; no parquet,
+    * no layers, no disk) timed inside every capture and stamped next to
+    * load1/foreign_jvms. Cross-round comparisons divide by the canary
+    * ratio before reading per-query deltas (SCALING.md). Work is fixed
+    * (64 input slices regardless of cpus) so the number is a property of
+    * the box+cpu-count, not of the corpus; the checksum is asserted so a
+    * codegen/platform change that altered the WORK can never read as a
+    * speed change. */
+  private val CanaryChecksum = -3864612239909279609L
+  private[graft] def canaryChecksumOf(spark: SparkSession): Long = {
+    import org.apache.spark.sql.functions._
+    // bit_xor folds, not sum: ANSI mode overflows a LONG sum of 48M
+    // full-range hashes; xor is overflow-free and order-independent
+    spark.range(0, 112L * 1000 * 1000, 1, 64)
+      .select(col("id"), xxhash64(xxhash64(xxhash64(col("id")))).as("h"))
+      .select((pmod(col("h"), lit(1000000L))).as("k"), col("h"))
+      .groupBy(col("k"))
+      .agg(expr("bit_xor(h)").as("s"), count(lit(1)).as("n"))
+      .agg(expr("bit_xor(xxhash64(k, s, n))").as("chk"))
+      .head().getLong(0)
+  }
+  private def canary(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    val r = canaryChecksumOf(spark)
+    require(r == CanaryChecksum, s"canary checksum drift: $r")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -77,6 +110,12 @@ object Bench {
     // optional comma-separated prefix filter (e.g. "dd03,dd04,q20") for
     // targeted soaks — the sf3 dedup-family spot-soak doesn't need the
     // other 49 queries
+    // canary before the query loop: first run warms codegen/JIT, the
+    // median of the next 3 is the box-speed stamp; one more at the end
+    // catches drift DURING the capture
+    canary(spark)
+    val canaryStartSamples = Seq.fill(3)(canary(spark))
+    val canaryStart = canaryStartSamples.sorted.apply(1)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
@@ -118,12 +157,16 @@ object Bench {
     // collects this output keeps only a ~2000-char tail of stdout, which
     // truncated the JSON mid-object two rounds running. stdout gets ONLY a
     // compact line (last, so the tail always contains it whole).
+    val canaryEnd = canary(spark)
     val (load1End, foreignEnd) = (load1, foreignJvms)
     val contended = foreignStart.nonEmpty || foreignEnd.nonEmpty
     val captureJson =
       s"""{"contended":$contended,"load1_start":$load1Start,"load1_end":$load1End,""" +
       s""""foreign_jvms_start":${foreignStart.mkString("[", ",", "]")},""" +
-      s""""foreign_jvms_end":${foreignEnd.mkString("[", ",", "]")}}"""
+      s""""foreign_jvms_end":${foreignEnd.mkString("[", ",", "]")},""" +
+      s""""canary_sec":${f"$canaryStart%.3f"},""" +
+      s""""canary_samples":${canaryStartSamples.map(s => f"$s%.3f").mkString("[", ",", "]")},""" +
+      s""""canary_end_sec":${f"$canaryEnd%.3f"}}"""
     if (contended) System.err.println(
       s"[bench] WARNING: capture contended (start=${foreignStart.mkString(",")} end=${foreignEnd.mkString(",")}) — stamped in the artifact")
     val verbose = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_cold":${jmap(_._2)},"queries_cold_ex_layers":${jmap(v => v._2 - v._4.map(_._2).sum)},"queries_warm_samples":$samples,"layers":$layersJson,"failed":$nFailed,"capture":$captureJson,"sf":${Json.quote(sfDir)}}"""

@@ -856,17 +856,32 @@ object Similarity {
     */
   val IvfPqShortlist = 32
 
-  def ss07(s: SparkSession, dir: String): DataFrame = {
+  def ss07(s: SparkSession, dir: String): DataFrame =
+    ivfPq(s, dir, nprobe = 1, shortlist = IvfPqShortlist)
+
+  /** The ADC-scan candidate set at a given nprobe — (query_id, ccell,
+    * vec_id): capped members of each query's routed cells. Split out so
+    * the sweep tool can report the DETERMINISTIC per-setting cost (code
+    * rows ADC-scanned) exactly as the serving plan computes it. */
+  private[graft] def ivfPqCandidates(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame =
+    Dedup.capPerKey(ivfAssign(s, dir), Seq("cell"), "vec_id", Dedup.BucketCap)
+      .join(broadcast(bestCells(s, dir, nprobe)), col("cell") === col("ccell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("ccell"), col("vec_id"))
+
+  /** [[ss07]] with the two serving dials exposed — the sweep surface
+    * behind the r11 recall/cost curve (tools/IvfPqSweep): `nprobe`
+    * routed cells per query, ADC shortlist width `shortlist`. Identical
+    * plan at any setting; ss07 is (1, [[IvfPqShortlist]]). */
+  private[graft] def ivfPq(s: SparkSession, dir: String,
+      nprobe: Int, shortlist: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val best = bestCells(s, dir, nprobe = 1)
     val codes = pqCodes(s, dir)
     val cb = pqCodebook(s, dir)
     // candidates: capped members of each query's routed cell
-    val cand = Dedup.capPerKey(ivfAssign(s, dir), Seq("cell"), "vec_id", Dedup.BucketCap)
-      .join(broadcast(best), col("cell") === col("ccell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("ccell"), col("vec_id"))
+    val cand = ivfPqCandidates(s, dir, nprobe)
     // ADC over the candidates' code rows only — the compressed scan
     val cbn = cb.groupBy(col("m"), col("code"))
       .agg(sum(Dedup.gridL(col("c") * col("c"))).as("cn2"))
@@ -889,15 +904,15 @@ object Similarity {
       .withColumn("approx_cos", cosine(col("adot"), col("qn2"), col("rn2")))
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("vec_id"))
-    val shortlist = adc.withColumn("srn", row_number().over(ws))
-      .filter(col("srn") <= IvfPqShortlist)
+    val sl = adc.withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= shortlist)
       .select(col("query_id"), col("ccell"), col("vec_id"))
     // exact rerank: raw vectors for ≤ shortlist×queries rows only
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .filter(col("query_id") < 10)
       .withColumn("qn2e", normL(col("qe")))
     val rer = e.select(col("vec_id"), col("embedding").as("ne"))
-      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(sl), Seq("vec_id"))
       .withColumn("nn2", normL(col("ne")))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine", cosine(dotL(col("qe"), col("ne")), col("qn2e"), col("nn2")))

@@ -944,7 +944,7 @@ object TextAnalysis {
     * 1-row broadcast folded in at BUILD time, so no query ever pays it.
     * Bucketed by tok: the Zipf head/tail lookup joins read pre-clustered
     * buckets. */
-  private def uniProb(s: SparkSession, dir: String): DataFrame =
+  private[graft] def uniProb(s: SparkSession, dir: String): DataFrame =
     DedupPrepare.ensure(s, "uniprob", dir,
       () => {
         val f = uniFreq(s, dir)
@@ -978,7 +978,7 @@ object TextAnalysis {
     * so the scoring left-join shuffles only the probe side. The corpus
     * bigram aggregate and the unigram-denominator join are paid once
     * per corpus at build, amortized like the unigram layer. */
-  private def bigramProb(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bigramProb(s: SparkSession, dir: String): DataFrame =
     DedupPrepare.ensure(s, "biprob", dir,
       () => bigramPairs(Tables.documents(s, dir))
         .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c12"))
@@ -1003,7 +1003,7 @@ object TextAnalysis {
     * between the broadcast and shuffle branches, never scores: the
     * shuffle branch probes the FULL model table, so a head miss is
     * simply a colder path to the same g. */
-  private def bigramHead(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bigramHead(s: SparkSession, dir: String): DataFrame =
     DedupPrepare.ensure(s, "bighead", dir,
       () => bigramProb(s, dir)
         .orderBy(col("c12").desc, col("t1"), col("t2")).limit(BigramHeadK)
@@ -1038,7 +1038,10 @@ object TextAnalysis {
   def ta14(s: SparkSession, dir: String): DataFrame = {
     val head = bigramHead(s, dir)
     val coversAll = head.count() < BigramHeadK
-    ta14With(s, dir, uniProb(s, dir), bigramProb(s, dir),
+    // serves the per-branch partial-aggregate plan (r12 adoption):
+    // bit-identical to [[ta14With]] (spec-pinned + the committed sf10
+    // A/B's exact-equality check), 0.83× its wall at sf10
+    ta14PartialWith(s, dir, uniProb(s, dir), bigramProb(s, dir),
       Some((head, coversAll)))
   }
 
@@ -1119,17 +1122,21 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** [[ta14With]] re-planned with per-branch PARTIAL per-doc aggregates
-    * (r11 experiment): instead of repartition(doc_id)-ing the FULL
-    * probe stream so four consumers can share one scan, each branch
-    * folds to (doc_id, n, g_sum) partials the moment it knows its g —
-    * the head-matched squared-Zipf mass (59% of pairs at sf10) then
+  /** The SHIPPED ta14 plan (adopted r12 after the committed sf10 A/B:
+    * exact-equality diff 0, warm median 26.9 s vs 32.3 s = 0.83×):
+    * [[ta14With]] re-planned with per-branch PARTIAL per-doc aggregates
+    * — instead of repartition(doc_id)-ing the FULL probe stream so four
+    * consumers can share one scan, each branch folds to
+    * (doc_id, n, g_sum) partials the moment it knows its g — the
+    * head-matched squared-Zipf mass (59% of pairs at sf10) then
     * collapses MAP-SIDE in its partial HashAggregate and never
     * shuffles at all. The probe scan runs twice (head branch + miss
     * branch; the miss join's exchange is shared by tail/backoff via
     * ReuseExchange) — with tok_split the second scan is cheaper than
     * repartitioning ~100M pair rows. Same integer sums, same counts,
-    * same division → bit-identical output to [[ta14With]]. */
+    * same division → bit-identical output to [[ta14With]], which stays
+    * as the reference form for the parity spec and the swap-hook
+    * contract. */
   private[graft] def ta14PartialWith(s: SparkSession, dir: String,
       up: DataFrame, bp: DataFrame,
       head: Option[(DataFrame, Boolean)] = None): DataFrame = {
@@ -1181,13 +1188,6 @@ object TextAnalysis {
         when(p >= 0, floor(p + 0.5)).otherwise(ceil(p - 0.5)).cast("long")
           .cast("double") / 1e6)
       .orderBy("doc_id")
-  }
-
-  private[graft] def ta14Partial(s: SparkSession, dir: String): DataFrame = {
-    val head = bigramHead(s, dir)
-    val coversAll = head.count() < BigramHeadK
-    ta14PartialWith(s, dir, uniProb(s, dir), bigramProb(s, dir),
-      Some((head, coversAll)))
   }
 
   val ta14Sql: String =

@@ -589,6 +589,46 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     // every term costs 2.0 bits -> xent 2.0, ppl 4.0 for every doc
     assert(sout.nonEmpty)
     assert(sout.forall(r => r.getDouble(4) == 2.0 && r.getDouble(5) == 4.0))
+    // ...and the SHIPPED partial-aggregate plan serves the same swapped
+    // model identically (the swap-hook contract carries to the r12 plan)
+    val pout = graft.operators.TextAnalysis
+      .ta14PartialWith(spark, dir, upSwap, bpSwap).collect()
+    assert(pout.toSeq == sout.toSeq)
+  }
+
+  test("ta14 partial-aggregate plan == sharing-point plan, all head branches") {
+    // the r12 adoption's parity pin: the per-branch partial-aggregate
+    // form (shipped as ta14) is bit-identical to the repartition-sharing
+    // reference form under (a) no head, (b) a PARTIAL head (misses probe
+    // the full model), (c) a covers-all head (shuffle branch elided) —
+    // on a fuzz corpus big enough that every branch carries rows
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ta14par").toString
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ffff", "g", "hi", "jj", "klm")
+    val texts = (1L to 120L).map { id =>
+      val n = 1 + rnd.nextInt(12)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "),
+        "en", "u", n.toLong)
+    }
+    texts.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.operators.DedupPrepare.invalidate(dir)
+    val ta = graft.operators.TextAnalysis
+    val up = ta.uniProb(spark, dir)
+    val bp = ta.bigramProb(spark, dir).persist()
+    assert(bp.count() >= 4, "fixture must learn several bigrams")
+    // a partial head: half the model rows (so real head MISSES exist)
+    val half = bp.orderBy(col("c12").desc, col("t1"), col("t2"))
+      .limit((bp.count() / 2).toInt).select("t1", "t2", "g")
+    for (head <- Seq(None, Some((half, false)), Some((bp.select("t1", "t2", "g"), true)))) {
+      val ref = ta.ta14With(spark, dir, up, bp, head)
+      val got = ta.ta14PartialWith(spark, dir, up, bp, head)
+      assert(got.columns.toSeq == ref.columns.toSeq)
+      assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0,
+        s"partial != sharing under head=$head")
+    }
+    bp.unpersist()
   }
 
   test("mm05: decoded dHash equals the closed form; mod-768 twins dedup") {

@@ -122,13 +122,14 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // ta13: zero-shuffle map-side column program + presentation sort
     // (weights arrive as an in-plan literal from the model-table load)
     "ta13_hash_classifier" -> 1,
-    // ta14 (r11): the repartition(doc_id) SHARING POINT right after the
-    // broadcast bigram-head join (one probe scan, every term branch
-    // reuses the exchange) + head-miss shuffle into the bucketed model
-    // + the head-broadcast/tail-join unigram lookups (first token and
-    // backoff legs) + per-doc agg + final sort; several of the 12 are
-    // ReusedExchange at runtime
-    "ta14_bigram_lm" -> 12,
+    // ta14 (r12 adoption): per-branch PARTIAL per-doc aggregates — each
+    // term branch (head-matched, tail-matched, backoff, first-token)
+    // folds to (doc_id, n, g_sum) the moment it knows its g, so the
+    // head-matched mass collapses map-side in its partial HashAggregate
+    // and never shuffles; the budget is the four branch aggs + the
+    // final per-doc merge agg + unigram tail joins + sort (the r11
+    // sharing-point repartition and its reuses are gone: 12 -> 11)
+    "ta14_bigram_lm" -> 11,
     // ta15 (r9): map-side token count -> tiny (lang,bucket) agg ->
     // bounded-relation share windows -> final sort
     "ta15_length_histogram" -> 3,
@@ -181,11 +182,12 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
   private val sf10Overrides = Map(
     "cp04_incremental_ingest" -> 13, // broadcast -> co-bucketed SMJ
     "ss07_knn_ivfpq" -> 20,          // one derived agg side reused
-    // ta14 (r11): at sf10 the bigram model outgrows the head cap
+    // ta14 (r12 plan): at sf10 the bigram model outgrows the head cap
     // (1.6M rows > BigramHeadK), so the head-miss SMJ branch and its
     // backoff legs materialize (coversAll elides them at ≤sf1.0);
-    // the extra exchanges are the miss-probe shuffle + its reuses
-    "ta14_bigram_lm" -> 17)
+    // the extra exchanges are the miss-probe join + the backoff/tail
+    // branch aggs it feeds (11 -> 16)
+    "ta14_bigram_lm" -> 16)
   private val sf10Dir = "testdata/sf10"
 
   test("every registered query has a budget (new queries must be budgeted)") {
