@@ -852,9 +852,18 @@ object Similarity {
     *
     * The exact rerank makes the composed index's recall ≥ plain PQ's
     * inside the routed cell by construction: ADC only has to get the
-    * true neighbors into the top-32, not rank them.
+    * true neighbors into the top-[[IvfPqShortlist]], not rank them.
+    *
+    * Operating point (r12, from the committed clustered-corpus sweep
+    * `IVFPQ_SWEEP_SF1_CLUSTERED.json`): shortlist 128, nprobe 1. At 32
+    * the ADC shortlist STARVED the rerank (recall@5 0.22 at every
+    * nprobe); 128 recovers exact-in-cell recall (0.54 — the ivf1/ivf2
+    * ceiling, so the residual gap is routing/cap, not ADC), while
+    * nprobe 2/4 cost 2–4× the ADC rows for zero recall gain. Cost of
+    * the widening: +96 raw-vector rerank reads per query — noise next
+    * to the (N/cells)-row ADC scan.
     */
-  val IvfPqShortlist = 32
+  val IvfPqShortlist = 128
 
   def ss07(s: SparkSession, dir: String): DataFrame =
     ivfPq(s, dir, nprobe = 1, shortlist = IvfPqShortlist)
