@@ -425,12 +425,14 @@ object TextAnalysis {
     val punct = col("tm.n_punct").cast("double")
     val punctRatio =
       when(col("n_chars") > 0, punct / col("n_chars").cast("double")).otherwise(0.0)
-    val stopRatio = call_function("stop_hits", col("text"),
-      lit(stop("en").mkString(","))).getItem(0).cast("double") / nTok
+    val sh = call_function("stop_hits", col("text"), lit(stopSpec))
+    // en leads LangOrder, so sh(0) IS the en-list count — reusing it
+    // (CSE dedupes the two sh occurrences) drops the third full
+    // tokenize pass a separate stop_hits(text, en-list) call paid
+    val stopRatio = sh.getItem(0).cast("double") / nTok
     val score = least(nTok / 100.0, lit(1.0)) * 0.4 +
       (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.3 +
       least(stopRatio * 5.0, lit(1.0)) * 0.3
-    val sh = call_function("stop_hits", col("text"), lit(stopSpec))
     docs
       .withColumn("tm", call_function("text_metrics", col("text")))
       .withColumn("n_tokens", col("tm.n_ws_tokens"))
@@ -1322,7 +1324,7 @@ object TextAnalysis {
     * model load — the same consumption pattern ta16 itself uses), not
     * via a partitionless window: keeps the suite's zero-WindowExec-
     * warning invariant (PlanBudgetSpec pins it). */
-  private[operators] def vocabLayer(s: SparkSession, dir: String): DataFrame =
+  private[graft] def vocabLayer(s: SparkSession, dir: String): DataFrame =
     DedupPrepare.ensure(s, "vocab", dir, () => {
       val top = uniFreq(s, dir).orderBy(col("c").desc, col("tok"))
         .limit(VocabSize).select("tok").collect().map(_.getString(0))
@@ -1354,6 +1356,39 @@ object TextAnalysis {
     * changes ids under an identical plan.
     */
   private[graft] def ta16With(s: SparkSession, dir: String,
+      vocab: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
+    val rows = vocab.select(col("tok"), col("id")).collect()
+    val m = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, java.lang.Long](rows.length * 2)
+    rows.foreach { r =>
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+        java.lang.Long.valueOf(r.getLong(1)))
+    }
+    val bc = s.sparkContext.broadcast(m)
+    val st = ExpressionUtils.column(graft.functions.VocabDocStats(
+      ExpressionUtils.expression(ws), bc, VocabSize.toLong, OovBuckets))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        col("st.n_tokens").as("n_tokens"),
+        col("st.n_oov").as("n_oov"),
+        col("st.ids8").as("ids8"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(0.0))
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate", "ids8")
+      .transform(Present.sorted(_, "doc_id"))
+  }
+
+  /** The retired `typedlit(map)` form of [[ta16With]] — the SEMANTIC
+    * definition the kernel plan is spec-pinned against. A Catalyst map
+    * literal is ArrayBasedMapData, so every `element_at` here is an
+    * O(|vocab|) linear scan — three per token; the kernel replaces them
+    * with one O(1) hash probe per token (see
+    * [[graft.functions.VocabDocStats]]). */
+  private[graft] def ta16LitWith(s: SparkSession, dir: String,
       vocab: DataFrame): DataFrame = {
     val m = vocab.select(col("tok"), col("id")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1682,6 +1717,40 @@ object TextAnalysis {
     * plan. */
   private[graft] def ta17With(s: SparkSession, dir: String,
       enc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
+    val st = ExpressionUtils.column(graft.functions.BpeDocStats(
+      ExpressionUtils.expression(ws), bpeLexBc(s, enc)))
+    // The kernel projection is cached (Present.pooled, the q13/ta07
+    // evaluate-once pattern) BEFORE the hit filter and the presentation
+    // sort: without the cache boundary, predicate pushdown clones the
+    // kernel into the filter and the range-sort sampling pass re-runs
+    // the whole map pipeline — 4 kernel evaluations per doc instead of 1
+    // (same-box sf10 A/B in SCALING.md round-12).
+    val mapped = Present.pooled(Tables.documents(s, dir)
+      .select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        // coalesce only to pin nullable=false (count()'s schema in the
+        // retired form); the filter below drops null-struct rows
+        coalesce(col("st.n_tokens"), lit(0L)).as("n_tokens"),
+        col("st.n_bpe").as("n_bpe"),
+        (col("st.n_bpe").cast("double") / col("st.n_tokens").cast("double"))
+          .as("bpe_per_tok"),
+        col("st.ids8").as("ids8")))
+    // n_tokens counts LEXICON HITS (the retired inner join dropped
+    // misses); a doc whose every token is OOV under a swapped serving
+    // lexicon vanishes here exactly as it vanished from the join+groupBy
+    mapped.filter(col("n_tokens") > 0).orderBy("doc_id")
+  }
+
+  /** The retired explode → broadcast-join → per-doc aggregate form of
+    * [[ta17With]] — the SEMANTIC definition the kernel plan is spec-pinned
+    * against (including on a partial lexicon, where the inner join's
+    * miss-dropping bites). One exploded row + one join probe per token
+    * occurrence + a collect_list/sort/flatten chain for ids8; the kernel
+    * ([[graft.functions.BpeDocStats]]) computes the identical struct in
+    * one map-side pass with zero shuffle before the presentation sort. */
+  private[graft] def ta17ExplodeWith(s: SparkSession, dir: String,
+      enc: DataFrame): DataFrame = {
     val toksF = filter(ws, t => t =!= "")
     val t = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(toksF))
@@ -1704,6 +1773,25 @@ object TextAnalysis {
       // agg), so the range-bound sampling pass reuses shuffle files and a
       // presentation cache would only hide the plan from the census
       .orderBy("doc_id")
+  }
+
+  /** The (tok → n_sub, ids) lexicon as an executor-side broadcast hash
+    * map — the model-ships-once serving mechanism behind [[ta17With]] and
+    * [[bpeDocCounts]]. Vocab-sized driver collect (the same model load
+    * [[bpeWordsFrom]] makes for merges), probed with UTF8String keys so
+    * the kernel never converts token bytes. */
+  private def bpeLexBc(s: SparkSession, enc: DataFrame):
+      org.apache.spark.broadcast.Broadcast[java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, graft.functions.BpeEntry]] = {
+    val rows = enc.select(col("tok"), col("ids"), col("n_sub")).collect()
+    val m = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, graft.functions.BpeEntry](
+      rows.length * 2)
+    rows.foreach { r =>
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+        new graft.functions.BpeEntry(r.getLong(2), r.getSeq[Long](1).toArray))
+    }
+    s.sparkContext.broadcast(m)
   }
 
   /** Oracle: the full BPE pipeline replayed in SQL — training unrolled
@@ -1809,7 +1897,28 @@ object TextAnalysis {
     * engine must be able to measure in them. Same join shape as ta17
     * (explode → broadcast lexicon → per-doc sum); `explode_outer` +
     * left join keep zero-token docs at count 0 (they still pack). */
-  private[operators] def bpeDocCounts(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bpeDocCounts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
+    val st = ExpressionUtils.column(graft.functions.BpeDocStats(
+      ExpressionUtils.expression(ws), bpeLexBc(s, bpeWords(s, dir))))
+    // one kernel pass per doc, no explode/join/groupBy: the left join
+    // summed hits with misses contributing nothing and zero-token docs
+    // kept at 0 — exactly the kernel's n_bpe (the full-corpus lexicon
+    // makes every non-empty token a hit; a miss contributes 0 in both
+    // forms, spec-pinned on a partial lexicon)
+    Tables.documents(s, dir)
+      // coalesce carries a null-text doc to 0 — the same row the retired
+      // form kept (explode_outer of a null array → one null-tok row →
+      // join miss → coalesce(sum)=0) — and pins nullable=false
+      .select(col("doc_id"), col("lang"),
+        coalesce(st.getField("n_bpe"), lit(0L)).as("n_bpe"))
+  }
+
+  /** The retired explode_outer → broadcast-left-join → per-doc sum form
+    * of [[bpeDocCounts]] — the SEMANTIC definition the kernel plan is
+    * spec-pinned against (zero-token docs keep their 0 row; lexicon
+    * misses contribute nothing to the sum). */
+  private[graft] def bpeDocCountsJoin(s: SparkSession, dir: String): DataFrame = {
     val enc = bpeWords(s, dir).select(col("tok"), col("n_sub"))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
@@ -1827,7 +1936,10 @@ object TextAnalysis {
     * docs migrate ~log2(fertility)≈2 buckets up; everything else about
     * the plan is ta15's (one agg + broadcast-side shares). */
   def ta18(s: SparkSession, dir: String): DataFrame = {
-    val grouped = bpeDocCounts(s, dir)
+    // pooled: the n_bpe > 0 filter would otherwise push INTO the kernel
+    // projection and clone the per-doc encode pass (ta17's evaluate-once
+    // note); the cached counts relation is 3 skinny columns per doc
+    val grouped = Present.pooled(bpeDocCounts(s, dir))
       .filter(col("n_bpe") > 0)
       .withColumn("bucket", (length(bin(col("n_bpe"))) - 1).cast("int"))
       .groupBy(col("lang"), col("bucket"))

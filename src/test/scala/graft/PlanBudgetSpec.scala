@@ -133,20 +133,22 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // ta15 (r9): map-side token count -> tiny (lang,bucket) agg ->
     // bounded-relation share windows -> final sort
     "ta15_length_histogram" -> 3,
-    // ta16 (r9): zero-shuffle map-side encode (vocab arrives as an
-    // in-plan literal map from the model-table load — ta13's contract)
+    // ta16 (r12): zero-shuffle map-side encode (vocab arrives as a
+    // BROADCAST hash map probed by the VocabDocStats kernel — the r9
+    // typedlit map's element_at probes were O(|vocab|) linear scans)
     // + presentation sort
     "ta16_vocab_encode" -> 1,
-    // ta17 (r10): the merge fold is pre-paid per distinct word in the
-    // bpewords lexicon layer; the query is explode -> broadcast join
-    // (1) -> per-doc agg (1) -> presentation sort (1)
-    "ta17_bpe_encode" -> 3,
-    // ta18 (r10): ta17's count join (2) + bucket agg (1) + per-lang
-    // share window (1) + sort (1)
-    "ta18_bpe_length_histogram" -> 5,
-    // sp11 (r10): ta17's count join (2) + the sp06 pack repartition
+    // ta17 (r12): the merge fold is pre-paid per distinct word in the
+    // bpewords lexicon layer AND the per-doc encode is one broadcast-
+    // lexicon kernel pass (BpeDocStats) — the r10 explode/broadcast-
+    // join/per-doc-agg pair is gone; only the presentation sort remains
+    "ta17_bpe_encode" -> 1,
+    // ta18 (r12): kernel per-doc counts (0) + bucket agg (1) + per-lang
+    // share window (1) + sort (1) — the r10 count join's 2 are gone
+    "ta18_bpe_length_histogram" -> 3,
+    // sp11 (r12): kernel per-doc counts (0) + the sp06 pack repartition
     // (1) + presentation sort (1)
-    "sp11_bpe_pack" -> 4)
+    "sp11_bpe_pack" -> 2)
 
   /** sf1.0 budgets where they differ from the small tree — all four are
     * SIZE-DRIVEN STRATEGY FLIPS (a side outgrowing the broadcast
