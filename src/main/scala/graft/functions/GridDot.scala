@@ -522,7 +522,8 @@ object GraftFunctions {
     ("text_metrics", classOf[TextMetrics], exprs => TextMetrics(exprs(0))),
     ("pii_scrub",   classOf[PiiScrub],    exprs => PiiScrub(exprs(0))),
     ("clf_margin",  classOf[ClfMargin],   exprs => ClfMargin(exprs(0), exprs(1))),
-    ("tok_split",   classOf[TokSplit],    exprs => TokSplit(exprs(0))))
+    ("tok_split",   classOf[TokSplit],    exprs => TokSplit(exprs(0))),
+    ("gate_stats",  classOf[GateStats],   exprs => GateStats(exprs(0), exprs(1), exprs(2))))
 
   def register(spark: SparkSession): Unit = {
     // idempotent: re-registering an already-present function makes Spark

@@ -637,3 +637,196 @@ case class TokSplit(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Native Catalyst expression: every per-document signal the quality
+  * GATE (ta08/cp01, plus ta02's subset) needs, in ONE tokenize pass —
+  * `gate_stats(text, 'the,of,...|der,...', n)` returns
+  * `struct(n_ws_tokens, n_punct, hits, n_grams, n_distinct)`.
+  *
+  * Replaces, per document, THREE separate kernels that each re-ran the
+  * trim/lower/tokenize chain (the r12 sf10 gate floor):
+  *   - `text_metrics(text)` for n_ws_tokens / n_punct (and computed a
+  *     distinct-token HashSet and BPE-run count the gate never reads),
+  *   - `stop_hits(text, spec)` for the per-language evidence counts,
+  *   - `ngram_stats(text, n)` for the duplicate-gram counts (and
+  *     tracked the top gram the gate never reads).
+  *
+  * Exactness contract (each field is pinned equal to its retired kernel
+  * in TextKernelsSpec, fixtures + fuzz, codegen on/off):
+  *   - `n_ws_tokens` = text_metrics.n_ws_tokens: field count of
+  *     `split(lower(trim(text)), '\s+')` with limit -1 semantics,
+  *     counted by the [[TokSplit]] byte scan (never materialized);
+  *   - `n_punct` = text_metrics.n_punct: code points outside
+  *     `[A-Za-z0-9\s]` over the RAW text — counted on the raw BYTES
+  *     (ASCII classified directly; any non-ASCII code point is outside
+  *     the ASCII-only class, so counting UTF-8 lead bytes ≡ counting
+  *     code points);
+  *   - `hits` = [stop_hits(text, spec)] element-for-element — but ONE
+  *     hash probe per token against a word→list-bitmask map instead of
+  *     one probe per (token × list);
+  *   - `n_grams` / `n_distinct` = ngram_stats(text, n)'s fields with
+  *     the NULL-when-fewer-than-n-tokens case folded to (0, 0): the
+  *     gate branches on `n_grams > 0` (NOT a coalesce over 0/0, which
+  *     ANSI mode rejects) and lands on the same 0.0 the legacy form's
+  *     NULL propagation produced. Grams are
+  *     UTF8String byte-slice windows joined by ' ' and counted in a
+  *     HashSet — byte equality ≡ the retired form's String equality,
+  *     with no UTF-16 decode and no per-gram StringBuilder;
+  *   - n = 0 skips gram counting entirely (ta02's subset: the fields
+  *     read are n_ws_tokens, n_punct, hits[0]).
+  */
+case class GateStats(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (first.dataType != StringType || second.dataType != StringType ||
+      !second.foldable || third.dataType != IntegerType || !third.foldable)
+      return TypeCheckResult.TypeCheckFailure(
+        "gate_stats expects (string, foldable string list spec, foldable int n)")
+    val spec = second.eval(null)
+    if (spec == null)
+      return TypeCheckResult.TypeCheckFailure(
+        "gate_stats list spec must not be NULL")
+    val lists = spec.toString.split("\\|", -1)
+    if (lists.exists(_.isEmpty))
+      return TypeCheckResult.TypeCheckFailure(
+        "gate_stats list spec contains an empty list " +
+          "(leading/trailing/doubled '|')")
+    if (lists.length > 64)
+      return TypeCheckResult.TypeCheckFailure(
+        "gate_stats supports at most 64 lists (bitmask-probed)")
+    val n = third.eval(null)
+    if (n == null || n.asInstanceOf[Int] < 0)
+      return TypeCheckResult.TypeCheckFailure(
+        "gate_stats n must be a non-NULL non-negative int")
+    TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ws_tokens", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("hits", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+  override def prettyName: String = "gate_stats"
+
+  @transient private lazy val nLists: Int =
+    second.eval(null).toString.split("\\|", -1).length
+
+  /** word → bitmask of the lists containing it: one probe per token
+    * replaces [[StopHits]]'s probe per (token × list). Keys are
+    * UTF8String so the probe hashes token BYTES — no UTF-16 decode. */
+  @transient private lazy val wordMask: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long]()
+    second.eval(null).toString.split("\\|", -1).zipWithIndex.foreach {
+      case (l, j) => l.split(",", -1).foreach { w =>
+        val k = UTF8String.fromString(w)
+        m.merge(k, java.lang.Long.valueOf(1L << j),
+          (a, b) => java.lang.Long.valueOf(a | b))
+      }
+    }
+    m
+  }
+
+  @transient private lazy val gramN: Int = third.eval(null).asInstanceOf[Int]
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Kernel shared by interpreted eval and codegen (called per row). */
+  def kernel(a: Any): Any = {
+    val u = a.asInstanceOf[UTF8String]
+    // n_punct: raw-byte loop (see the class scaladoc for the lead-byte
+    // ≡ code-point argument)
+    val rb = u.getBytes
+    var nPunct = 0
+    var p = 0
+    while (p < rb.length) {
+      val c = rb(p)
+      if (c >= 0) {
+        val alnum = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9')
+        if (!alnum && c != 0x20 && (c < 0x09 || c > 0x0D)) nPunct += 1
+      } else if ((c & 0xC0) != 0x80) nPunct += 1
+      p += 1
+    }
+    // one token scan: TokSplit's byte walk over trim+lower, but tokens
+    // stay byte slices — counted, bitmask-probed, and windowed in place
+    val t = u.trim().toLowerCase()
+    val b = t.getBytes
+    val n = b.length
+    val counts = new Array[Int](nLists)
+    var nTok = 0
+    // non-empty tokens, in order, as zero-copy slices for the gram window
+    val toks = new java.util.ArrayList[UTF8String](16)
+    def field(start: Int, end: Int): Unit = {
+      nTok += 1
+      if (end > start) {
+        val tok = UTF8String.fromBytes(b, start, end - start)
+        toks.add(tok)
+        val mask = wordMask.get(tok)
+        if (mask != null) {
+          var j = 0
+          var mm = mask.longValue()
+          while (mm != 0L) {
+            if ((mm & 1L) != 0L) counts(j) += 1
+            mm >>>= 1
+            j += 1
+          }
+        }
+      }
+    }
+    var start = 0
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c == 0x20 || (c >= 0x09 && c <= 0x0D)) {
+        field(start, i)
+        i += 1
+        while (i < n && {
+          val d = b(i); d == 0x20 || (d >= 0x09 && d <= 0x0D) }) i += 1
+        start = i
+      } else i += 1
+    }
+    field(start, n)
+    // gram window over the non-empty tokens (gramN = 0 skips)
+    var nGrams = 0L
+    var nDistinct = 0L
+    if (gramN > 0 && toks.size() >= gramN) {
+      nGrams = (toks.size() - gramN + 1).toLong
+      val seen = new java.util.HashSet[UTF8String]()
+      val window = new Array[UTF8String](gramN)
+      var g = 0
+      while (g + gramN <= toks.size()) {
+        var j = 0
+        while (j < gramN) { window(j) = toks.get(g + j); j += 1 }
+        seen.add(UTF8String.concatWs(Space, window: _*))
+        g += 1
+      }
+      nDistinct = seen.size().toLong
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, nPunct,
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(counts),
+        nGrams, nDistinct))
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = kernel(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("gateStats", this, classOf[GateStats].getName)
+    nullSafeCodeGen(ctx, ev, (a, _, _) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $self.kernel($a);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

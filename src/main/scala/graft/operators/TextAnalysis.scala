@@ -112,17 +112,18 @@ object TextAnalysis {
     */
   def ta02(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    // text_metrics replaces the regex split (array built just to be
-    // counted) and the regexp_replace-then-length punct counter with one
-    // compiled pass — field-for-field spec-pinned (TextKernelsSpec)
-    val tm = call_function("text_metrics", col("text"))
+    // gate_stats (n = 0: no gram window) fuses the two kernel passes the
+    // r12 form still paid — text_metrics for the counting fields plus a
+    // second full tokenize inside stop_hits — into one; field-for-field
+    // spec-pinned against that composition (TextKernelsSpec)
+    val tm = call_function("gate_stats", col("text"),
+      lit(stop("en").mkString(",")), lit(0))
     val nTok = col("tm.n_ws_tokens").cast("double")
     val punct = col("tm.n_punct").cast("double")
     // zero-length docs: Spark x/0.0 is NULL, DuckDB IEEE gives inf — guard
     val punctRatio =
       when(col("n_chars") > 0, punct / col("n_chars").cast("double")).otherwise(0.0)
-    val stopRatio = call_function("stop_hits", col("text"),
-      lit(stop("en").mkString(","))).getItem(0).cast("double") / nTok
+    val stopRatio = col("tm.hits").getItem(0).cast("double") / nTok
     val lenScore = least(nTok / 100.0, lit(1.0))
     val score = lenScore * 0.4 +
       (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.3 +
@@ -418,17 +419,53 @@ object TextAnalysis {
     * pure map-side (requires GraftFunctions registered). Exposed so the
     * end-to-end manifest ([[Curation.cp01]]) evaluates the gate inline
     * off its own scan instead of joining ta08's output back on doc_id. */
-  private[operators] def gateDf(docs: DataFrame): DataFrame = {
-    // text_metrics: same one-pass swap as ta02 (the gate recomputes
-    // ta02's signals inline — see the join-vs-recompute note above)
+  private[graft] def gateDf(docs: DataFrame): DataFrame = {
+    // gate_stats: EVERY gate signal from one fused tokenize pass — the
+    // retired composition ([[gateDfLegacy]], spec-pinned equal) ran
+    // three kernels (text_metrics, stop_hits, ngram_stats) that each
+    // re-tokenized the document
+    val nTok = col("gs.n_ws_tokens").cast("double")
+    val punct = col("gs.n_punct").cast("double")
+    val punctRatio =
+      when(col("n_chars") > 0, punct / col("n_chars").cast("double")).otherwise(0.0)
+    val sh = col("gs.hits")
+    val stopRatio = sh.getItem(0).cast("double") / nTok
+    val score = least(nTok / 100.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.3 +
+      least(stopRatio * 5.0, lit(1.0)) * 0.3
+    docs
+      .withColumn("gs", call_function("gate_stats",
+        col("text"), lit(stopSpec), lit(2)))
+      .withColumn("n_tokens", col("gs.n_ws_tokens"))
+      .withColumn("lang_max",
+        greatest(sh.getItem(0), sh.getItem(1), sh.getItem(2), sh.getItem(3)))
+      // the kernel folds ngram_stats' NULL-under-2-tokens to (0, 0), so
+      // the zero case must be branched around, not coalesced over: under
+      // ANSI (the shipped sessions) 0/0 THROWS where the legacy form's
+      // NULL/NULL propagated
+      .withColumn("dup_frac",
+        when(col("gs.n_grams") > 0,
+          (col("gs.n_grams") - col("gs.n_distinct")).cast("double") /
+            col("gs.n_grams").cast("double")).otherwise(0.0))
+      .withColumn("score", score)
+      .withColumn("drop_reason",
+        when(col("n_tokens") < 10, "too_short")
+          .when(col("lang_max") === 0, "no_lang_signal")
+          .when(col("dup_frac") > 0.3, "repetitive")
+          .when(col("score") < 0.5, "low_quality")
+          .otherwise("keep"))
+  }
+
+  /** The RETIRED three-kernel gate program (text_metrics + stop_hits +
+    * ngram_stats, each a full tokenize pass) — kept as the parity
+    * oracle for [[gateDf]]'s fused gate_stats form (TextKernelsSpec)
+    * and for the same-box A/B (tools/GateAb). Not on any query path. */
+  private[graft] def gateDfLegacy(docs: DataFrame): DataFrame = {
     val nTok = col("tm.n_ws_tokens").cast("double")
     val punct = col("tm.n_punct").cast("double")
     val punctRatio =
       when(col("n_chars") > 0, punct / col("n_chars").cast("double")).otherwise(0.0)
     val sh = call_function("stop_hits", col("text"), lit(stopSpec))
-    // en leads LangOrder, so sh(0) IS the en-list count — reusing it
-    // (CSE dedupes the two sh occurrences) drops the third full
-    // tokenize pass a separate stop_hits(text, en-list) call paid
     val stopRatio = sh.getItem(0).cast("double") / nTok
     val score = least(nTok / 100.0, lit(1.0)) * 0.4 +
       (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.3 +

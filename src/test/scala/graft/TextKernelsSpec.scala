@@ -353,4 +353,95 @@ class TextKernelsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.isNullAt(0))
   }
 
+  // ------------------------------------------------------------ gate_stats
+
+  /** The fused gate kernel vs the THREE retired kernels it replaces,
+    * field for field — including ngram_stats' NULL-under-n-tokens case
+    * folded to (0, 0). A word planted in two lists ("is" below) pins the
+    * bitmask merge (one probe serving several lists). */
+  private def gateStatsParity(texts: Seq[String], spec: String, n: Int): Unit = {
+    import spark.implicits._
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      val rows = texts.toDF("text")
+        .select(
+          col("text"),
+          call_function("gate_stats", col("text"), lit(spec), lit(n)).as("gs"),
+          call_function("text_metrics", col("text")).as("tm"),
+          call_function("stop_hits", col("text"), lit(spec)).as("sh"),
+          (if (n > 0) call_function("ngram_stats", col("text"), lit(n))
+           else lit(null)).as("ng"))
+        .collect()
+      rows.foreach { r =>
+        val t = r.getAs[String]("text")
+        val gs = r.getAs[Row]("gs")
+        val tm = r.getAs[Row]("tm")
+        assert(gs.getAs[Int]("n_ws_tokens") == tm.getAs[Int]("n_ws_tokens"),
+          s"n_ws_tokens codegen=$cg <$t>")
+        assert(gs.getAs[Int]("n_punct") == tm.getAs[Int]("n_punct"),
+          s"n_punct codegen=$cg <$t>")
+        assert(gs.getSeq[Int](gs.fieldIndex("hits")).toList ==
+          r.getSeq[Int](r.fieldIndex("sh")).toList,
+          s"hits codegen=$cg <$t>")
+        val ng = if (r.isNullAt(r.fieldIndex("ng"))) null else r.getAs[Row]("ng")
+        val (eg, ed) =
+          if (n == 0 || ng == null) (0L, 0L)
+          else (ng.getAs[Long]("n_grams"), ng.getAs[Long]("n_distinct"))
+        assert(gs.getAs[Long]("n_grams") == eg, s"n_grams codegen=$cg <$t>")
+        assert(gs.getAs[Long]("n_distinct") == ed, s"n_distinct codegen=$cg <$t>")
+      }
+    }
+  }
+
+  test("gate_stats == text_metrics + stop_hits + ngram_stats on fixtures (codegen on/off)") {
+    GraftFunctions.register(spark)
+    gateStatsParity(fixtures, graft.operators.TextAnalysis.stopSpec, 2)
+    // a word in TWO lists exercises the bitmask merge; n = 3 a wider gram
+    gateStatsParity(fixtures, "is,a,of|is,das|the", 3)
+    // n = 0: the gram window is skipped (ta02's subset)
+    gateStatsParity(fixtures, "the,of,and,to,in,is,a", 0)
+  }
+
+  test("property: gate_stats == retired kernels on 400 random strings") {
+    GraftFunctions.register(spark)
+    gateStatsParity(fuzzStrings(400), graft.operators.TextAnalysis.stopSpec, 2)
+  }
+
+  test("gate_stats: null in, null out") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val r = Seq[Option[String]](None).toDF("text")
+      .select(call_function("gate_stats", col("text"),
+        lit("the,of"), lit(2))).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("gateDf (fused gate_stats) == gateDfLegacy (three kernels), row for row") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // documents-shaped fixture relation: every gate edge in one table —
+    // too-short docs, no-lang-signal docs, a repetitive doc (dup 2-grams
+    // past 0.3), low-quality punct soup, and a clean keeper
+    val docs = (fixtures ++ Seq(
+      "the big cat of a small dog and some bird to every " +
+        "fish in deep pond is quite blue plus red house near tall tree", // keep
+      ("the quick brown fox " * 12).trim,                  // repetitive
+      "zz yy xx ww vv uu tt ss rr qq pp oo nn mm",         // no lang signal
+      "is !!!!!!!!!! ?????????? ,,,,,,,,,, ;;;;;;;;;; " +
+        ".......... {{{{{{{{{{ }}}}}}}}}} (((((((((( ))))))))))")) // low quality
+      .zipWithIndex
+      .map { case (t, i) => (i.toLong, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val cols = Seq("doc_id", "n_tokens", "lang_max", "dup_frac", "score",
+      "drop_reason")
+    val a = graft.operators.TextAnalysis.gateDf(docs)
+      .select(cols.map(col): _*).orderBy("doc_id").collect().toSeq
+    val b = graft.operators.TextAnalysis.gateDfLegacy(docs)
+      .select(cols.map(col): _*).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // the fixture really exercises all four drop reasons + keep
+    val reasons = a.map(_.getAs[String]("drop_reason")).toSet
+    assert(reasons == Set("too_short", "no_lang_signal", "repetitive",
+      "low_quality", "keep"))
+  }
+
 }
