@@ -183,20 +183,25 @@ case class TokensH60(child: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "tokens_h60"
 
-  /** Kernel shared by interpreted eval and codegen (called per row). */
+  /** Kernel shared by interpreted eval and codegen (called per row).
+    * r12: tokens stay byte slices end to end ([[TokensH60.fields]]) —
+    * the retired form decoded the document to UTF-16, regex-split it
+    * into Strings, then re-encoded every distinct token back to UTF-8
+    * for the digest. Digesting the slice bytes is the same bytes (valid
+    * UTF-8 round-trips), pinned by the existing HOF-parity spec. */
   def kernel(s: Any): ArrayData = {
     val u = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-    val txt = u.trim().toLowerCase().toString
-    val toks = TokensH60.Ws.split(txt, -1)
-    val seen = new java.util.LinkedHashSet[String]()
+    val toks = TokensH60.fields(u)
+    val seen =
+      new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
     var i = 0
-    while (i < toks.length) { seen.add(toks(i)); i += 1 }
+    while (i < toks.size()) { seen.add(toks.get(i)); i += 1 }
     val md = java.security.MessageDigest.getInstance("MD5")
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) {
-      val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest(it.next().getBytes)
       // first 15 hex chars = bytes 0..6 (14 digits) + high nibble of byte 7
       var v = 0L
       var j = 0
@@ -219,8 +224,44 @@ case class TokensH60(child: Expression)
 }
 
 object TokensH60 {
-  /** Same regex the SQL `split(…, '\\s+')` compiles. */
+  /** Same regex the SQL `split(…, '\\s+')` compiles. Retained as the
+    * reference semantics the byte walk below is fuzz-pinned against
+    * (TextKernelsSpec); no kernel hot path runs it anymore. */
   private[functions] val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** The engine tokenizer as a reusable byte walk: all `\s+` fields of
+    * `UTF8String.trim().toLowerCase()` as zero-copy byte-slice
+    * UTF8Strings, Pattern.split(limit -1) field structure (leading ""
+    * under a leading separator, trailing "" under a trailing one, [""]
+    * on empty input — see [[TokSplit]]'s exactness contract for the
+    * single-byte-whitespace argument). One implementation serves every
+    * token kernel so the tokenize semantics can never drift between
+    * them; tokens hash/compare as BYTES (≡ String equality on valid
+    * UTF-8), so consumers never pay a UTF-16 decode.
+    */
+  private[functions] def fields(u: org.apache.spark.unsafe.types.UTF8String)
+      : java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String] = {
+    val b = u.trim().toLowerCase().getBytes
+    val n = b.length
+    val out =
+      new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](16)
+    var start = 0
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c == 0x20 || (c >= 0x09 && c <= 0x0D)) {
+        out.add(org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(b, start, i - start))
+        i += 1
+        while (i < n && {
+          val d = b(i); d == 0x20 || (d >= 0x09 && d <= 0x0D) }) i += 1
+        start = i
+      } else i += 1
+    }
+    out.add(org.apache.spark.unsafe.types.UTF8String
+      .fromBytes(b, start, n - start))
+    out
+  }
 }
 
 /** Native Catalyst expression: per-document stopword OCCURRENCE counts
@@ -258,6 +299,9 @@ case class StopHits(left: Expression, right: Expression)
       return TypeCheckResult.TypeCheckFailure(
         "stop_hits list spec contains an empty list " +
           "(leading/trailing/doubled '|')")
+    if (lists.length > 64)
+      return TypeCheckResult.TypeCheckFailure(
+        "stop_hits supports at most 64 lists (bitmask-probed)")
     TypeCheckResult.TypeCheckSuccess
   }
 
@@ -265,26 +309,43 @@ case class StopHits(left: Expression, right: Expression)
   override def prettyName: String = "stop_hits"
 
   // split with an explicit -1 limit: String.split's default drops
-  // TRAILING empty segments, which would shorten `sets` relative to the
-  // caller's list indexing (getItem(i) reading the wrong language)
-  @transient private lazy val sets: Array[java.util.HashSet[String]] =
-    right.eval(null).toString.split("\\|", -1).map { l =>
-      val s = new java.util.HashSet[String]()
-      l.split(",", -1).foreach(w => s.add(w))
-      s
+  // TRAILING empty segments, which would shorten the list count relative
+  // to the caller's indexing (getItem(i) reading the wrong language)
+  @transient private lazy val nLists: Int =
+    right.eval(null).toString.split("\\|", -1).length
+
+  /** word → bitmask of the lists containing it (the [[GateStats]]
+    * probe): ONE byte-hashed lookup per token instead of one String
+    * probe per (token × list). ≤64 lists enforced at analysis time. */
+  @transient private lazy val wordMask
+      : java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+    right.eval(null).toString.split("\\|", -1).zipWithIndex.foreach {
+      case (l, j) => l.split(",", -1).foreach { w =>
+        m.merge(org.apache.spark.unsafe.types.UTF8String.fromString(w),
+          java.lang.Long.valueOf(1L << j),
+          (a, b) => java.lang.Long.valueOf(a | b))
+      }
     }
+    m
+  }
 
   /** Kernel shared by interpreted eval and codegen. */
   def kernel(a: Any): ArrayData = {
     val u = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-    val toks = TokensH60.Ws.split(u.trim().toLowerCase().toString, -1)
-    val counts = new Array[Int](sets.length)
+    val toks = TokensH60.fields(u)
+    val counts = new Array[Int](nLists)
     var i = 0
-    while (i < toks.length) {
-      var j = 0
-      while (j < sets.length) {
-        if (sets(j).contains(toks(i))) counts(j) += 1
-        j += 1
+    while (i < toks.size()) {
+      val mask = wordMask.get(toks.get(i))
+      if (mask != null) {
+        var j = 0
+        var mm = mask.longValue()
+        while (mm != 0L) {
+          if ((mm & 1L) != 0L) counts(j) += 1
+          mm >>>= 1
+          j += 1
+        }
       }
       i += 1
     }
@@ -341,14 +402,21 @@ case class TokenStats(child: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "token_stats"
 
-  /** Kernel shared by interpreted eval and codegen (called per row). */
+  /** Kernel shared by interpreted eval and codegen (called per row).
+    * r12: byte-slice tokens ([[TokensH60.fields]]) counted in a
+    * UTF8String-keyed map — the retired form regex-split a UTF-16
+    * decode into Strings and re-encoded each map key for the tie-break
+    * compare. UTF8String.compareTo is the same binary order the
+    * relational form's ROW_NUMBER pinned. */
   def kernel(s: Any): Any = {
     val u = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-    val toks = TokensH60.Ws.split(u.trim().toLowerCase().toString, -1)
-    val counts = new java.util.HashMap[String, Long]()
+    val toks = TokensH60.fields(u)
+    val counts =
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Long]()
     var i = 0
-    while (i < toks.length) {
-      if (toks(i).nonEmpty) counts.merge(toks(i), 1L, java.lang.Long.sum _)
+    while (i < toks.size()) {
+      val tok = toks.get(i)
+      if (tok.numBytes() > 0) counts.merge(tok, 1L, java.lang.Long.sum _)
       i += 1
     }
     if (counts.isEmpty) return null
@@ -358,14 +426,11 @@ case class TokenStats(child: Expression)
     val it = counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getValue == 1L) hapax += 1
       val cnt = e.getValue.longValue()
-      if (cnt > topCnt) {
+      if (cnt == 1L) hapax += 1
+      if (cnt > topCnt || (cnt == topCnt && e.getKey.compareTo(topTok) < 0)) {
         topCnt = cnt
-        topTok = org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey)
-      } else if (cnt == topCnt) {
-        val tok = org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey)
-        if (tok.compareTo(topTok) < 0) topTok = tok
+        topTok = e.getKey
       }
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -409,6 +474,11 @@ case class TokenStats(child: Expression)
   * in both Spark and DuckDB). NULL when the document has fewer than n
   * non-empty tokens (no grams to describe).
   */
+object NgramStats {
+  private[functions] val Space =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+}
+
 case class NgramStats(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -437,24 +507,32 @@ case class NgramStats(left: Expression, right: Expression)
 
   @transient private lazy val n: Int = right.eval(null).asInstanceOf[Int]
 
-  /** Kernel shared by interpreted eval and codegen (called per row). */
+  /** Kernel shared by interpreted eval and codegen (called per row).
+    * r12: byte-slice tokens windowed into UTF8String grams (one
+    * concatWs per gram — no per-gram StringBuilder, no UTF-16 decode),
+    * counted and tie-broken on the keys directly ([[TokenStats]]'s
+    * rationale; same binary order as the retired form). */
   def kernel(s: Any): Any = {
     val u = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-    val toks = TokensH60.Ws.split(u.trim().toLowerCase().toString, -1)
-      .filter(_.nonEmpty)
-    if (toks.length < n) return null
-    val counts = new java.util.HashMap[String, Long]()
-    val sb = new java.lang.StringBuilder()
+    val fields = TokensH60.fields(u)
+    val toks =
+      new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](fields.size())
+    var f = 0
+    while (f < fields.size()) {
+      if (fields.get(f).numBytes() > 0) toks.add(fields.get(f))
+      f += 1
+    }
+    if (toks.size() < n) return null
+    val counts =
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Long]()
+    val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
     var i = 0
-    while (i + n <= toks.length) {
-      sb.setLength(0)
+    while (i + n <= toks.size()) {
       var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
-        j += 1
-      }
-      counts.merge(sb.toString, 1L, java.lang.Long.sum _)
+      while (j < n) { window(j) = toks.get(i + j); j += 1 }
+      counts.merge(
+        org.apache.spark.unsafe.types.UTF8String.concatWs(NgramStats.Space, window: _*),
+        1L, java.lang.Long.sum _)
       i += 1
     }
     var topTok: org.apache.spark.unsafe.types.UTF8String = null
@@ -463,16 +541,13 @@ case class NgramStats(left: Expression, right: Expression)
     while (it.hasNext) {
       val e = it.next()
       val cnt = e.getValue.longValue()
-      if (cnt > topCnt) {
+      if (cnt > topCnt || (cnt == topCnt && e.getKey.compareTo(topTok) < 0)) {
         topCnt = cnt
-        topTok = org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey)
-      } else if (cnt == topCnt) {
-        val tok = org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey)
-        if (tok.compareTo(topTok) < 0) topTok = tok
+        topTok = e.getKey
       }
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any]((toks.length - n + 1).toLong, counts.size.toLong, topTok, topCnt))
+      Array[Any]((toks.size() - n + 1).toLong, counts.size.toLong, topTok, topCnt))
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = kernel(a)

@@ -59,38 +59,46 @@ case class TextMetrics(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
   override def prettyName: String = "text_metrics"
 
-  /** Kernel shared by interpreted eval and codegen (called per row). */
+  /** Kernel shared by interpreted eval and codegen (called per row).
+    * r12: both loops moved to BYTES — token fields from the shared
+    * byte walk ([[TokensH60.fields]], distinct as byte-slice keys), and
+    * the BPE/punct state machine over raw UTF-8: the classes are
+    * ASCII-only, so every non-ASCII code point is one "other" token,
+    * which is exactly one UTF-8 LEAD byte (continuation bytes leave the
+    * already-reset state untouched). */
   def kernel(s: Any): Any = {
     val u = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-    // token fields: the same trim/lower/\s+ chain `ws` compiles to
-    val t = u.trim().toLowerCase().toString
-    val fields = TokensH60.Ws.split(t, -1)
-    val distinct = new java.util.HashSet[String]()
+    val fields = TokensH60.fields(u)
+    val distinct =
+      new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
     var i = 0
-    while (i < fields.length) { distinct.add(fields(i)); i += 1 }
-    // BPE-ish + punct counts: one code-point loop over the RAW text
-    val raw = u.toString
+    while (i < fields.size()) { distinct.add(fields.get(i)); i += 1 }
+    // BPE-ish + punct counts: one byte loop over the RAW text
+    val raw = u.getBytes
     var nBpe = 0
     var nPunct = 0
-    // 0 = boundary/ws, 1 = inside letter run, 2 = inside digit run
+    // 0 = boundary/ws/other, 1 = inside letter run, 2 = inside digit run
     var state = 0
     var j = 0
     while (j < raw.length) {
-      val cp = raw.codePointAt(j)
-      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) {
-        if (state != 1) { nBpe += 1; state = 1 }
-      } else if (cp >= '0' && cp <= '9') {
-        if (state != 2) { nBpe += 1; state = 2 }
-      } else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
-          cp == '\f' || cp == '\r') {
-        state = 0
-      } else {
+      val c = raw(j)
+      if (c >= 0) {
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) {
+          if (state != 1) { nBpe += 1; state = 1 }
+        } else if (c >= '0' && c <= '9') {
+          if (state != 2) { nBpe += 1; state = 2 }
+        } else if (c == 0x20 || (c >= 0x09 && c <= 0x0D)) {
+          state = 0
+        } else {
+          nBpe += 1; nPunct += 1; state = 0
+        }
+      } else if ((c & 0xC0) != 0x80) {
         nBpe += 1; nPunct += 1; state = 0
       }
-      j += Character.charCount(cp)
+      j += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](fields.length, distinct.size, nBpe, nPunct))
+      Array[Any](fields.size(), distinct.size, nBpe, nPunct))
   }
 
   override protected def nullSafeEval(a: Any): Any = kernel(a)
