@@ -80,7 +80,18 @@ def check_one(args):
         import os as _os
         import tempfile as _tf
         _tmp = _tf.mkdtemp(prefix=f"duck_spill_{_os.getpid()}_")
-        con = duckdb.connect(config={"temp_directory": _tmp})
+        cfg = {"temp_directory": _tmp}
+        # optional knobs for heavy single-query retries (recheck_one):
+        # DUCK_THREADS bounds parallel operator memory; DUCK_NO_ORDER=1
+        # sets preserve_insertion_order=false, which slashes the spill of
+        # large materializations and cannot change results here (every
+        # oracle query ends in an explicit ORDER BY, which is respected
+        # regardless of the setting)
+        if _os.environ.get("DUCK_THREADS"):
+            cfg["threads"] = int(_os.environ["DUCK_THREADS"])
+        if _os.environ.get("DUCK_NO_ORDER") == "1":
+            cfg["preserve_insertion_order"] = False
+        con = duckdb.connect(config=cfg)
         for t in TABLES:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         got = pq.read_table(f"{out_dir}/{name}")
