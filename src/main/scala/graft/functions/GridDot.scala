@@ -276,6 +276,45 @@ object TokensH60 {
   * compiled kernel. The second argument must be a literal (the lists
   * are parsed once per expression instance, not per row).
   */
+object StopHits {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** word → bitmask of the `|`-separated lists containing it: ONE
+    * byte-hashed lookup per token instead of one String probe per
+    * (token × list). Single source for [[StopHits]] AND [[GateStats]]
+    * so the two expressions' probe semantics can never drift; ≤64 lists
+    * enforced by both expressions at analysis time. Empty spec WORDS
+    * map the empty token — probes must therefore cover empty fields
+    * too ([[probe]] is called for every split field). */
+  private[functions] def wordMask(spec: String)
+      : java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long]()
+    spec.split("\\|", -1).zipWithIndex.foreach {
+      case (l, j) => l.split(",", -1).foreach { w =>
+        m.merge(UTF8String.fromString(w), java.lang.Long.valueOf(1L << j),
+          (a, b) => java.lang.Long.valueOf(a | b))
+      }
+    }
+    m
+  }
+
+  /** Fold one token's list-bitmask into the per-list counts. */
+  private[functions] def probe(
+      m: java.util.HashMap[UTF8String, java.lang.Long],
+      tok: UTF8String, counts: Array[Int]): Unit = {
+    val mask = m.get(tok)
+    if (mask != null) {
+      var j = 0
+      var mm = mask.longValue()
+      while (mm != 0L) {
+        if ((mm & 1L) != 0L) counts(j) += 1
+        mm >>>= 1
+        j += 1
+      }
+    }
+  }
+}
+
 case class StopHits(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -314,21 +353,9 @@ case class StopHits(left: Expression, right: Expression)
   @transient private lazy val nLists: Int =
     right.eval(null).toString.split("\\|", -1).length
 
-  /** word → bitmask of the lists containing it (the [[GateStats]]
-    * probe): ONE byte-hashed lookup per token instead of one String
-    * probe per (token × list). ≤64 lists enforced at analysis time. */
   @transient private lazy val wordMask
-      : java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long] = {
-    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
-    right.eval(null).toString.split("\\|", -1).zipWithIndex.foreach {
-      case (l, j) => l.split(",", -1).foreach { w =>
-        m.merge(org.apache.spark.unsafe.types.UTF8String.fromString(w),
-          java.lang.Long.valueOf(1L << j),
-          (a, b) => java.lang.Long.valueOf(a | b))
-      }
-    }
-    m
-  }
+      : java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long] =
+    StopHits.wordMask(right.eval(null).toString)
 
   /** Kernel shared by interpreted eval and codegen. */
   def kernel(a: Any): ArrayData = {
@@ -337,16 +364,7 @@ case class StopHits(left: Expression, right: Expression)
     val counts = new Array[Int](nLists)
     var i = 0
     while (i < toks.size()) {
-      val mask = wordMask.get(toks.get(i))
-      if (mask != null) {
-        var j = 0
-        var mm = mask.longValue()
-        while (mm != 0L) {
-          if ((mm & 1L) != 0L) counts(j) += 1
-          mm >>>= 1
-          j += 1
-        }
-      }
+      StopHits.probe(wordMask, toks.get(i), counts)
       i += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData

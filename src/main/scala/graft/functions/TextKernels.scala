@@ -514,19 +514,24 @@ case class ClfMargin(left: Expression, right: Expression)
     right.eval(null)
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
 
-  /** Kernel shared by interpreted eval and codegen (called per row). */
+  /** Kernel shared by interpreted eval and codegen (called per row).
+    * r12: byte-slice tokens from the shared walk ([[TokensH60.fields]]);
+    * the poly131 fold decodes code points from the token's UTF-8 bytes
+    * directly ([[ClfMargin.poly131Utf8]], fuzz-pinned ≡ the String
+    * form) — the last kernel hot path that paid the UTF-16
+    * decode + regex split per row. */
   def kernel(a: Any): Any = {
     val u = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-    val toks = TokensH60.Ws.split(u.trim().toLowerCase().toString, -1)
+    val toks = TokensH60.fields(u)
     val dim = weights.length
     var n = 0
     var w = 0L
     var i = 0
-    while (i < toks.length) {
-      val t = toks(i)
-      if (!t.isEmpty) {
+    while (i < toks.size()) {
+      val t = toks.get(i)
+      if (t.numBytes() > 0) {
         n += 1
-        w += weights((ClfMargin.poly131(t) % dim).toInt)
+        w += weights((ClfMargin.poly131Utf8(t) % dim).toInt)
       }
       i += 1
     }
@@ -550,7 +555,8 @@ case class ClfMargin(left: Expression, right: Expression)
 object ClfMargin {
   /** The cheap feature hash: polynomial 131 fold over CODE POINTS,
     * mod 1e9+7 (prime; every intermediate < 2^41, BIGINT/long-exact in
-    * both engines). */
+    * both engines). Reference form — the hot path runs
+    * [[poly131Utf8]], spec-pinned equal. */
   def poly131(s: String): Long = {
     var h = 0L
     var j = 0
@@ -558,6 +564,34 @@ object ClfMargin {
       val cp = s.codePointAt(j)
       h = (h * 131L + cp) % 1000000007L
       j += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** [[poly131]] decoding the code points straight from the token's
+    * UTF-8 bytes (no UTF-16 round-trip): 1/2/3/4-byte sequences fold to
+    * the identical code points for valid UTF-8 — including astral ones,
+    * which codePointAt also yields once. Fuzz-pinned ≡ [[poly131]] in
+    * TextKernelsSpec. */
+  def poly131Utf8(t: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val b = t.getBytes
+    var h = 0L
+    var j = 0
+    while (j < b.length) {
+      val c = b(j) & 0xFF
+      var cp = 0
+      var len = 1
+      if (c < 0x80) cp = c
+      else if ((c & 0xE0) == 0xC0) { cp = c & 0x1F; len = 2 }
+      else if ((c & 0xF0) == 0xE0) { cp = c & 0x0F; len = 3 }
+      else { cp = c & 0x07; len = 4 }
+      var k = 1
+      while (k < len && j + k < b.length) {
+        cp = (cp << 6) | (b(j + k) & 0x3F)
+        k += 1
+      }
+      h = (h * 131L + cp) % 1000000007L
+      j += len
     }
     h
   }
@@ -727,20 +761,8 @@ case class GateStats(first: Expression, second: Expression, third: Expression)
   @transient private lazy val nLists: Int =
     second.eval(null).toString.split("\\|", -1).length
 
-  /** word → bitmask of the lists containing it: one probe per token
-    * replaces [[StopHits]]'s probe per (token × list). Keys are
-    * UTF8String so the probe hashes token BYTES — no UTF-16 decode. */
-  @transient private lazy val wordMask: java.util.HashMap[UTF8String, java.lang.Long] = {
-    val m = new java.util.HashMap[UTF8String, java.lang.Long]()
-    second.eval(null).toString.split("\\|", -1).zipWithIndex.foreach {
-      case (l, j) => l.split(",", -1).foreach { w =>
-        val k = UTF8String.fromString(w)
-        m.merge(k, java.lang.Long.valueOf(1L << j),
-          (a, b) => java.lang.Long.valueOf(a | b))
-      }
-    }
-    m
-  }
+  @transient private lazy val wordMask: java.util.HashMap[UTF8String, java.lang.Long] =
+    StopHits.wordMask(second.eval(null).toString)
 
   @transient private lazy val gramN: Int = third.eval(null).asInstanceOf[Int]
 
@@ -763,45 +785,22 @@ case class GateStats(first: Expression, second: Expression, third: Expression)
       } else if ((c & 0xC0) != 0x80) nPunct += 1
       p += 1
     }
-    // one token scan: TokSplit's byte walk over trim+lower, but tokens
-    // stay byte slices — counted, bitmask-probed, and windowed in place
-    val t = u.trim().toLowerCase()
-    val b = t.getBytes
-    val n = b.length
+    // one token scan: the SHARED byte walk (TokensH60.fields — the
+    // TokSplit semantics every token kernel runs). EVERY field is
+    // bitmask-probed, empties included — [[StopHits]] probes empty
+    // split fields too, and a spec may map the empty word — while only
+    // non-empty tokens enter the gram window.
+    val fields = TokensH60.fields(u)
     val counts = new Array[Int](nLists)
-    var nTok = 0
-    // non-empty tokens, in order, as zero-copy slices for the gram window
-    val toks = new java.util.ArrayList[UTF8String](16)
-    def field(start: Int, end: Int): Unit = {
-      nTok += 1
-      if (end > start) {
-        val tok = UTF8String.fromBytes(b, start, end - start)
-        toks.add(tok)
-        val mask = wordMask.get(tok)
-        if (mask != null) {
-          var j = 0
-          var mm = mask.longValue()
-          while (mm != 0L) {
-            if ((mm & 1L) != 0L) counts(j) += 1
-            mm >>>= 1
-            j += 1
-          }
-        }
-      }
-    }
-    var start = 0
+    val nTok = fields.size()
+    val toks = new java.util.ArrayList[UTF8String](nTok)
     var i = 0
-    while (i < n) {
-      val c = b(i)
-      if (c == 0x20 || (c >= 0x09 && c <= 0x0D)) {
-        field(start, i)
-        i += 1
-        while (i < n && {
-          val d = b(i); d == 0x20 || (d >= 0x09 && d <= 0x0D) }) i += 1
-        start = i
-      } else i += 1
+    while (i < nTok) {
+      val tok = fields.get(i)
+      StopHits.probe(wordMask, tok, counts)
+      if (tok.numBytes() > 0) toks.add(tok)
+      i += 1
     }
-    field(start, n)
     // gram window over the non-empty tokens (gramN = 0 skips)
     var nGrams = 0L
     var nDistinct = 0L

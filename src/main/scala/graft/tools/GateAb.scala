@@ -17,10 +17,12 @@ object GateAb {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // NB: no spark.driver.memory here — in local mode the driver heap is
+    // this JVM's -Xmx (build.sbt javaOptions), and a builder config after
+    // JVM start is a silent no-op
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "24g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)

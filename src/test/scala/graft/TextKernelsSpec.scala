@@ -399,11 +399,31 @@ class TextKernelsSpec extends AnyFunSuite with SparkTestBase {
     gateStatsParity(fixtures, "is,a,of|is,das|the", 3)
     // n = 0: the gram window is skipped (ta02's subset)
     gateStatsParity(fixtures, "the,of,and,to,in,is,a", 0)
+    // an EMPTY spec word ("the,,of") maps the empty token: stop_hits
+    // counts every empty split field against it (a "\t" doc tokenizes
+    // to ["", ""]), so gate_stats must probe empty fields too — the
+    // review-caught divergence this line pins
+    gateStatsParity(fixtures, "the,,of|is", 2)
   }
 
   test("property: gate_stats == retired kernels on 400 random strings") {
     GraftFunctions.register(spark)
     gateStatsParity(fuzzStrings(400), graft.operators.TextAnalysis.stopSpec, 2)
+  }
+
+  test("property: poly131Utf8 == poly131 on 5000 adversarial strings") {
+    // the byte-decoding fold vs the String codePointAt fold, over the
+    // whitespace/astral alphabet (tok_split fuzz discipline): the UTF-8
+    // decoder must yield identical code points incl. astral (4-byte)
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(77)
+    (0 until 5000).foreach { _ =>
+      val len = rnd.nextInt(30)
+      val s = (0 until len)
+        .map(_ => fuzzAlphabet(rnd.nextInt(fuzzAlphabet.size))).mkString
+      assert(graft.functions.ClfMargin.poly131Utf8(UTF8String.fromString(s)) ==
+        graft.functions.ClfMargin.poly131(s), s"<$s>")
+    }
   }
 
   test("gate_stats: null in, null out") {

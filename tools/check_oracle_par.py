@@ -81,16 +81,19 @@ def check_one(args):
         import tempfile as _tf
         _tmp = _tf.mkdtemp(prefix=f"duck_spill_{_os.getpid()}_")
         cfg = {"temp_directory": _tmp}
-        # optional knobs for heavy single-query retries (recheck_one):
-        # DUCK_THREADS bounds parallel operator memory; DUCK_NO_ORDER=1
-        # sets preserve_insertion_order=false, which slashes the spill of
-        # large materializations and cannot change results here (every
-        # oracle query ends in an explicit ORDER BY, which is respected
-        # regardless of the setting)
+        # optional knob for heavy single-query retries (recheck_one):
+        # DUCK_THREADS bounds parallel operator state (the spill driver —
+        # cp03's sf1.0 oracle fits in <74 GB at 4 threads where 32
+        # spilled past it). Never set preserve_insertion_order=false
+        # here: on this DuckDB (1.0.0) it can scramble the FINAL row
+        # order past the query's trailing ORDER BY, and the positional
+        # compare then reports value mismatches on a correct result
+        # (observed: ta17/ta18 false-negatives at sf10). A PASS under
+        # the scrambled order would still have been trustworthy —
+        # positional equality can't hold between differently-ordered
+        # unequal rows — but the false FAILs make the knob useless.
         if _os.environ.get("DUCK_THREADS"):
             cfg["threads"] = int(_os.environ["DUCK_THREADS"])
-        if _os.environ.get("DUCK_NO_ORDER") == "1":
-            cfg["preserve_insertion_order"] = False
         con = duckdb.connect(config=cfg)
         for t in TABLES:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
