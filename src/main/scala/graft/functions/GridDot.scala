@@ -239,7 +239,7 @@ object TokensH60 {
     * them; tokens hash/compare as BYTES (≡ String equality on valid
     * UTF-8), so consumers never pay a UTF-16 decode.
     */
-  private[functions] def fields(u: org.apache.spark.unsafe.types.UTF8String)
+  private[graft] def fields(u: org.apache.spark.unsafe.types.UTF8String)
       : java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String] = {
     val b = u.trim().toLowerCase().getBytes
     val n = b.length
@@ -262,6 +262,70 @@ object TokensH60 {
       .fromBytes(b, start, n - start))
     out
   }
+}
+
+/** Native Catalyst expression: `simhash60(tokens_h60(text))` fused into
+  * ONE kernel — tokenize (shared [[TokensH60.fields]] byte walk),
+  * distinct, md5-hash, and the 60-bit majority fold, with no
+  * intermediate `array<bigint>` materialized per document (r12 verdict
+  * #5: the two-kernel chain built an UnsafeArrayData of token hashes
+  * only to fold it immediately). Semantics are EXACTLY the composed
+  * form's — the parity spec pins fixtures + fuzz, codegen on/off.
+  */
+case class SimHash60Text(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.types.StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash60_text expects string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60_text"
+
+  // returns primitive long (scala.Long) so the generated code assigns
+  // straight into ev.value with no box/cast
+  def kernel(s: Any): Long = {
+    val u = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val toks = TokensH60.fields(u)
+    val seen =
+      new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i < toks.size()) { seen.add(toks.get(i)); i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](60)
+    val n = seen.size
+    val it = seen.iterator()
+    while (it.hasNext) {
+      val d = md.digest(it.next().getBytes)
+      // first 15 hex chars = bytes 0..6 + high nibble of byte 7, the
+      // h60 contract shared with TokensH60
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xFFL); j += 1 }
+      val h = (v << 4) | ((d(7) >> 4) & 0xFL)
+      var b = 0
+      while (b < 60) { if (((h >> b) & 1L) == 1L) counts(b) += 1; b += 1 }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (2 * counts(b) > n) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def nullSafeEval(a: Any): Any = kernel(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self =
+      ctx.addReferenceObj("simhashText", this, classOf[SimHash60Text].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.kernel($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Native Catalyst expression: per-document stopword OCCURRENCE counts
@@ -616,7 +680,8 @@ object GraftFunctions {
     ("pii_scrub",   classOf[PiiScrub],    exprs => PiiScrub(exprs(0))),
     ("clf_margin",  classOf[ClfMargin],   exprs => ClfMargin(exprs(0), exprs(1))),
     ("tok_split",   classOf[TokSplit],    exprs => TokSplit(exprs(0))),
-    ("gate_stats",  classOf[GateStats],   exprs => GateStats(exprs(0), exprs(1), exprs(2))))
+    ("gate_stats",  classOf[GateStats],   exprs => GateStats(exprs(0), exprs(1), exprs(2))),
+    ("simhash60_text", classOf[SimHash60Text], exprs => SimHash60Text(exprs(0))))
 
   def register(spark: SparkSession): Unit = {
     // idempotent: re-registering an already-present function makes Spark

@@ -572,7 +572,17 @@ object ClfMargin {
     * UTF-8 bytes (no UTF-16 round-trip): 1/2/3/4-byte sequences fold to
     * the identical code points for valid UTF-8 — including astral ones,
     * which codePointAt also yields once. Fuzz-pinned ≡ [[poly131]] in
-    * TextKernelsSpec. */
+    * TextKernelsSpec.
+    *
+    * PRECONDITION (r12 ADVICE): the equivalence claim holds for VALID
+    * UTF-8 only. Every producer in this engine feeds it UTF8String
+    * tokens that originated as Spark strings (valid by construction);
+    * on a truncated/invalid sequence (e.g. a raw `binary` cast) the
+    * `j + k < b.length` guard folds the partial sequence as-is rather
+    * than emitting U+FFFD the way String decoding would — a hash over
+    * garbage-in stays deterministic but diverges from [[poly131]] of
+    * the replacement-decoded String. Callers feeding untrusted bytes
+    * must validate/replace first. */
   def poly131Utf8(t: org.apache.spark.unsafe.types.UTF8String): Long = {
     val b = t.getBytes
     var h = 0L
@@ -766,8 +776,6 @@ case class GateStats(first: Expression, second: Expression, third: Expression)
 
   @transient private lazy val gramN: Int = third.eval(null).asInstanceOf[Int]
 
-  private val Space = UTF8String.fromString(" ")
-
   /** Kernel shared by interpreted eval and codegen (called per row). */
   def kernel(a: Any): Any = {
     val u = a.asInstanceOf[UTF8String]
@@ -801,18 +809,25 @@ case class GateStats(first: Expression, second: Expression, third: Expression)
       if (tok.numBytes() > 0) toks.add(tok)
       i += 1
     }
-    // gram window over the non-empty tokens (gramN = 0 skips)
+    // gram window over the non-empty tokens (gramN = 0 skips).
+    // r12 ADVICE: distinct grams are counted as SLICE-SEQUENCE keys
+    // ([[GateStats.Gram]]) instead of materializing one concatWs-copied
+    // UTF8String per window — exact, not probabilistic: tokens contain
+    // no whitespace (they are the split fields), so element-wise
+    // equality of a gram's tokens ⟺ equality of the joined string the
+    // old key was. Token hashes are computed once per token, not once
+    // per (token × window).
     var nGrams = 0L
     var nDistinct = 0L
     if (gramN > 0 && toks.size() >= gramN) {
       nGrams = (toks.size() - gramN + 1).toLong
-      val seen = new java.util.HashSet[UTF8String]()
-      val window = new Array[UTF8String](gramN)
+      val hashes = new Array[Int](toks.size())
+      var t = 0
+      while (t < toks.size()) { hashes(t) = toks.get(t).hashCode(); t += 1 }
+      val seen = new java.util.HashSet[GateStats.Gram]()
       var g = 0
       while (g + gramN <= toks.size()) {
-        var j = 0
-        while (j < gramN) { window(j) = toks.get(g + j); j += 1 }
-        seen.add(UTF8String.concatWs(Space, window: _*))
+        seen.add(new GateStats.Gram(toks, hashes, g, gramN))
         g += 1
       }
       nDistinct = seen.size().toLong
@@ -836,4 +851,39 @@ case class GateStats(first: Expression, second: Expression, third: Expression)
       newFirst: Expression, newSecond: Expression,
       newThird: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object GateStats {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** HashSet key for a token n-gram WITHOUT materializing the joined
+    * string: references `n` consecutive zero-copy token slices starting
+    * at `start`, with per-token hashes precomputed once per row. Exact
+    * (equals is element-wise byte equality), not a probabilistic hash —
+    * see the kernel comment for the sequence-equality ⟺
+    * concat-equality argument. */
+  private[functions] final class Gram(
+      val toks: java.util.ArrayList[UTF8String], val hashes: Array[Int],
+      val start: Int, val n: Int) {
+    override val hashCode: Int = {
+      var h = 1
+      var j = 0
+      while (j < n) { h = h * 31 + hashes(start + j); j += 1 }
+      h
+    }
+    override def equals(o: Any): Boolean = o match {
+      case g: Gram =>
+        if (g.n != n) false
+        else {
+          var j = 0
+          var eq = true
+          while (eq && j < n) {
+            eq = toks.get(start + j).equals(g.toks.get(g.start + j))
+            j += 1
+          }
+          eq
+        }
+      case _ => false
+    }
+  }
 }

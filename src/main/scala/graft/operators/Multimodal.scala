@@ -427,6 +427,83 @@ object Multimodal {
   private[graft] def decodePixels(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
     decodePngPixels(p).orElse(JpegCodec.decodePixels(p))
 
+  // ------------------------------------------------- decoded-pixel layer
+  /** One decoded image, reduced to everything the serving family reads:
+    * container dimensions/channels, exact integer pixel sums/extrema
+    * (mm04's feature inputs), the decoded-stream md5 (mm04's consumed
+    * fingerprint), and the dHash halves (mm05's perceptual signature).
+    * `decoded=0` marks the degrade row for an unparseable payload
+    * (content_md5 is then the BODY hash the metadata decoder computes,
+    * feeding mm04's deterministic hash-stub features; the perceptual
+    * hash is 0/0 — such a payload has no pixels to hash). */
+  final case class PixelLayerRow(doc_id: Long, w: Int, h: Int, nc: Int,
+      s0: Long, s1: Long, s2: Long, s3: Long, st: Long, mn: Int, mx: Int,
+      content_md5: String, phash_hi: Long, phash_lo: Long, decoded: Int)
+
+  private def layerRowOf(id: Long, w: Int, h: Int, ch: Int,
+      px: Array[Byte]): PixelLayerRow = {
+    val sums = new Array[Long](4)
+    var tot = 0L
+    var mn = 255
+    var mx = 0
+    var k = 0
+    while (k < px.length) {
+      val v = px(k) & 0xFF
+      sums(k % ch) += v; tot += v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      k += 1
+    }
+    val csv = px.map(_ & 0xFF).mkString(",")
+    val md = md5Hex(csv.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (hi, lo) = dhashHalves(w, h, ch, px)
+    PixelLayerRow(id, w, h, ch, sums(0), sums(1), sums(2), sums(3), tot,
+      mn, mx, md, hi, lo, 1)
+  }
+
+  /** The decoded-pixel BUILT LAYER (r12 verdict #1): before it, mm04 and
+    * mm05 each independently re-ran the full per-image JPEG/PNG decode —
+    * at sf10 the two decodes were ~49 s of a 392 s bench, the single
+    * largest redundant cost on the board. The engine's own DedupPrepare
+    * doctrine applies unchanged: the decode is a corpus-level
+    * computation, so it runs ONCE at layer-write time (batched,
+    * executor-side, zero shuffle — payload bytes never leave the task
+    * that generated them) into a doc_id-bucketed parquet table carrying
+    * pixel stats + fingerprint + perceptual hash; serving queries are
+    * then projections/aggregations over the layer. Fingerprinted,
+    * swept, and build-cost-attributed exactly like the shingle layers.
+    *
+    * At 100 TB the layer is also the right OPERATIONAL shape: raw media
+    * bytes are the corpus's dominant storage, and every downstream
+    * consumer (feature extraction, perceptual dedup, resize planning)
+    * wants the same decode — a decode-once materialization with
+    * incremental append (LayerMaintenance's contract) amortizes the one
+    * CPU-bound pass across the whole family. */
+  private[graft] def pixelLayer(s: SparkSession, dir: String): DataFrame =
+    DedupPrepare.ensure(s, "pixels", dir,
+      () => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"))
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.grouped(DecodeBatch).flatMap(_.map { case (id, n) =>
+              val payload = if (id % 2 == 0) pngPixelPayload(id, n)
+                            else jpegPixelPayload(id, n)
+              decodePixels(payload) match {
+                case Some((w, h, ch, px)) => layerRowOf(id, w, h, ch, px)
+                case None =>
+                  val bodyMd5 =
+                    decodeBatches(Iterator(MediaIn(id, "", payload)))
+                      .next().content_md5
+                  PixelLayerRow(id, 0, 0, 0, 0L, 0L, 0L, 0L, 0L, 0, 0,
+                    bodyMd5, 0L, 0L, 0)
+              }
+            })
+          }.toDF()
+      },
+      Seq("doc_id"), Seq("doc_id"))
+
   // ---------------------------------------------------------------- mm04
   /** Feature extraction — REAL pixel statistics for BOTH containers
     * (r8 verdict #5 retired the JPEG stub):
@@ -495,87 +572,114 @@ object Multimodal {
   /** [[mm04]] against an explicit encoder-head weight table — the swap
     * hook: the spec feeds an alternative (dim, w_milli) relation and
     * pins that f7 changes while f0..f6, content_md5, and the plan shape
-    * do not. */
+    * do not.
+    *
+    * Since the decoded-pixel layer landed (r12 verdict #1), serving is
+    * a pure map over [[pixelLayer]]: the integer sums/extrema the
+    * features derive from were computed once at layer-write time, and
+    * this query pays only the final double divisions + the encoder
+    * head's exact-long weighted sum. The decode itself never re-runs. */
   private[graft] def mm04With(s: SparkSession, dir: String,
       weights: DataFrame): DataFrame = {
     import s.implicits._
     // model load (EncDims rows — the head's whole parameter set), shipped
-    // executor-side inside the decode closure: serving adds zero joins
+    // executor-side inside the map closure: serving adds zero joins
     val wEnc = new Array[Long](EncDims)
     weights.select(col("dim"), col("w_milli")).collect()
       .foreach(r => wEnc(r.getInt(0)) = r.getLong(1))
-    val media = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
-      .as[(Long, String, String, Long)]
-      .map { case (id, src, text, n) =>
-        MediaIn(id, src,
-          if (id % 2 == 0) pngPixelPayload(id, n) else jpegPixelPayload(id, n))
+    pixelLayer(s, dir).as[PixelLayerRow].map(r => featuresOf(r, wEnc))
+      .toDF().transform(Present.sorted(_, "doc_id"))
+  }
+
+  /** Feature row from a decoded-pixel layer row + the encoder-head
+    * weights — shared by the layer serving plan and [[mm04Legacy]]. */
+  private def featuresOf(r: PixelLayerRow, wEnc: Array[Long]): MediaFeatures =
+    if (r.decoded == 0) {
+      // unparseable payload (neither container decoded at layer-build
+      // time): the deterministic hash-stub fallback off the body hash
+      val f = Array.tabulate(FeatureDims) { j =>
+        ((h60OfString(s"${r.content_md5}:$j") % 1000L) / 1000.0).toFloat
       }
-    media.mapPartitions { it =>
-      // fixed-dim feature rows (flat floats, not list<float>: the
-      // arrow-level list element name/nullability differs between the
-      // engines and the driver's compare is type-sensitive)
-      it.grouped(DecodeBatch).flatMap(_.map { m =>
-        decodePixels(m.payload) match {
-          case Some((w, h, ch, px)) =>
-            // REAL path: statistics of the DECODED pixels. Integer sums
-            // (exact), one double division each, float cast — portable.
-            val sums = new Array[Long](4)
-            var tot = 0L
-            var mn = 255
-            var mx = 0
-            var k = 0
-            while (k < px.length) {
-              val v = px(k) & 0xFF
-              sums(k % ch) += v; tot += v
-              if (v < mn) mn = v
-              if (v > mx) mx = v
-              k += 1
-            }
-            val n = w * h
-            val csv = px.map(_ & 0xFF).mkString(",")
-            val md = md5Hex(csv.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            def chMean(c: Int): Float =
-              if (c < ch) (sums(c).toDouble / (n * 255.0)).toFloat else 0f
-            // the ENCODER head: exact-integer feature vector (floorDiv
-            // of the decoder's sums — milli-means/min/max + bias), then
-            // the weighted sum in exact longs, ONE transcendental
-            // (sigmoid) re-gridded at 1e-9 (Dedup.gridL's floor(p+0.5)
-            // form, = DuckDB ROUND) — no float-order or engine skew
-            val xs = new Array[Long](EncDims)
-            var c = 0
-            while (c < 4) {
-              xs(c) = if (c < ch) Math.floorDiv(sums(c) * 1000L, n.toLong * 255L)
-                      else 0L
-              c += 1
-            }
-            xs(4) = Math.floorDiv(tot * 1000L, n.toLong * ch * 255L)
-            xs(5) = Math.floorDiv(mn * 1000L, 255L)
-            xs(6) = Math.floorDiv(mx * 1000L, 255L)
-            xs(7) = 1000L
-            var sm = 0L
-            var d = 0
-            while (d < EncDims) { sm += wEnc(d) * xs(d); d += 1 }
-            val margin = sm.toDouble / 1e6
-            val sig = 1.0 / (1.0 + Math.exp(-margin))
-            MediaFeatures(m.doc_id, md,
-              chMean(0), chMean(1), chMean(2), chMean(3),
-              (tot.toDouble / (n.toLong * ch * 255.0)).toFloat,
-              (mn.toDouble / 255.0).toFloat, (mx.toDouble / 255.0).toFloat,
-              (Math.floor(sig * 1e9 + 0.5) / 1e9).toFloat)
-          case None =>
-            // unparseable payload (neither container decodes): the
-            // full-row hash-stub fallback — PNG and JPEG both take the
-            // real pixel path above
-            val bodyMd5 = decodeBatches(Iterator(m)).next().content_md5
-            val f = Array.tabulate(FeatureDims) { j =>
-              ((h60OfString(s"$bodyMd5:$j") % 1000L) / 1000.0).toFloat
-            }
-            MediaFeatures(m.doc_id, bodyMd5,
-              f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
-        }
-      })
-    }.toDF().transform(Present.sorted(_, "doc_id"))
+      MediaFeatures(r.doc_id, r.content_md5,
+        f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+    } else {
+      // REAL path: features off the layer's exact integer sums — one
+      // double division each, float cast (portable, oracle-exact)
+      val (ch, n) = (r.nc, r.w * r.h)
+      val sums = Array(r.s0, r.s1, r.s2, r.s3)
+      def chMean(c: Int): Float =
+        if (c < ch) (sums(c).toDouble / (n * 255.0)).toFloat else 0f
+      // the ENCODER head: exact-integer feature vector (floorDiv of
+      // the layer's sums — milli-means/min/max + bias), then the
+      // weighted sum in exact longs, ONE transcendental (sigmoid)
+      // re-gridded at 1e-9 (Dedup.gridL's floor(p+0.5) form, = DuckDB
+      // ROUND) — no float-order or engine skew
+      val xs = new Array[Long](EncDims)
+      var c = 0
+      while (c < 4) {
+        xs(c) = if (c < ch) Math.floorDiv(sums(c) * 1000L, n.toLong * 255L)
+                else 0L
+        c += 1
+      }
+      xs(4) = Math.floorDiv(r.st * 1000L, n.toLong * ch * 255L)
+      xs(5) = Math.floorDiv(r.mn * 1000L, 255L)
+      xs(6) = Math.floorDiv(r.mx * 1000L, 255L)
+      xs(7) = 1000L
+      var sm = 0L
+      var d = 0
+      while (d < EncDims) { sm += wEnc(d) * xs(d); d += 1 }
+      val sig = 1.0 / (1.0 + Math.exp(-(sm.toDouble / 1e6)))
+      MediaFeatures(r.doc_id, r.content_md5,
+        chMean(0), chMean(1), chMean(2), chMean(3),
+        (r.st.toDouble / (n.toLong * ch * 255.0)).toFloat,
+        (r.mn.toDouble / 255.0).toFloat, (r.mx.toDouble / 255.0).toFloat,
+        (Math.floor(sig * 1e9 + 0.5) / 1e9).toFloat)
+    }
+
+  /** The PRE-LAYER mm04 serving plan (decode re-run inside the query),
+    * kept for the same-box A/B that justified the decoded-pixel layer —
+    * the [[graft.operators.TextAnalysis.gateDfLegacy]] discipline:
+    * adoption evidence stays executable. Not registered in [[qs]]. */
+  private[graft] def mm04Legacy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wEnc = new Array[Long](EncDims)
+    encWeights(s, dir).select(col("dim"), col("w_milli")).collect()
+      .foreach(r => wEnc(r.getInt(0)) = r.getLong(1))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap(_.map { case (id, n) =>
+          val payload = if (id % 2 == 0) pngPixelPayload(id, n)
+                        else jpegPixelPayload(id, n)
+          val Some((w, h, ch, px)) = decodePixels(payload)
+          val r = layerRowOf(id, w, h, ch, px)
+          featuresOf(r, wEnc)
+        })
+      }.toDF().transform(Present.sorted(_, "doc_id"))
+  }
+
+  /** The PRE-LAYER mm05 (decode re-run + Present.pooled); see
+    * [[mm04Legacy]]. */
+  private[graft] def mm05Legacy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = Present.pooled(Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, n) =>
+        val payload = if (id % 2 == 0) pngPixelPayload(id, n)
+                      else jpegPixelPayload(id, n)
+        val Some((w, h, ch, px)) = decodePixels(payload)
+        val (hi, lo) = dhashHalves(w, h, ch, px)
+        (id, hi, lo)
+      }.toDF("doc_id", "phash_hi", "phash_lo"))
+    val groups = hashes.groupBy(col("phash_hi"), col("phash_lo"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_n"))
+    hashes.join(groups, Seq("phash_hi", "phash_lo"))
+      .select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+        col("keeper_id"), col("group_n"),
+        (col("doc_id") =!= col("keeper_id")).cast("int").as("is_dup"))
+      .orderBy("doc_id")
   }
 
   /** Closed-form decoded-JPEG component value of pixel (x, y): the
@@ -680,8 +784,9 @@ object Multimodal {
     * is exactly the kind of cross-engine edge the grid rules exist to
     * avoid.
     *
-    * Scale posture: map-side decode+hash off the scan (the decode is
-    * the same per-row cost mm04 already pays), keeper/size via
+    * Scale posture: the dHash is computed once at [[pixelLayer]] write
+    * time (map-side, off the decoded pixels mm04's features also read);
+    * serving projects the layer's hash columns and runs keeper/size via
     * groupBy(hash) + join-back — dd01's shape, skew-safe under
     * million-member dup groups. A Hamming-banded near-dup
     * variant composes with dd06's chunk machinery; the exact-match pass
@@ -707,22 +812,14 @@ object Multimodal {
     (hi, lo)
   }
 
-  final case class PhashRow(doc_id: Long, phash_hi: Long, phash_lo: Long)
-
   def mm05(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // pooled: the decode-bearing relation feeds BOTH sides of the
-    // keeper join-back below — persist so pixels decode once, not twice
-    val hashes = Present.pooled(Tables.documents(s, dir)
-      .select(col("doc_id"), col("n_chars"))
-      .as[(Long, Long)]
-      .map { case (id, n) =>
-        val payload = if (id % 2 == 0) pngPixelPayload(id, n)
-                      else jpegPixelPayload(id, n)
-        val Some((w, h, ch, px)) = decodePixels(payload)
-        val (hi, lo) = dhashHalves(w, h, ch, px)
-        PhashRow(id, hi, lo)
-      }.toDF())
+    // since the decoded-pixel layer (r12 verdict #1): the perceptual
+    // hash is a LAYER COLUMN — the decode mm05 used to re-run (and the
+    // Present.pooled persist that kept it from running twice) is gone;
+    // both sides of the keeper join-back below are cheap projections of
+    // the bucketed layer table
+    val hashes = pixelLayer(s, dir)
+      .select(col("doc_id"), col("phash_hi"), col("phash_lo"))
     // keeper/size via groupBy + join-back, NOT min/count over
     // Window.partitionBy(phash) — a boilerplate/blank image's dup group
     // (10⁶+ members in web image corpora) must partial-aggregate

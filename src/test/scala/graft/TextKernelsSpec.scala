@@ -464,4 +464,26 @@ class TextKernelsSpec extends AnyFunSuite with SparkTestBase {
       "low_quality", "keep"))
   }
 
+  test("simhash60_text == simhash60(tokens_h60(text)) (codegen on/off, fuzz, nulls)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val texts = fixtures ++ fuzzStrings(300)
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      val rows = texts.toDF("text")
+        .select(col("text"),
+          call_function("simhash60_text", col("text")).as("fused"),
+          call_function("simhash60",
+            call_function("tokens_h60", col("text"))).as("composed"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getLong(1) == r.getLong(2),
+          s"codegen=$cg text=<${r.getString(0).take(40)}>")
+      }
+      // null-in/null-out, matching the composed chain
+      val nr = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "text")
+        .select(call_function("simhash60_text", col("text"))).collect()
+      assert(nr.head.isNullAt(0))
+    }
+  }
+
 }

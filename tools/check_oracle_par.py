@@ -93,7 +93,12 @@ def check_one(args):
         # positional equality can't hold between differently-ordered
         # unequal rows — but the false FAILs make the knob useless.
         if _os.environ.get("DUCK_THREADS"):
-            cfg["threads"] = int(_os.environ["DUCK_THREADS"])
+            try:
+                cfg["threads"] = int(_os.environ["DUCK_THREADS"])
+            except ValueError:
+                raise SystemExit(
+                    f"DUCK_THREADS must be an integer, got "
+                    f"{_os.environ['DUCK_THREADS']!r}")
         con = duckdb.connect(config=cfg)
         for t in TABLES:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
