@@ -264,6 +264,94 @@ object TokensH60 {
   }
 }
 
+/** Collected coarse-quantizer model for [[CellArgmin]]: parallel arrays
+  * over the EXISTING cells (a cell that lost all members mid-Lloyd has
+  * no centroid and is never a candidate, exactly like the join form).
+  * `mat(i)(pos)` is cell `cells(i)`'s centroid, `cn2(i)` its grid
+  * squared-norm. */
+final class CentModel(val cells: Array[Int], val mat: Array[Array[Double]],
+    val cn2: Array[Long]) extends Serializable
+
+/** Native Catalyst expression: the k-means E-STEP as a map-side argmin
+  * against a BROADCAST centroid model — `CellArgmin(embedding,
+  * excludeCell, bc)` returns the best cell by grid-exact squared L2
+  * (tie-break cell asc), skipping `excludeCell` (pass −1 for none; the
+  * spill router passes the primary cell).
+  *
+  * Replaces the explode-join E-step (el ⋈ centroids on pos → groupBy →
+  * min(struct)) whose intermediate is N×k×d rows — at sf10 with the
+  * r13 corpus-scaled cell count (k=400) that is 5.1B rows per Lloyd
+  * round. Here each vector is ONE kernel call doing the same k×d grid
+  * products in compiled code (the distributed-Lloyd shape MLlib uses);
+  * the model rides a Broadcast like the LexKernels lexicons.
+  *
+  * Exactness contract (spec-pinned equal to the join form): per-term
+  * `gridL(x·c)` products (round-half-away-from-zero on the exact
+  * binary value × 1e9), compared by `cn2(c) − 2·dot(c)` — the join
+  * form's `(vn2 − 2·dot + cn2, cell)` ordering minus the per-vector
+  * constant vn2, which cannot change the argmin. */
+case class CellArgmin(left: Expression, right: Expression,
+    model: org.apache.spark.broadcast.Broadcast[CentModel])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  import org.apache.spark.sql.types.{FloatType, IntegerType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cell_argmin expects (array<float>, int), got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "cell_argmin"
+
+  private def grid(p: Double): Long =
+    (if (p >= 0) math.floor(p * 1e9 + 0.5) else math.ceil(p * 1e9 - 0.5)).toLong
+
+  def kernel(a: Any, ex: Any): Int = {
+    val arr = a.asInstanceOf[ArrayData]
+    val exclude = ex.asInstanceOf[Int]
+    val m = model.value
+    val d = arr.numElements()
+    var best = -1
+    var bestKey = Long.MaxValue
+    var i = 0
+    while (i < m.cells.length) {
+      val cell = m.cells(i)
+      if (cell != exclude) {
+        val c = m.mat(i)
+        var dot = 0L
+        var p = 0
+        while (p < d) {
+          dot += grid(arr.getFloat(p).toDouble * c(p))
+          p += 1
+        }
+        val key = m.cn2(i) - 2L * dot
+        // tie-break cell asc: cells[] is ascending, strict < keeps the
+        // first (lowest) cell on equal keys
+        if (key < bestKey) { bestKey = key; best = cell }
+      }
+      i += 1
+    }
+    best
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = kernel(a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self =
+      ctx.addReferenceObj("cellArgmin", this, classOf[CellArgmin].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.kernel($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native Catalyst expression: `simhash60(tokens_h60(text))` fused into
   * ONE kernel — tokenize (shared [[TokensH60.fields]] byte walk),
   * distinct, md5-hash, and the 60-bit majority fold, with no

@@ -423,6 +423,15 @@ object DedupPrepare {
       .saveAsTable(capAuditName(physical))
   }
 
+  /** Stash a cap-audit row computed by a build closure whose capping
+    * logic doesn't fit [[capForLayer]]'s per-key histogram (the IVF
+    * membership layer's two-level cap+spill): persisted by [[ensure]]
+    * after the layer write succeeds, like every other audit. */
+  private[operators] def stashCapAudit(s: SparkSession, family: String,
+      dir: String, variant: String, a: CapAudit,
+      fpFile: String = "documents.parquet"): Unit =
+    pendingCapAudits ::= (naming(s, family, dir, variant, fpFile)._2 -> a)
+
   /** Cap a layer-build relation per key AND account for what the cap
     * drops — every capped LAYER WRITE goes through here, never through
     * a bare [[Dedup.capPerKey]]: computes the per-key histogram once on

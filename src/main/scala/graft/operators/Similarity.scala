@@ -121,12 +121,35 @@ object Similarity {
     */
   def ss04(s: SparkSession, dir: String): DataFrame = ivf(s, dir, nprobe = 2)
 
-  /** Cell count and Lloyd-iteration count of the learned IVF index.
-    * Fixed small constants: the oracle unrolls the same number of
-    * iterations, so the assignment is a closed-form deterministic
-    * function of the data. */
-  val IvfK = 10
+  /** Lloyd-iteration count of the learned IVF index. Fixed small
+    * constant: the oracle unrolls the same number of iterations, so the
+    * assignment is a closed-form deterministic function of the data. */
   val IvfRounds = 2
+
+  /** Target members per coarse cell. r13 (the committed
+    * `IVF_ROUTE_SWEEP` curve): a FIXED cell count (10) made index
+    * capacity `10 × BucketCap` regardless of corpus size — at the
+    * sf1.0 audit corpus (20k vectors) HALF the corpus was silently
+    * capped out of the index and recall@5 plateaued at 0.54 at every
+    * nprobe/shortlist. Cell count now scales with the corpus so the
+    * expected cell population sits at half the probe cap:
+    * `cells = clamp(ceil(n / IvfTargetCell), 10, 4096)` — the same
+    * rule a production IVF uses (cells ∝ N; probe cost stays
+    * O(IvfTargetCell) per probed cell at any corpus size). Small-sf
+    * corpora (≤5000 vectors) keep cells = 10, so their oracle results
+    * are unchanged by construction. */
+  val IvfTargetCell = 500
+  val IvfKMin = 10
+  val IvfKMax = 4096
+
+  private[graft] def ivfCellsOf(n: Long): Int =
+    math.max(IvfKMin, math.min(IvfKMax,
+      math.ceil(n.toDouble / IvfTargetCell).toInt))
+
+  /** Cell count for the corpus at `dir` — a parquet metadata count
+    * (rowgroup sums, no scan), cheap enough to not memoize. */
+  private[graft] def ivfCells(s: SparkSession, dir: String): Int =
+    ivfCellsOf(Tables.embeddings(s, dir).count())
 
   /** One Lloyd-style centroid table from an assignment: grid-exact
     * per-dimension means. */
@@ -140,34 +163,61 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .withColumn("x", col("x").cast("double"))
 
-  /** k-means assignment as DataFrame aggs, engine-portable by
-    * construction: init assigns each vector to cell h60("ivf"‖vec_id)
-    * mod k (no RNG); each Lloyd round recomputes centroids as
-    * grid-exact means and re-assigns by squared L2 distance computed
-    * ENTIRELY in grid integers (‖v‖² − 2⟨v,c⟩ + ‖c‖², each term a grid
-    * sum) with lexicographic (d², cell) tie-break — so Spark and the
-    * unrolled DuckDB oracle agree bit-for-bit, and the assignment
-    * argmin is a map-side `min(struct)` aggregate, not a window over
-    * the pair relation. Cost per round: one broadcast join against
-    * k·dims centroid rows + one groupBy(vec_id) — linear in corpus
-    * size, the textbook distributed-Lloyd shape. */
-  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+  /** The closing/intermediate centroid table collected into the
+    * broadcast model [[graft.functions.CellArgmin]] probes: parallel
+    * arrays over the EXISTING cells (ascending), `cn2` the same
+    * `sum(gridL(c·c))` the join/SQL forms compute. Model size is
+    * cells×dims doubles — k·d ≤ 4096·64 = 2 MB at the cell-count
+    * ceiling, a standard quantizer broadcast. */
+  private def collectCentModel(cent: DataFrame): graft.functions.CentModel = {
+    val rows = cent.select(col("cell"), col("pos"), col("c")).collect()
+    val dims = rows.map(_.getInt(1)).max + 1
+    val byCell = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    val cells = byCell.map(_._1).toArray
+    val mat = byCell.map { case (_, rs) =>
+      val a = new Array[Double](dims)
+      rs.foreach(r => a(r.getInt(1)) = r.getDouble(2))
+      a
+    }.toArray
+    def grid(p: Double): Long =
+      (if (p >= 0) math.floor(p * 1e9 + 0.5)
+       else math.ceil(p * 1e9 - 0.5)).toLong
+    new graft.functions.CentModel(cells, mat,
+      mat.map(_.map(c => grid(c * c)).sum))
+  }
+
+  /** Best cell per vector against a broadcast centroid model — the
+    * map-side E-step ([[graft.functions.CellArgmin]]); `exclude` names
+    * a column holding a cell to skip (the spill router's primary), or
+    * lit(-1) for none. */
+  private def bestCellCol(s: SparkSession, cent: DataFrame,
+      embedding: Column, exclude: Column): Column = {
+    import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
+    val bc = s.sparkContext.broadcast(collectCentModel(cent))
+    ExpressionUtils.column(graft.functions.CellArgmin(
+      ExpressionUtils.expression(embedding),
+      ExpressionUtils.expression(exclude), bc))
+  }
+
+  /** k-means assignment, engine-portable by construction: init assigns
+    * each vector to cell h60("ivf"‖vec_id) mod k (no RNG); each Lloyd
+    * round recomputes centroids as grid-exact means (a linear groupBy)
+    * and re-assigns MAP-SIDE via [[bestCellCol]] — the centroid model
+    * is collected (k·dims doubles, the standard per-iteration driver
+    * step of distributed Lloyd) and broadcast, and each vector's argmin
+    * runs as one compiled kernel call over the same per-term
+    * `gridL(x·c)` products and `(d², cell)` tie-break the unrolled
+    * DuckDB oracle computes — bit-identical, spec-pinned against the
+    * retired explode-join E-step, whose N×k×d-row intermediate was the
+    * scale ceiling once r13 made k corpus-proportional. */
+  private def kmeansAssign(s: SparkSession, dir: String, k: Int): DataFrame = {
     val el = explodedEl(s, dir)
-    val vnorm = el.groupBy(col("vec_id")).agg(sum(Dedup.gridL(col("x") * col("x"))).as("vn2"))
     var assign = Tables.embeddings(s, dir).select(col("vec_id"))
-      .withColumn("cell", (Dedup.h60(concat(lit("ivf"), col("vec_id"))) % IvfK).cast("int"))
+      .withColumn("cell", (Dedup.h60(concat(lit("ivf"), col("vec_id"))) % k).cast("int"))
     for (_ <- 1 to IvfRounds) {
       val cent = centroidsOf(el, assign)
-      val centN = cent.groupBy(col("cell")).agg(sum(Dedup.gridL(col("c") * col("c"))).as("cn2"))
-      assign = el.join(broadcast(cent), Seq("pos"))
-        .groupBy(col("vec_id"), col("cell"))
-        .agg(sum(Dedup.gridL(col("x") * col("c"))).as("dotvc"))
-        .join(broadcast(centN), Seq("cell"))
-        .join(vnorm, Seq("vec_id"))
-        .withColumn("d2", col("vn2") - lit(2L) * col("dotvc") + col("cn2"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cell"))).as("m"))
-        .select(col("vec_id"), col("m.cell").as("cell"))
+      assign = Tables.embeddings(s, dir).select(col("vec_id"),
+        bestCellCol(s, cent, col("embedding"), lit(-1).cast("int")).as("cell"))
     }
     assign
   }
@@ -183,16 +233,84 @@ object Similarity {
     * centroids are recomputed FROM the final assignment (the standard
     * closing M-step), so the centroid layer derives from the
     * materialized assignment layer and the two agree. */
-  private[operators] def ivfAssign(s: SparkSession, dir: String): DataFrame =
-    DedupPrepare.ensure(s, "ivfassign", dir, () => kmeansAssign(s, dir),
+  private[operators] def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+    val k = ivfCells(s, dir)
+    DedupPrepare.ensure(s, "ivfassign", dir, () => kmeansAssign(s, dir, k),
       Seq("vec_id"), Seq("vec_id"),
-      variant = s"_k${IvfK}r$IvfRounds", fpFile = "embeddings.parquet")
+      variant = s"_k${k}r$IvfRounds", fpFile = "embeddings.parquet")
+  }
 
   private def ivfCent(s: SparkSession, dir: String): DataFrame =
     DedupPrepare.ensure(s, "ivfcent", dir,
       () => centroidsOf(explodedEl(s, dir), ivfAssign(s, dir)),
       Seq("cell"), Seq("cell", "pos"),
-      variant = s"_k${IvfK}r$IvfRounds", fpFile = "embeddings.parquet")
+      variant = s"_k${ivfCells(s, dir)}r$IvfRounds",
+      fpFile = "embeddings.parquet")
+
+  /** The MEMBERSHIP layer every probe path scans — (cell, vec_id,
+    * embedding, nn2), bucketed by cell (the probe join key: members ⋈
+    * broadcast(routed cells) reads co-bucketed data, no exchange, and
+    * the per-query cap window the old query-time `capPerKey` paid is
+    * gone from every serving plan). Semantics (r13, mirrored in the
+    * oracle's `cappedc` CTE chain):
+    *  1. primary members = the learned assignment, ranked per cell by
+    *     vec_id, first [[Dedup.BucketCap]] kept;
+    *  2. SPILL-TO-2ND-CELL: overflow vectors (a skewed cell past the
+    *     cap) are re-routed to their best OTHER cell by closing-centroid
+    *     grid-L2 (tie cell asc) instead of being silently dropped —
+    *     within each receiving cell, primary members take precedence
+    *     and spilled members fill remaining capacity in vec_id order;
+    *  3. second-level overflow is dropped AND audited (the layer's
+    *     `__audit` table + ss11's per-cell accounting).
+    * With [[ivfCells]] sizing cells at E[n] = cap/2, spill only ever
+    * engages on genuine k-means skew; capacity is `cells × cap ≥ 2n`,
+    * so total drop requires 2× skew concentration. The embedding (and
+    * its grid norm) is DENORMALIZED onto the member row —
+    * `keptByShingle`'s storage-for-shuffle trade: serving never joins
+    * the corpus table on vec_id. */
+  private[graft] def ivfMembers(s: SparkSession, dir: String): DataFrame = {
+    val k = ivfCells(s, dir)
+    val cap = Dedup.BucketCap
+    DedupPrepare.ensure(s, "ivfmem", dir, () => {
+      graft.functions.GraftFunctions.register(s)
+      val assign = ivfAssign(s, dir)
+      val wCell = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+      val pr = Present.pooled(
+        assign.withColumn("rn", row_number().over(wCell)))
+      val kept1 = pr.filter(col("rn") <= cap)
+        .select(col("vec_id"), col("cell"), lit(0).as("sp"))
+      val ovf = pr.filter(col("rn") > cap)
+        .select(col("vec_id"), col("cell").as("pcell"))
+      // spill routing: closing-centroid grid-L2 over the OVERFLOW
+      // vectors only, primary cell excluded — the same map-side argmin
+      // kernel as the E-step
+      val spilled = ovf.join(Tables.embeddings(s, dir), Seq("vec_id"))
+        .select(col("vec_id"),
+          bestCellCol(s, ivfCent(s, dir), col("embedding"), col("pcell"))
+            .as("cell"),
+          lit(1).as("sp"))
+      val wFill = Window.partitionBy(col("cell"))
+        .orderBy(col("sp"), col("vec_id"))
+      val kept = kept1.unionByName(spilled)
+        .withColumn("rn", row_number().over(wFill))
+        .filter(col("rn") <= cap)
+      // truncation audit (the "no silent caps" rule): what the second
+      // level still drops, persisted next to the layer after publish
+      val nAssign = assign.count()
+      val keptP = Present.pooled(kept)
+      val nKept = keptP.count()
+      val nFull = keptP.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= cap).count()
+      DedupPrepare.stashCapAudit(s, "ivfmem", dir, s"_k${k}c$cap",
+        DedupPrepare.CapAudit(s"ivfmem_k${k}c$cap", cap.toLong, k.toLong,
+          nFull, nAssign, nKept, nAssign - nKept),
+        fpFile = "embeddings.parquet")
+      kept.join(Tables.embeddings(s, dir), Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("embedding"))
+        .withColumn("nn2", normL(col("embedding")))
+    }, Seq("cell"), Seq("cell", "vec_id"),
+      variant = s"_k${k}c$cap", fpFile = "embeddings.parquet")
+  }
 
   /** IVF routing: each query's best `nprobe` coarse cells by
     * query↔centroid cosine (tie-break cell asc) → (query_id, ccell).
@@ -220,19 +338,17 @@ object Similarity {
   private def ivf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val assign = ivfAssign(s, dir)
     val best = bestCells(s, dir, nprobe)
-    // exact search inside the chosen cell(s), membership = the learned
-    // assignment
+    // exact search inside the chosen cell(s), membership = the built
+    // cap+spill layer (r13): the capped-members window the query used
+    // to run is paid once at layer write, and the probe reads the
+    // cell-bucketed table with zero exchange
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .filter(col("query_id") < 10).join(broadcast(best), Seq("query_id"))
       .withColumn("qn2", normL(col("qe")))
-    // probe budget: a degenerate cell can't make the per-query scan
-    // unbounded — same capped definition as the oracle
-    val scored = Dedup.capPerKey(e.join(assign, Seq("vec_id")),
-        Seq("cell"), "vec_id", Dedup.BucketCap)
-      .select(col("vec_id").as("neighbor_id"), col("cell"), col("embedding").as("ne"))
-      .withColumn("nn2", normL(col("ne")))
+    val scored = ivfMembers(s, dir)
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding").as("ne"), col("nn2"))
       .join(broadcast(q),
         col("cell") === col("ccell") && col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
@@ -255,9 +371,12 @@ object Similarity {
     * `a{r}`. `nrm.n2` doubles as ‖v‖² — same grid sum. */
   private def kmeansCtes(rounds: Int): String = {
     val init =
-      s"""a0 AS (SELECT vec_id,
-         |             CAST(CAST(concat('0x', substr(md5('ivf' || vec_id), 1, 15)) AS BIGINT) % $IvfK AS INT) AS cell
-         |      FROM embeddings)""".stripMargin
+      s"""kk AS (SELECT GREATEST($IvfKMin, LEAST($IvfKMax,
+         |              CAST(CEIL(COUNT(*) / $IvfTargetCell.0) AS INT))) AS k
+         |       FROM embeddings),
+         |a0 AS (SELECT vec_id,
+         |             CAST(CAST(concat('0x', substr(md5('ivf' || vec_id), 1, 15)) AS BIGINT) % k AS INT) AS cell
+         |      FROM embeddings CROSS JOIN kk)""".stripMargin
     val rs = (1 to rounds).map { r =>
       s"""c$r AS (SELECT cell, pos,
          |              CAST(SUM(CAST(ROUND((x) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS c
@@ -288,37 +407,76 @@ object Similarity {
   /** Name of the final-assignment CTE inside [[ivfAssignSqlCtes]]. */
   private[operators] def ivfFinalAssignCte: String = s"a$IvfRounds"
 
-  /** Oracle twin of [[bestCells]] + the capped cell membership, as a CTE
-    * chain: closing-M-step centroids `cf`/`cfn`, query routing
-    * `qel`/`qnorm`/`qc`/`qcs`/`best`, capped membership `cappedc`.
-    * Expects `el`/`nrm` ([[elCte]]) and the unrolled Lloyd chain
-    * ([[kmeansCtes]]) in scope. Shared by ss02/ss04/ss07's oracles. */
-  private def ivfRouteCtes(nprobe: Int): String = {
-    val cF = "cf"             // final centroids: closing M-step from aF
-    val aF = s"a$IvfRounds"   // final assignment
-    s"""$cF AS (SELECT cell, pos,
+  /** Closing-M-step centroid CTEs `cf`/`cfn` off the final assignment —
+    * needed by both the query routing and the spill routing. Expects
+    * `el` and the Lloyd chain in scope. */
+  private def closingCentCtes: String = {
+    val aF = s"a$IvfRounds"
+    s"""cf AS (SELECT cell, pos,
        |              CAST(SUM(CAST(ROUND((x) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS c
        |       FROM el JOIN $aF USING (vec_id) GROUP BY 1, 2),
-       |${cF}n AS (SELECT cell, SUM(CAST(ROUND((c * c) * 1e9) AS BIGINT)) AS cn2
-       |        FROM $cF GROUP BY 1),
+       |cfn AS (SELECT cell, SUM(CAST(ROUND((c * c) * 1e9) AS BIGINT)) AS cn2
+       |        FROM cf GROUP BY 1)""".stripMargin
+  }
+
+  /** Oracle twin of [[ivfMembers]] — the cap+spill membership as a CTE
+    * chain ending in `cappedc(vec_id, cell)` (the name every probe
+    * oracle already joins): per-cell vec_id rank caps the primary
+    * members; overflow re-routes to the best OTHER cell by
+    * closing-centroid grid-L2 (tie cell asc); receiving cells fill
+    * primaries first, then spills by vec_id, re-capped. Expects
+    * `el`/`nrm`, the Lloyd chain, and [[closingCentCtes]] in scope. */
+  private def memberCtes: String = {
+    val aF = s"a$IvfRounds"
+    val cap = Dedup.BucketCap
+    s"""mpr AS (SELECT vec_id, cell,
+       |               ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+       |        FROM $aF),
+       |mk1 AS (SELECT vec_id, cell, 0 AS sp FROM mpr WHERE rn <= $cap),
+       |movf AS (SELECT vec_id, cell AS pcell FROM mpr WHERE rn > $cap),
+       |modt AS (SELECT o.vec_id, o.pcell, cf.cell,
+       |                SUM(CAST(ROUND((x * c) * 1e9) AS BIGINT)) AS dotvc
+       |         FROM movf o JOIN el ON el.vec_id = o.vec_id
+       |              JOIN cf ON el.pos = cf.pos
+       |         GROUP BY 1, 2, 3),
+       |msp AS (SELECT vec_id, cell, 1 AS sp FROM (
+       |          SELECT m.vec_id, m.cell,
+       |                 ROW_NUMBER() OVER (PARTITION BY m.vec_id
+       |                     ORDER BY nrm.n2 - 2 * dotvc + cfn.cn2, m.cell) AS rn
+       |          FROM modt m JOIN cfn ON m.cell = cfn.cell
+       |               JOIN nrm ON m.vec_id = nrm.vec_id
+       |          WHERE m.cell <> m.pcell)
+       |        WHERE rn = 1),
+       |mall AS (SELECT * FROM mk1 UNION ALL SELECT * FROM msp),
+       |cappedc AS (SELECT vec_id, cell FROM (
+       |              SELECT vec_id, cell,
+       |                     ROW_NUMBER() OVER (PARTITION BY cell ORDER BY sp, vec_id) AS rn
+       |              FROM mall)
+       |            WHERE rn <= $cap)""".stripMargin
+  }
+
+  /** Oracle twin of [[bestCells]] + the built membership: closing
+    * centroids, query routing `qel`/`qnorm`/`qc`/`qcs`/`best`, and the
+    * cap+spill `cappedc` chain. Expects `el`/`nrm` ([[elCte]]) and the
+    * unrolled Lloyd chain ([[kmeansCtes]]) in scope. Shared by
+    * ss02/ss04/ss07/ss08/ss09/ss10's oracles. */
+  private def ivfRouteCtes(nprobe: Int): String = {
+    s"""$closingCentCtes,
        |qel AS (SELECT vec_id AS query_id, pos, x AS qx FROM el WHERE vec_id < 10),
        |qnorm AS (SELECT query_id, SUM(CAST(ROUND((qx * qx) * 1e9) AS BIGINT)) AS qn2
        |          FROM qel GROUP BY 1),
-       |qc AS (SELECT query_id, $cF.cell AS ccell,
+       |qc AS (SELECT query_id, cf.cell AS ccell,
        |              SUM(CAST(ROUND((qx * c) * 1e9) AS BIGINT)) AS dotqc
-       |       FROM qel JOIN $cF USING (pos) GROUP BY 1, 2),
+       |       FROM qel JOIN cf USING (pos) GROUP BY 1, 2),
        |qcs AS (SELECT query_id, ccell,
        |               CAST(dotqc AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS ccos
        |        FROM qc JOIN qnorm USING (query_id)
-       |                JOIN ${cF}n ON ccell = ${cF}n.cell),
+       |                JOIN cfn ON ccell = cfn.cell),
        |best AS (SELECT query_id, ccell FROM (
        |           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |                       ORDER BY ccos DESC, ccell) AS rn FROM qcs)
        |         WHERE rn <= $nprobe),
-       |cappedc AS (SELECT vec_id, cell FROM (
-       |              SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
-       |              FROM $aF)
-       |            WHERE rn <= ${Dedup.BucketCap})""".stripMargin
+       |$memberCtes""".stripMargin
   }
 
   private def ivfSql(nprobe: Int): String = {
@@ -363,15 +521,13 @@ object Similarity {
   def ss08(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val assign = ivfAssign(s, dir)
     val best = bestCells(s, dir, nprobe = 2)
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .filter(col("query_id") < 10).join(broadcast(best), Seq("query_id"))
       .withColumn("qn2", normL(col("qe")))
-    val scored = Dedup.capPerKey(e.join(assign, Seq("vec_id")),
-        Seq("cell"), "vec_id", Dedup.BucketCap)
-      .select(col("vec_id").as("neighbor_id"), col("cell"), col("embedding").as("ne"))
-      .withColumn("nn2", normL(col("ne")))
+    val scored = ivfMembers(s, dir)
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding").as("ne"), col("nn2"))
       .join(broadcast(q),
         col("cell") === col("ccell") && col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
@@ -416,7 +572,7 @@ object Similarity {
     * windows, no stateful aggregation on the stream side), so it runs
     * in append mode with no state store:
     *  - the centroid table + grid norms are loaded ONCE at stream
-    *    definition (a model load, IvfK×dims doubles — ta13's "broadcast
+    *    definition (a model load, cells×dims doubles — ta13's "broadcast
     *    the model" step) and shipped in-plan as literals;
     *  - per-query routing replaces bestCells' rank WINDOW with an
     *    array program: per-cell grid-exact cosine via zip_with/aggregate
@@ -452,6 +608,14 @@ object Similarity {
         rs.foreach(r => a(r.getAs[Int]("pos")) = r.getAs[Double]("c"))
         k -> a
       }
+    // the literal-model route is for SMALL quantizers; with r13's
+    // corpus-scaled cell count a big corpus's centroid table must ride
+    // a stream-static broadcast join instead of the plan text — refuse
+    // loudly rather than compile a 100k-literal projection
+    require(cents.size <= 256,
+      s"rangeStream ships centroids as plan literals; ${cents.size} cells " +
+        "exceeds the literal-model budget — broadcast-join the centroid " +
+        "table for corpora this size")
     def grid(p: Double): Long =
       (if (p >= 0) math.floor(p + 0.5) else math.ceil(p - 0.5)).toLong
     val cn2: Map[Int, Long] =
@@ -472,13 +636,10 @@ object Similarity {
       .select(col("query_id"), col("embedding").as("qe"), explode(best2).as("bc"))
       .select(col("query_id"), col("qe"), col("bc.cell").as("ccell"))
       .withColumn("qn2", normL(col("qe")))
-    val capped = Dedup.capPerKey(
-        Tables.embeddings(s, dir).join(ivfAssign(s, dir), Seq("vec_id")),
-        Seq("cell"), "vec_id", Dedup.BucketCap)
+    val capped = ivfMembers(s, dir)
       .select(col("vec_id").as("neighbor_id"), col("cell"),
-        col("embedding").as("ne"))
+        col("embedding").as("ne"), col("nn2"))
     val members = meta.fold(capped)(m => capped.join(m, Seq("neighbor_id")))
-      .withColumn("nn2", normL(col("ne")))
     q.join(members,
         col("cell") === col("ccell") && col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
@@ -874,7 +1035,7 @@ object Similarity {
     * rows ADC-scanned) exactly as the serving plan computes it. */
   private[graft] def ivfPqCandidates(s: SparkSession, dir: String,
       nprobe: Int): DataFrame =
-    Dedup.capPerKey(ivfAssign(s, dir), Seq("cell"), "vec_id", Dedup.BucketCap)
+    ivfMembers(s, dir).select(col("cell"), col("vec_id"))
       .join(broadcast(bestCells(s, dir, nprobe)), col("cell") === col("ccell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("ccell"), col("vec_id"))
@@ -1001,7 +1162,6 @@ object Similarity {
   def ss09(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val assign = ivfAssign(s, dir)
     val best = bestCells(s, dir, nprobe = 2)
     val meta = Tables.documents(s, dir)
       .filter(col("lang") === FilterLang)
@@ -1009,15 +1169,13 @@ object Similarity {
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .filter(col("query_id") < 10).join(broadcast(best), Seq("query_id"))
       .withColumn("qn2", normL(col("qe")))
-    // cap-then-filter: the cap is the membership layer's write-time
-    // semantics (cp04 precedent); the predicate then prunes the capped
-    // members, and only survivors are scored
-    val members = Dedup.capPerKey(e.join(assign, Seq("vec_id")),
-        Seq("cell"), "vec_id", Dedup.BucketCap)
+    // cap-then-filter: the cap (and r13's spill) is the membership
+    // layer's write-time semantics (cp04 precedent); the predicate then
+    // prunes the built members, and only survivors are scored
+    val members = ivfMembers(s, dir)
       .select(col("vec_id").as("neighbor_id"), col("cell"),
-        col("embedding").as("ne"))
+        col("embedding").as("ne"), col("nn2"))
       .join(meta, Seq("neighbor_id"))
-      .withColumn("nn2", normL(col("ne")))
     val scored = members.join(broadcast(q),
         col("cell") === col("ccell") && col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
@@ -1074,7 +1232,6 @@ object Similarity {
   def ss10(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val assign = ivfAssign(s, dir)
     val best = bestCells(s, dir, nprobe = 2)
     val meta = Tables.documents(s, dir)
       .filter(col("lang") === FilterLang)
@@ -1082,12 +1239,10 @@ object Similarity {
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .filter(col("query_id") < 10).join(broadcast(best), Seq("query_id"))
       .withColumn("qn2", normL(col("qe")))
-    val members = Dedup.capPerKey(e.join(assign, Seq("vec_id")),
-        Seq("cell"), "vec_id", Dedup.BucketCap)
+    val members = ivfMembers(s, dir)
       .select(col("vec_id").as("neighbor_id"), col("cell"),
-        col("embedding").as("ne"))
+        col("embedding").as("ne"), col("nn2"))
       .join(meta, Seq("neighbor_id"))
-      .withColumn("nn2", normL(col("ne")))
     val scored = members.join(broadcast(q),
         col("cell") === col("ccell") && col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
@@ -1134,24 +1289,61 @@ object Similarity {
     * simchunks) persist the same accounting as `__audit` tables at
     * build; this is the probe-side twin, an index-sized aggregate a
     * user runs before trusting a sweep's recall. */
-  def ss11(s: SparkSession, dir: String): DataFrame =
-    ivfAssign(s, dir)
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_members"))
-      .withColumn("cap", lit(Dedup.BucketCap.toLong))
-      .withColumn("n_scanned", least(col("n_members"), col("cap")))
-      .withColumn("n_dropped",
-        greatest(col("n_members") - col("cap"), lit(0L)))
-      .select("cell", "n_members", "cap", "n_scanned", "n_dropped")
+  def ss11(s: SparkSession, dir: String): DataFrame = {
+    val assign = ivfAssign(s, dir)
+      .select(col("vec_id"), col("cell").as("pcell"))
+    val mem = ivfMembers(s, dir)
+      .select(col("vec_id"), col("cell").as("mcell"))
+    // one assignment⋈membership relation feeds both groupings
+    val j = Present.pooled(assign.join(mem, Seq("vec_id"), "left"))
+    val byPrimary = j.groupBy(col("pcell").as("cell")).agg(
+      count(lit(1)).as("n_members"),
+      sum(when(col("mcell") === col("pcell"), 1L).otherwise(0L))
+        .as("n_primary_kept"),
+      sum(when(col("mcell").isNotNull && col("mcell") =!= col("pcell"), 1L)
+        .otherwise(0L)).as("n_spilled_out"),
+      sum(when(col("mcell").isNull, 1L).otherwise(0L)).as("n_lost"))
+    val byMember = j.filter(col("mcell").isNotNull)
+      .groupBy(col("mcell").as("cell")).agg(
+        count(lit(1)).as("n_scanned"),
+        sum(when(col("mcell") =!= col("pcell"), 1L).otherwise(0L))
+          .as("n_spilled_in"))
+    // spill targets derive from the centroid table, which derives from
+    // the assignment — byMember's cells ⊆ byPrimary's, so a left join
+    // covers the index; empty-membership cells coalesce to zero
+    byPrimary.join(byMember, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        lit(Dedup.BucketCap.toLong).as("cap"),
+        col("n_primary_kept"),
+        coalesce(col("n_spilled_in"), lit(0L)).as("n_spilled_in"),
+        col("n_spilled_out"),
+        coalesce(col("n_scanned"), lit(0L)).as("n_scanned"),
+        col("n_lost"))
       .orderBy("cell")
+  }
 
   val ss11Sql: String =
-    s"""WITH ${ivfAssignSqlCtes}
-       |SELECT cell, COUNT(*) AS n_members,
-       |       CAST(${Dedup.BucketCap} AS BIGINT) AS cap,
-       |       LEAST(COUNT(*), ${Dedup.BucketCap}) AS n_scanned,
-       |       GREATEST(COUNT(*) - ${Dedup.BucketCap}, 0) AS n_dropped
-       |FROM $ivfFinalAssignCte GROUP BY cell ORDER BY cell""".stripMargin
+    s"""WITH ${ivfAssignSqlCtes},
+       |$closingCentCtes,
+       |$memberCtes,
+       |jj AS (SELECT a.vec_id, a.cell AS pcell, m.cell AS mcell
+       |       FROM $ivfFinalAssignCte a
+       |       LEFT JOIN cappedc m ON a.vec_id = m.vec_id),
+       |agp AS (SELECT pcell AS cell, COUNT(*) AS n_members,
+       |               CAST(SUM(CASE WHEN mcell = pcell THEN 1 ELSE 0 END) AS BIGINT) AS n_primary_kept,
+       |               CAST(SUM(CASE WHEN mcell IS NOT NULL AND mcell <> pcell THEN 1 ELSE 0 END) AS BIGINT) AS n_spilled_out,
+       |               CAST(SUM(CASE WHEN mcell IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lost
+       |        FROM jj GROUP BY 1),
+       |agm AS (SELECT mcell AS cell, COUNT(*) AS n_scanned,
+       |               CAST(SUM(CASE WHEN mcell <> pcell THEN 1 ELSE 0 END) AS BIGINT) AS n_spilled_in
+       |        FROM jj WHERE mcell IS NOT NULL GROUP BY 1)
+       |SELECT cell, n_members, CAST(${Dedup.BucketCap} AS BIGINT) AS cap,
+       |       n_primary_kept,
+       |       COALESCE(n_spilled_in, 0) AS n_spilled_in,
+       |       n_spilled_out,
+       |       COALESCE(n_scanned, 0) AS n_scanned,
+       |       n_lost
+       |FROM agp LEFT JOIN agm USING (cell) ORDER BY cell""".stripMargin
 
   /** Registry of this family. */
   val qs: Seq[Q] = Seq(

@@ -85,9 +85,12 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // kept counts agg, presentation sort; the pow weights live on the
     // source-bounded pooled audit relation
     "sp10_temperature_mixture" -> 3,
-    "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 12,
-    "ss03_knn_lsh" -> 5, "ss04_knn_ivf_multiprobe" -> 12,
-    "ss05_knn_recall_audit" -> 64,  // + ss06 PQ (r7) + ss07 IVF-PQ (r8)
+    // ss02/ss04 (r13): the query-time capPerKey membership window (and
+    // its per-query norm derivation) moved into the built cap+spill
+    // ivfmem layer — every probe path lost 2 exchanges
+    "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 10,
+    "ss03_knn_lsh" -> 5, "ss04_knn_ivf_multiprobe" -> 10,
+    "ss05_knn_recall_audit" -> 59,  // + ss06 PQ (r7) + ss07 IVF-PQ (r8)
     // ss06: reads the materialized code+codebook layers; the censused
     // exchanges are the small derived aggs (cbn/rn2/lut/qn2), the
     // scored partial-sum and the per-query window + final sort
@@ -95,21 +98,22 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // ss07: composes the two built indexes — IVF routing (cell probe
     // chain) + ADC partial-sum over candidate codes + shortlist window
     // + broadcast exact rerank + final sort
-    "ss07_knn_ivfpq" -> 21,
+    "ss07_knn_ivfpq" -> 20,
     // ss08 (r9, r10 de-dedup'd): ss04's routing chain (cell probe) +
     // capped-cell scan; the theta filter REPLACES the top-k rank window
     // — no per-query window over the scan, and no per-pair dedup at all
     // (ivfAssign is one-cell-per-vector, so a pair joins at most once)
-    "ss08_range_search" -> 12,
-    // ss09 (r9): ss04's routing + capped-cell scan (12) with the
+    "ss08_range_search" -> 10,
+    // ss09 (r9): ss04's routing + built-member scan (10) with the
     // metadata predicate joined into the membership BEFORE scoring —
     // +1 for the predicate side's exchange
-    "ss09_knn_filtered" -> 13,
-    // ss10 (r10): ss08's radius chain (12) + ss09's predicate-side
+    "ss09_knn_filtered" -> 11,
+    // ss10 (r10): ss08's radius chain (10) + ss09's predicate-side
     // exchange (+1) — the composition adds nothing else
-    "ss10_range_filtered" -> 13,
-    // ss11 (r10): index-layer read + per-cell agg + sort
-    "ss11_ivf_cap_audit" -> 2,
+    "ss10_range_filtered" -> 11,
+    // ss11 (r13): assignment ⋈ membership accounting — the two layer
+    // reads, the two groupings' exchanges fold into one pooled join
+    "ss11_ivf_cap_audit" -> 3,
     "ta01_langid" -> 1, "ta02_quality_score" -> 1,
     "ta03_token_counts" -> 1, "ta04_fingerprint" -> 1,
     "ta05_lexical_stats" -> 1, "ta06_repetition_stats" -> 1,

@@ -144,7 +144,29 @@ def check_one(args):
     return name, rec, time.time() - t0
 
 
+def reap_orphan_spills():
+    """Delete /tmp/duck_spill_<pid>_* dirs whose owning pid is dead: the
+    per-worker rmtree-in-finally (r12) cannot run when a worker is
+    SIGKILLed mid-query, and an orphaned sf10 spill dir can hold tens of
+    GB (observed: 74 GB across three dead runs = a disk-full cascade)."""
+    import glob
+    import os as _os2
+    import re as _re
+    import shutil as _sh
+    for d in glob.glob("/tmp/duck_spill_*_*"):
+        m = _re.match(r".*/duck_spill_(\d+)_", d)
+        if not m:
+            continue
+        try:
+            _os2.kill(int(m.group(1)), 0)   # signal 0: existence probe
+        except ProcessLookupError:
+            _sh.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass                            # alive under another uid
+
+
 def main():
+    reap_orphan_spills()
     out_dir, sf_dir, nprocs = sys.argv[1], sys.argv[2], int(sys.argv[3])
     artifact = sys.argv[4] if len(sys.argv) > 4 else None
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))

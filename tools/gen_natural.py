@@ -19,12 +19,16 @@ text is whitespace-normalized exactly like the engine's tokenizer
 expects (single spaces, printable ASCII kept, the rest dropped) so
 DuckDB string functions and UTF8String byte walks agree trivially.
 
-Usage: python3 tools/gen_natural.py testdata/natural
+Usage: python3 tools/gen_natural.py testdata/natural [--siblings <sfdir>]
+(--siblings copies the non-documents tables from an existing sf corpus
+so the oracle checker's 10 table views all resolve; the text-family
+queries never read them.)
 Builder-side dev tool (driver python env), not part of the library.
 """
 import glob
 import os
 import re
+import shutil
 import sys
 
 import pyarrow as pa
@@ -32,6 +36,13 @@ import pyarrow.parquet as pq
 
 out = sys.argv[1]
 os.makedirs(out, exist_ok=True)
+if "--siblings" in sys.argv:
+    sib = sys.argv[sys.argv.index("--siblings") + 1]
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"]:
+        src = f"{sib}/{t}.parquet"
+        if os.path.exists(src):
+            shutil.copyfile(src, f"{out}/{t}.parquet")
 
 files = sorted(glob.glob("/usr/share/common-licenses/*"))
 files += sorted(glob.glob("/usr/share/doc/*/copyright"))
