@@ -85,6 +85,12 @@ object DedupPrepare {
     b.result()
   }
 
+  /** The memoized corpus fingerprint, for sibling caches that must key
+    * on corpus identity (Similarity's cell-count memo): same lifecycle
+    * as the prep-table tags — [[invalidate]] clears it. */
+  private[operators] def corpusFingerprint(s: SparkSession, dir: String,
+      fpFile: String): String = fingerprint(s, dir, fpFile)
+
   private def fingerprint(s: SparkSession, dir: String, fpFile: String): String =
     fpCache.computeIfAbsent(s"$dir::$fpFile",
       _ => fingerprintUncached(s, dir, fpFile))

@@ -146,10 +146,21 @@ object Similarity {
     math.max(IvfKMin, math.min(IvfKMax,
       math.ceil(n.toDouble / IvfTargetCell).toInt))
 
-  /** Cell count for the corpus at `dir` — a parquet metadata count
-    * (rowgroup sums, no scan), cheap enough to not memoize. */
+  /** Cell count for the corpus at `dir`, memoized per (dir, embeddings
+    * fingerprint): the count itself is parquet-metadata cheap, but it
+    * is a Spark JOB, and every probe query consults the cell count 2–4
+    * times (assign/cent/members layer naming) — unmemoized it added
+    * ~0.5 s to every ss query at sf0.1 (r13 bench capture). The
+    * fingerprint key gives the memo the same invalidation semantics as
+    * the prep tables (a rewritten corpus mints a new key). */
+  private val cellsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   private[graft] def ivfCells(s: SparkSession, dir: String): Int =
-    ivfCellsOf(Tables.embeddings(s, dir).count())
+    cellsCache.computeIfAbsent(
+      s"$dir::${DedupPrepare.corpusFingerprint(s, dir, "embeddings.parquet")}",
+      _ => Integer.valueOf(ivfCellsOf(Tables.embeddings(s, dir).count())))
+      .intValue()
 
   /** One Lloyd-style centroid table from an assignment: grid-exact
     * per-dimension means. */
