@@ -818,7 +818,11 @@ object Multimodal {
     // Present.pooled persist that kept it from running twice) is gone;
     // both sides of the keeper join-back below are cheap projections of
     // the bucketed layer table
-    val hashes = pixelLayer(s, dir)
+    // decoded=0 degrade rows carry the (0,0) sentinel hash — without the
+    // filter, unparseable payloads would silently form one shared dup
+    // group of unrelated docs (the pre-layer plan failed loudly instead);
+    // unreachable with the synthetic payloads, latent trap (r13 ADVICE)
+    val hashes = pixelLayer(s, dir).filter(col("decoded") === 1)
       .select(col("doc_id"), col("phash_hi"), col("phash_lo"))
     // keeper/size via groupBy + join-back, NOT min/count over
     // Window.partitionBy(phash) — a boilerplate/blank image's dup group

@@ -284,43 +284,80 @@ object Similarity {
     val cap = Dedup.BucketCap
     DedupPrepare.ensure(s, "ivfmem", dir, () => {
       graft.functions.GraftFunctions.register(s)
-      val assign = ivfAssign(s, dir)
-      val wCell = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
-      val pr = Present.pooled(
-        assign.withColumn("rn", row_number().over(wCell)))
-      val kept1 = pr.filter(col("rn") <= cap)
-        .select(col("vec_id"), col("cell"), lit(0).as("sp"))
-      val ovf = pr.filter(col("rn") > cap)
-        .select(col("vec_id"), col("cell").as("pcell"))
-      // spill routing: closing-centroid grid-L2 over the OVERFLOW
-      // vectors only, primary cell excluded — the same map-side argmin
-      // kernel as the E-step
-      val spilled = ovf.join(Tables.embeddings(s, dir), Seq("vec_id"))
-        .select(col("vec_id"),
-          bestCellCol(s, ivfCent(s, dir), col("embedding"), col("pcell"))
-            .as("cell"),
-          lit(1).as("sp"))
-      val wFill = Window.partitionBy(col("cell"))
-        .orderBy(col("sp"), col("vec_id"))
-      val kept = kept1.unionByName(spilled)
-        .withColumn("rn", row_number().over(wFill))
-        .filter(col("rn") <= cap)
+      val b = ivfMembersBuild(s, dir)
       // truncation audit (the "no silent caps" rule): what the second
-      // level still drops, persisted next to the layer after publish
-      val nAssign = assign.count()
-      val keptP = Present.pooled(kept)
+      // level still drops, persisted next to the layer after publish.
+      // keysCapped = cells that actually DROPPED at the second level
+      // (incoming > cap) — capForLayer's strict n > cap semantics, not
+      // "cells at capacity" (r13 ADVICE kept the audit schema uniform).
+      val nAssign = b.assign.count()
+      val keptP = Present.pooled(b.kept)
       val nKept = keptP.count()
-      val nFull = keptP.groupBy(col("cell")).agg(count(lit(1)).as("n"))
-        .filter(col("n") >= cap).count()
+      val nFull = b.allIn.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap).count()
       DedupPrepare.stashCapAudit(s, "ivfmem", dir, s"_k${k}c$cap",
         DedupPrepare.CapAudit(s"ivfmem_k${k}c$cap", cap.toLong, k.toLong,
           nFull, nAssign, nKept, nAssign - nKept),
         fpFile = "embeddings.parquet")
-      kept.join(Tables.embeddings(s, dir), Seq("vec_id"))
+      keptP.join(Tables.embeddings(s, dir), Seq("vec_id"))
         .select(col("cell"), col("vec_id"), col("embedding"))
         .withColumn("nn2", normL(col("embedding")))
     }, Seq("cell"), Seq("cell", "vec_id"),
       variant = s"_k${k}c$cap", fpFile = "embeddings.parquet")
+  }
+
+  /** The three stages of the membership build, exposed for the plan-shape
+    * spec. */
+  private[graft] final case class MemberBuild(assign: DataFrame,
+      allIn: DataFrame, kept: DataFrame)
+
+  /** The cap+spill membership computation (see [[ivfMembers]] — this is
+    * the body `ensure` writes). Both cap windows are deliberately PURE
+    * `row_number <= cap` filters so Catalyst's InferWindowGroupLimit
+    * bounds each per-cell rank map-side (≤ cap rows per key per task
+    * before the exchange — r13 verdict watch-item: a skewed giant cell
+    * must never funnel the whole assignment through one rank task). The
+    * overflow side is an anti-join against the admitted set instead of
+    * the `rn > cap` branch that would have forced the full rank to
+    * materialize. [[IvfPlanShapeSpec]] pins the WindowGroupLimit nodes
+    * structurally. */
+  private[graft] def ivfMembersBuild(s: SparkSession, dir: String,
+      pool: Boolean = true): MemberBuild = {
+    val cap = Dedup.BucketCap
+    def pooled(df: DataFrame) = if (pool) Present.pooled(df) else df
+    val assign = ivfAssign(s, dir)
+    val wCell = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    // primary members: first `cap` per cell by vec_id (WindowGroupLimit
+    // keeps ≤cap per cell map-side; rn is only ever filtered `<= cap`)
+    val kept1 = pooled(
+      assign.withColumn("rn", row_number().over(wCell))
+        .filter(col("rn") <= cap)
+        .select(col("vec_id"), col("cell"), lit(0).as("sp")))
+    // overflow = assignment − admitted, both sides bucketed by vec_id
+    val ovf = assign.join(kept1.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell").as("pcell"))
+    // spill routing: closing-centroid grid-L2 over the OVERFLOW
+    // vectors only, primary cell excluded — the same map-side argmin
+    // kernel as the E-step
+    val spilled = ovf.join(Tables.embeddings(s, dir), Seq("vec_id"))
+      .select(col("vec_id"),
+        bestCellCol(s, ivfCent(s, dir), col("embedding"), col("pcell"))
+          .as("cell"),
+        lit(1).as("sp"))
+      // kernel -1 = no OTHER populated cell exists (degenerate corpus:
+      // Lloyd collapsed to one over-cap cell). The oracle's msp CTE
+      // (`WHERE m.cell <> m.pcell`) has no row to route such a vector
+      // to, so it is LOST there — drop it here too (it lands in the
+      // audit's rowsDropped via nAssign − nKept), r13 ADVICE.
+      .filter(col("cell") >= 0)
+    val wFill = Window.partitionBy(col("cell"))
+      .orderBy(col("sp"), col("vec_id"))
+    val allIn = pooled(kept1.unionByName(spilled))
+    val kept = allIn
+      .withColumn("rn", row_number().over(wFill))
+      .filter(col("rn") <= cap)
+      .select(col("vec_id"), col("cell"), col("sp"))
+    MemberBuild(assign, allIn, kept)
   }
 
   /** IVF routing: each query's best `nprobe` coarse cells by

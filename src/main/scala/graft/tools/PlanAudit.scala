@@ -58,6 +58,30 @@ object PlanAudit {
     walk(df.queryExecution.executedPlan)
   }
 
+  /** (WindowExec count, WindowGroupLimitExec count) in the executed
+    * plan — same tree walk as [[exchangeCount]]. Used to pin that every
+    * rank-cap window in a layer build is bounded map-side by
+    * InferWindowGroupLimit (≤cap rows per key leave a task) instead of
+    * materializing the full per-key rank. */
+  def windowNodeCensus(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def walk(p: SparkPlan): (Int, Int) = {
+      val self = p match {
+        case _: WindowExec => (1, 0)
+        case _: WindowGroupLimitExec => (0, 1)
+        case _ => (0, 0)
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children
+      }
+      kids.map(walk).foldLeft(self) { case ((w, g), (w2, g2)) => (w + w2, g + g2) }
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   def main(args: Array[String]): Unit = {
     // same session shape as Bench so audited plans match benched plans
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

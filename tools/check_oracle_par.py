@@ -145,7 +145,7 @@ def check_one(args):
 
 
 def reap_orphan_spills():
-    """Delete /tmp/duck_spill_<pid>_* dirs whose owning pid is dead: the
+    """Delete tempdir duck_spill_<pid>_* dirs whose owning pid is dead: the
     per-worker rmtree-in-finally (r12) cannot run when a worker is
     SIGKILLed mid-query, and an orphaned sf10 spill dir can hold tens of
     GB (observed: 74 GB across three dead runs = a disk-full cascade)."""
@@ -153,7 +153,10 @@ def reap_orphan_spills():
     import os as _os2
     import re as _re
     import shutil as _sh
-    for d in glob.glob("/tmp/duck_spill_*_*"):
+    import tempfile as _tf2
+    # scan the same directory mkdtemp writes to: the spill dirs honor
+    # TMPDIR, a hardcoded /tmp would miss them under a relocated tmp
+    for d in glob.glob(_os2.path.join(_tf2.gettempdir(), "duck_spill_*_*")):
         m = _re.match(r".*/duck_spill_(\d+)_", d)
         if not m:
             continue
