@@ -58,14 +58,19 @@ object LayerMaintenance {
   private final case class Fam(family: String, variant: String,
       bucketCols: Seq[String], sortCols: Seq[String])
 
-  /** The append-maintained families: the per-doc maps, the capped band
-    * index, and the unigram count layer — one representative of each
-    * maintenance class the engine has. */
+  /** The append-maintained families: the per-doc maps (including the
+    * decoded-pixel/media layer — r13 verdict #1: an ingest batch must
+    * decode only ITS docs, never force a corpus-wide media re-decode),
+    * the capped band index, and the unigram count layer — one
+    * representative of each maintenance class the engine has. The IVF
+    * vector index is maintained by the separate embeddings-keyed path
+    * ([[appendIngestVectors]]). */
   private val Maintained = Seq(
     Fam("shingles3", "", Seq("doc_id"), Seq("doc_id")),
     Fam("minhash", "", Seq("doc_id"), Seq("doc_id")),
     Fam("lshbands", "", Seq("b", "bh"), Seq("b", "bh", "doc_id")),
-    Fam("unifreq", "_lang", Seq("tok"), Seq("tok")))
+    Fam("unifreq", "_lang", Seq("tok"), Seq("tok")),
+    Fam("pixels", "_v2", Seq("doc_id"), Seq("doc_id")))
 
   /** Build every maintained layer for `dir` (the "prime the standing
     * corpus" step an ingest pipeline runs once at corpus creation). */
@@ -74,6 +79,7 @@ object LayerMaintenance {
     DedupPrepare.minhashSig(s, dir)
     DedupPrepare.lshBands(s, dir)
     TextAnalysis.langFreq(s, dir)
+    Multimodal.pixelLayer(s, dir)
   }
 
   /** Read a maintained layer by family name — spec/inspection hook that
@@ -221,6 +227,20 @@ object LayerMaintenance {
                     lg(2), lg(3), lg(2) - lg(3)),
                   mode = "append")
                 lg(3)
+              case "pixels" =>
+                // decode ONLY the batch's docs (header decode + pixel
+                // decode + frame hashes), append into the doc_id buckets
+                // — the per-doc map class, like shingles3
+                val sp = batch.sparkSession
+                import sp.implicits._
+                val d = batch
+                  .select(col("doc_id"), col("text"), col("n_chars"))
+                  .as[(Long, String, Long)]
+                  .mapPartitions(Multimodal.pixelLayerRows)
+                  .toDF()
+                DedupPrepare.writeBucketed(d, actual, f.bucketCols, f.sortCols,
+                  mode = "append")
+                d.count()
               case "unifreq" =>
                 // counts merge: vocab-sized rewrite under the NEW
                 // fingerprint name (content changes per-row, so this
@@ -289,6 +309,299 @@ object LayerMaintenance {
         }
       }
     }
+
+  // ------------------------------------------------- vector (IVF) ingest
+
+  /** The IVF index's append maintenance (r13 verdict #1, the top item):
+    * before it, ANY embeddings ingest forced a full k-means rebuild —
+    * 117 s at sf10 for `ivfassign_k400r2`, growing with the corpus —
+    * exactly the rebuild-per-batch shape cp04 kills on the text side.
+    * Production IVF ingest is:
+    *  1. assign the batch's vectors to the FROZEN centroids (one
+    *     map-side [[Similarity.bestCellCol]] pass — the same broadcast
+    *     argmin kernel as the Lloyd E-step, batch-sized);
+    *  2. admit them into the membership layer under the standing
+    *     cap/spill rule (primary precedence, then spill to the best
+    *     other cell, vec_id order; standing members are NEVER displaced
+    *     — a serving index cannot retract rows), truncation audited;
+    *  3. recluster only on a measured drift trigger: when the corpus
+    *     outgrows the frozen geometry ([[ivfDriftTriggered]] — capacity
+    *     ≥75% consumed, i.e. the expected cell population passed
+    *     1.5× the [[Similarity.IvfTargetCell]] design point), the whole
+    *     index rebuilds under the new fingerprint (fresh Lloyd, fresh
+    *     cell count), exactly what a production ANN store schedules as
+    *     an offline reindex.
+    * Call AFTER the batch's files are appended into
+    * `<dir>/embeddings.parquet`, with `batch` = exactly the appended
+    * rows (vec_id, embedding, ...). Fresh, strictly increasing vec_ids
+    * — the same monotonic-id ingest contract as [[appendIngest]]. */
+  def appendIngestVectors(s: SparkSession, dir: String,
+      batch: DataFrame, replay: Boolean = false): Seq[LayerDelta] =
+      DedupPrepare.synchronized {
+    graft.functions.GraftFunctions.register(s)
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val mm = batch.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    if (mm.isNullAt(0)) return Nil
+    val bMin = mm.getLong(0)
+    DedupPrepare.invalidate(dir)
+    findIvf(s, dir) match {
+      case None =>
+        // index never built in this session: the next probe's ensure()
+        // builds from the updated corpus — already correct
+        Seq(LayerDelta("ivfindex", "absent", 0L, 0.0))
+      case Some(ivf) => absorbVectors(s, dir, batch, bMin, replay, ivf)
+    }
+  }
+
+  /** The standing IVF layer tables of `dir` in this session, any cell
+    * count: (assign, cent, members, k). */
+  private def findIvf(s: SparkSession,
+      dir: String): Option[(String, String, String, Int)] = {
+    val names = s.catalog.listTables().collect().map(_.name).toSeq
+    def find(fam: String, suffix: String): Option[(String, Int)] = {
+      val base = DedupPrepare.naming(s, fam, dir, "",
+        fpFile = "embeddings.parquet")._1
+      val pat = (java.util.regex.Pattern.quote(base) +
+        "_[0-9a-f]{8}_k(\\d+)" + suffix + "$").r
+      names.flatMap(n => pat.findFirstMatchIn(n).map(m =>
+        (n, m.group(1).toInt))).headOption
+    }
+    for {
+      (a, ka) <- find("ivfassign", s"r${Similarity.IvfRounds}")
+      (c, kc) <- find("ivfcent", s"r${Similarity.IvfRounds}")
+      (m, km) <- find("ivfmem", s"c${Dedup.BucketCap}")
+      if ka == kc && kc == km
+    } yield (a, c, m, ka)
+  }
+
+  /** Drift trigger: the corpus has consumed ≥75% of the frozen index's
+    * capacity (kOld × cap). With cells sized at build for an expected
+    * population of cap/2, this fires once the corpus grew ~1.5× past
+    * the geometry the centroids were learned on — the r13 capacity-
+    * starvation lesson (a full index silently hides vectors) applied
+    * as an online reindex threshold. */
+  private[graft] def ivfDriftTriggered(nNow: Long, kOld: Int): Boolean =
+    nNow * 4L > kOld.toLong * Dedup.BucketCap * 3L
+
+  private def absorbVectors(s: SparkSession, dir: String, batch: DataFrame,
+      bMin: Long, replay: Boolean,
+      ivf: (String, String, String, Int)): Seq[LayerDelta] = {
+    val (aT, cT, mT, kOld) = ivf
+    val cap = Dedup.BucketCap
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def assignMax: Option[Long] = {
+      val r = s.table(aT).agg(max(col("vec_id"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    // fingerprint unchanged = the batch files were not actually added
+    val aNew = DedupPrepare.naming(s, "ivfassign", dir,
+      s"_k${Similarity.ivfCells(s, dir)}r${Similarity.IvfRounds}",
+      fpFile = "embeddings.parquet")._2
+    if (aNew == aT)
+      return Seq(LayerDelta("ivfindex", "unchanged", 0L, 0.0))
+    if (!replay)
+      assignMax.foreach(mx => require(bMin > mx,
+        s"appendIngestVectors: batch min vec_id $bMin does not exceed " +
+          s"standing max $mx — batch ids must be fresh"))
+
+    val nNow = graft.Tables.embeddings(s, dir).count()
+    if (ivfDriftTriggered(nNow, kOld)) {
+      // RECLUSTER: drop the frozen index and rebuild under the new
+      // fingerprint (fresh Lloyd, corpus-proportional cell count). The
+      // drift rebuild is the once-in-many-batches amortized cost; the
+      // per-batch path below is what every other ingest pays.
+      val (_, secs) = timed {
+        for (f <- Seq("ivfassign", "ivfcent", "ivfmem"))
+          DedupPrepare.dropAliases(DedupPrepare.naming(s, f, dir, "",
+            fpFile = "embeddings.parquet")._1)
+        for (t <- Seq(aT, cT, mT, DedupPrepare.capAuditName(mT)))
+          s.sql(s"DROP TABLE IF EXISTS $t")
+        Similarity.ivfMembers(s, dir).count()
+        // batch-stamped marker on the NEW audit table: a replayed
+        // delivery of this batch must see it as absorbed (the recluster
+        // already folded the batch in) instead of re-admitting it
+        findIvf(s, dir).foreach { case (_, _, mNew, _) =>
+          val keptB = s.table(mNew).filter(col("vec_id") >= bMin).count()
+          val nB = batch.count()
+          DedupPrepare.writeCapAudit(s, mNew,
+            DedupPrepare.CapAudit(s"ivfmem/append@$bMin", cap.toLong,
+              0L, 0L, nB, keptB, nB - keptB), mode = "append")
+        }
+      }
+      return Seq(LayerDelta("ivfindex", "reclustered", nNow, secs))
+    }
+
+    val centOld = s.table(cT)
+    val b = Seq.newBuilder[LayerDelta]
+
+    // 1) assignment: map-side E-step against the FROZEN centroids
+    val assigned = Present.pooled(batch.select(col("vec_id"),
+      col("embedding"),
+      Similarity.bestCellCol(s, centOld, col("embedding"),
+        lit(-1).cast("int")).as("cell")))
+    if (replay && assignMax.exists(_ >= bMin))
+      b += LayerDelta("ivfassign", "replayed", 0L, 0.0)
+    else {
+      val (n, secs) = timed {
+        DedupPrepare.writeBucketed(
+          assigned.select(col("vec_id"), col("cell")), aT,
+          Seq("vec_id"), Seq("vec_id"), mode = "append")
+        assigned.count()
+      }
+      b += LayerDelta("ivfassign", "appended", n, secs)
+    }
+
+    // 2) membership admission under cap/spill vs the STANDING counts;
+    //    idempotent under replay via the batch-stamped audit row (a
+    //    batch may legitimately leave zero member rows, so the member
+    //    table itself cannot witness absorption)
+    val auditLayer = s"ivfmem/append@$bMin"
+    val auditAbsorbed = replay &&
+      s.catalog.tableExists(DedupPrepare.capAuditName(mT)) &&
+      !s.table(DedupPrepare.capAuditName(mT))
+        .filter(col("layer") === auditLayer).isEmpty
+    if (auditAbsorbed) b += LayerDelta("ivfmem", "replayed", 0L, 0.0)
+    else {
+      val (kept, secs) = timed {
+        val oldCnt = s.table(mT).groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_old"))
+        val wP = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+        // primary admission: batch-sized window, room = cap − standing
+        val ranked = Present.pooled(assigned
+          .withColumn("rn", row_number().over(wP))
+          .join(oldCnt, Seq("cell"), "left")
+          .withColumn("room",
+            lit(cap.toLong) - coalesce(col("n_old"), lit(0L))))
+        val keptP = Present.pooled(
+          ranked.filter(col("rn") <= col("room"))
+            .select(col("cell"), col("vec_id"), col("embedding")))
+        // spill: overflow re-routed to its best OTHER cell (same kernel,
+        // primary excluded; -1 = nowhere to go = lost, audited)
+        val ovf = ranked.filter(col("rn") > col("room"))
+          .select(col("vec_id"), col("embedding"),
+            col("cell").as("pcell"))
+        val spilled = ovf.select(col("vec_id"), col("embedding"),
+          Similarity.bestCellCol(s, centOld, col("embedding"),
+            col("pcell")).as("cell"))
+          .filter(col("cell") >= 0)
+        val primAdm = keptP.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_new"))
+        val spRanked = Present.pooled(spilled
+          .withColumn("rn", row_number().over(wP))
+          .join(oldCnt, Seq("cell"), "left")
+          .join(primAdm, Seq("cell"), "left")
+          .withColumn("room2", lit(cap.toLong) -
+            coalesce(col("n_old"), lit(0L)) -
+            coalesce(col("n_new"), lit(0L))))
+        val keptS = spRanked.filter(col("rn") <= col("room2"))
+          .select(col("cell"), col("vec_id"), col("embedding"))
+        val kept = Present.pooled(keptP.unionByName(keptS))
+        val memRows = kept.withColumn("nn2",
+          call_function("grid_dot", col("embedding"), col("embedding")))
+          .select(col("cell"), col("vec_id"), col("embedding"), col("nn2"))
+        DedupPrepare.writeBucketed(memRows, mT, Seq("cell"),
+          Seq("cell", "vec_id"), mode = "append")
+        // truncation audit, batch-stamped (doubles as the replay marker):
+        // keysCapped = distinct cells where admission rejected ≥1 row
+        // (primary overflow cells ∪ spill-rejected cells)
+        val nIn = assigned.count()
+        val nKept = kept.count()
+        val cells = assigned.select(col("cell")).distinct().count()
+        val cellsCapped = ranked.filter(col("rn") > col("room"))
+          .select(col("cell"))
+          .union(spRanked.filter(col("rn") > col("room2"))
+            .select(col("cell")))
+          .distinct().count()
+        DedupPrepare.writeCapAudit(s, mT,
+          DedupPrepare.CapAudit(auditLayer, cap.toLong, cells,
+            cellsCapped, nIn, nKept, nIn - nKept),
+          mode = "append")
+        nKept
+      }
+      b += LayerDelta("ivfmem", "appended", kept, secs)
+    }
+
+    // 3) centroids FROZEN: alias the new fingerprint's expected names at
+    //    the standing tables so every ensure() consumer reads them
+    val kNew = Similarity.ivfCells(s, dir)
+    val expect = Map(
+      "ivfassign" -> (s"_k${kNew}r${Similarity.IvfRounds}", aT),
+      "ivfcent" -> (s"_k${kNew}r${Similarity.IvfRounds}", cT),
+      "ivfmem" -> (s"_k${kNew}c$cap", mT))
+    for ((fam, (variant, actual)) <- expect) {
+      val newName = DedupPrepare.naming(s, fam, dir, variant,
+        fpFile = "embeddings.parquet")._2
+      DedupPrepare.aliasLayer(newName, actual)
+      s.catalog.refreshTable(actual)
+    }
+    b += LayerDelta("ivfcent", "frozen", 0L, 0.0)
+    b.result()
+  }
+
+  /** Standing max vec_id of an embeddings corpus (footer-stats read,
+    * like [[maxDocId]]). */
+  private def maxVecId(s: SparkSession, path: String): Long = {
+    val flag = "spark.sql.parquet.aggregatePushdown"
+    val prev = s.conf.getOption(flag)
+    try {
+      s.conf.set(flag, "true")
+      val r = s.read.parquet(path).agg(max(col("vec_id"))).head()
+      if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+    } finally prev match {
+      case Some(v) => s.conf.set(flag, v)
+      case None    => s.conf.unset(flag)
+    }
+  }
+
+  /** One micro-batch of the vector ingest loop — [[ingestBatch]]'s twin
+    * for the embeddings corpus: append the arrivals into
+    * `<dir>/embeddings.parquet` (exactly-once under at-least-once
+    * delivery via the footer-stats max, like the doc path), then absorb
+    * them into the standing IVF index at batch cost. */
+  def ingestVectorBatch(s: SparkSession, batch: DataFrame,
+      dir: String): Seq[LayerDelta] = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    graft.functions.GraftFunctions.register(s)
+    val arrivals = batch.persist()
+    try {
+      val mm = arrivals.agg(min(col("vec_id")), max(col("vec_id"))).head()
+      if (mm.isNullAt(0)) Nil
+      else {
+        val (bMin, bMax) = (mm.getLong(0), mm.getLong(1))
+        val corpusMax = maxVecId(s, s"$dir/embeddings.parquet")
+        if (corpusMax >= bMax)
+          appendIngestVectors(s, dir, arrivals, replay = true)
+        else if (corpusMax >= bMin)
+          sys.error(s"ingestVectorBatch: batch id range [$bMin,$bMax] " +
+            s"partially overlaps corpus max $corpusMax — not a clean " +
+            "replay, and ids must be fresh; refusing to append")
+        else {
+          arrivals.write.mode("append").parquet(s"$dir/embeddings.parquet")
+          appendIngestVectors(s, dir, arrivals)
+        }
+      }
+    } finally arrivals.unpersist(blocking = false)
+  }
+
+  /** [[maintainStream]]'s twin for the vector corpus: each micro-batch
+    * of embedding arrivals is appended into the corpus and absorbed
+    * into the standing IVF index inside `foreachBatch` — assign to
+    * frozen centroids, admit under cap/spill, recluster only on the
+    * drift trigger. Caller contract: fresh, strictly increasing
+    * vec_ids. */
+  def maintainVectorStream(s: SparkSession, vecs: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        ingestVectorBatch(s, b.toDF(), dir); ()
+      }
+      .start()
 
   // ---------------------------------------------------------- streaming
 

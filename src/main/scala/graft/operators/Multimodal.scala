@@ -158,8 +158,23 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------- mm01
-  /** Binary ingest → typed batched decode → metadata table. */
-  def mm01(s: SparkSession, dir: String): DataFrame = {
+  /** Binary ingest → typed batched decode → metadata table.
+    *
+    * Since r14 (verdict #2, the layer doctrine finished on the mm
+    * family): the header decode runs ONCE at [[pixelLayer]] write time —
+    * serving is a projection of the layer's metadata columns, the
+    * per-query re-decode (12.3 s warm at sf10) is gone. */
+  def mm01(s: SparkSession, dir: String): DataFrame =
+    Present.sorted(
+      pixelLayer(s, dir).select(col("doc_id"), col("mime"), col("n_bytes"),
+        col("meta_md5").as("content_md5"), col("meta_w").as("width"),
+        col("meta_h").as("height"), col("meta_nc").as("channels"),
+        col("n_pixels")),
+      "doc_id")
+
+  /** The PRE-LAYER mm01 (per-query header decode), kept for the same-box
+    * A/B — see [[mm04Legacy]]. Not registered in [[qs]]. */
+  private[graft] def mm01Legacy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
@@ -189,6 +204,18 @@ object Multimodal {
     * only: sequence+explode never shuffles.
     */
   def mm02(s: SparkSession, dir: String): DataFrame =
+    // since r14 (verdict #2): the per-frame md5s are LAYER COLUMNS
+    // (deterministic per doc — computed once at pixelLayer write);
+    // serving explodes the hash array map-side, paying only the explode
+    pixelLayer(s, dir)
+      .select(col("doc_id"), col("n_frames"),
+        posexplode(col("frame_hashes")).as(Seq("p", "frame_hash")))
+      .select(col("doc_id"), col("n_frames"),
+        (col("p") * 10).cast("int").as("frame_idx"), col("frame_hash"))
+      .transform(Present.sorted(_, "doc_id", "frame_idx"))
+
+  /** The PRE-LAYER mm02 (per-query frame md5s) — see [[mm04Legacy]]. */
+  private[graft] def mm02Legacy(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("n_frames", (col("n_chars") % 240 + 1).cast("int"))
       .select(col("doc_id"), col("n_frames"),
@@ -222,6 +249,23 @@ object Multimodal {
       out_pixels: Long, upscaled: Int)
 
   def mm03(s: SparkSession, dir: String): DataFrame = {
+    // since r14 (verdict #2): the header dims the resize plan reads are
+    // layer columns — serving is pure codegen'd integer column math
+    // over the layer scan (no payload re-scan, no typed map)
+    val minSide = least(col("meta_w"), col("meta_h")).cast("long")
+    val ow = (col("meta_w").cast("long") * ShortSide / minSide).cast("long").cast("int")
+    val oh = (col("meta_h").cast("long") * ShortSide / minSide).cast("long").cast("int")
+    Present.sorted(
+      pixelLayer(s, dir).select(col("doc_id"),
+        col("meta_w").as("width"), col("meta_h").as("height"),
+        ow.as("out_w"), oh.as("out_h"),
+        (ow.cast("long") * oh.cast("long")).as("out_pixels"),
+        (minSide < ShortSide).cast("int").as("upscaled")),
+      "doc_id")
+  }
+
+  /** The PRE-LAYER mm03 (per-query header decode) — see [[mm04Legacy]]. */
+  private[graft] def mm03Legacy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
@@ -428,20 +472,39 @@ object Multimodal {
     decodePngPixels(p).orElse(JpegCodec.decodePixels(p))
 
   // ------------------------------------------------- decoded-pixel layer
-  /** One decoded image, reduced to everything the serving family reads:
-    * container dimensions/channels, exact integer pixel sums/extrema
-    * (mm04's feature inputs), the decoded-stream md5 (mm04's consumed
-    * fingerprint), and the dHash halves (mm05's perceptual signature).
-    * `decoded=0` marks the degrade row for an unparseable payload
-    * (content_md5 is then the BODY hash the metadata decoder computes,
-    * feeding mm04's deterministic hash-stub features; the perceptual
-    * hash is 0/0 — such a payload has no pixels to hash). */
+  /** One decoded media document, reduced to everything the serving
+    * family reads:
+    *  - PIXEL half (mm04/mm05): container dimensions/channels, exact
+    *    integer pixel sums/extrema (mm04's feature inputs), the
+    *    decoded-stream md5 (mm04's consumed fingerprint), and the dHash
+    *    halves (mm05's perceptual signature). `decoded=0` marks the
+    *    degrade row for an unparseable payload (content_md5 is then the
+    *    BODY hash the metadata decoder computes, feeding mm04's
+    *    deterministic hash-stub features; the perceptual hash is 0/0 —
+    *    such a payload has no pixels to hash).
+    *  - METADATA half (mm01/mm03, r13 verdict #2): the header decode of
+    *    the metadata container ([[decodeOne]] over the bytes — mime
+    *    sniff, header dims/channels, body fingerprint, byte count),
+    *    computed once at layer write instead of re-run per serving
+    *    query.
+    *  - FRAME half (mm02): the sampled per-frame content hashes (every
+    *    10th frame), deterministic per doc — one md5 per sampled frame
+    *    paid at layer write; serving explodes the array map-side. */
   final case class PixelLayerRow(doc_id: Long, w: Int, h: Int, nc: Int,
       s0: Long, s1: Long, s2: Long, s3: Long, st: Long, mn: Int, mx: Int,
-      content_md5: String, phash_hi: Long, phash_lo: Long, decoded: Int)
+      content_md5: String, phash_hi: Long, phash_lo: Long, decoded: Int,
+      mime: String, n_bytes: Long, meta_md5: String, meta_w: Int,
+      meta_h: Int, meta_nc: Int, n_pixels: Long, n_frames: Int,
+      frame_hashes: Array[Long])
+
+  /** Sampled frame indices of an n-frame clip: 0, 10, ... (mm02's
+    * every-10th-frame contract). */
+  private def frameHashesOf(id: Long, nFrames: Int): Array[Long] =
+    Array.tabulate((nFrames + 9) / 10)(p => h60OfString(s"$id:${p * 10}"))
 
   private def layerRowOf(id: Long, w: Int, h: Int, ch: Int,
-      px: Array[Byte]): PixelLayerRow = {
+      px: Array[Byte], meta: MediaMeta, nFrames: Int,
+      fh: Array[Long]): PixelLayerRow = {
     val sums = new Array[Long](4)
     var tot = 0L
     var mn = 255
@@ -458,7 +521,9 @@ object Multimodal {
     val md = md5Hex(csv.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val (hi, lo) = dhashHalves(w, h, ch, px)
     PixelLayerRow(id, w, h, ch, sums(0), sums(1), sums(2), sums(3), tot,
-      mn, mx, md, hi, lo, 1)
+      mn, mx, md, hi, lo, 1,
+      meta.mime, meta.n_bytes, meta.content_md5, meta.width, meta.height,
+      meta.channels, meta.n_pixels, nFrames, fh)
   }
 
   /** The decoded-pixel BUILT LAYER (r12 verdict #1): before it, mm04 and
@@ -484,25 +549,38 @@ object Multimodal {
       () => {
         import s.implicits._
         Tables.documents(s, dir)
-          .select(col("doc_id"), col("n_chars"))
-          .as[(Long, Long)]
-          .mapPartitions { it =>
-            it.grouped(DecodeBatch).flatMap(_.map { case (id, n) =>
-              val payload = if (id % 2 == 0) pngPixelPayload(id, n)
-                            else jpegPixelPayload(id, n)
-              decodePixels(payload) match {
-                case Some((w, h, ch, px)) => layerRowOf(id, w, h, ch, px)
-                case None =>
-                  val bodyMd5 =
-                    decodeBatches(Iterator(MediaIn(id, "", payload)))
-                      .next().content_md5
-                  PixelLayerRow(id, 0, 0, 0, 0L, 0L, 0L, 0L, 0L, 0, 0,
-                    bodyMd5, 0L, 0L, 0)
-              }
-            })
-          }.toDF()
+          .select(col("doc_id"), col("text"), col("n_chars"))
+          .as[(Long, String, Long)]
+          .mapPartitions(pixelLayerRows)
+          .toDF()
       },
-      Seq("doc_id"), Seq("doc_id"))
+      Seq("doc_id"), Seq("doc_id"), variant = "_v2")
+
+  /** The per-partition layer-build kernel: decode the pixel payload,
+    * header-decode the metadata container, hash the sampled frames —
+    * one pass per doc, shared by the corpus build above and
+    * [[LayerMaintenance]]'s batch-sized ingest append. */
+  private[graft] def pixelLayerRows(
+      it: Iterator[(Long, String, Long)]): Iterator[PixelLayerRow] =
+    it.grouped(DecodeBatch).flatMap(_.map { case (id, text, n) =>
+      val meta = decodeOne(MediaIn(id, "", synthPayload(id, text, n)))
+      val nFrames = (n % 240 + 1).toInt
+      val fh = frameHashesOf(id, nFrames)
+      val payload = if (id % 2 == 0) pngPixelPayload(id, n)
+                    else jpegPixelPayload(id, n)
+      decodePixels(payload) match {
+        case Some((w, h, ch, px)) =>
+          layerRowOf(id, w, h, ch, px, meta, nFrames, fh)
+        case None =>
+          val bodyMd5 =
+            decodeBatches(Iterator(MediaIn(id, "", payload)))
+              .next().content_md5
+          PixelLayerRow(id, 0, 0, 0, 0L, 0L, 0L, 0L, 0L, 0, 0,
+            bodyMd5, 0L, 0L, 0,
+            meta.mime, meta.n_bytes, meta.content_md5, meta.width,
+            meta.height, meta.channels, meta.n_pixels, nFrames, fh)
+      }
+    })
 
   // ---------------------------------------------------------------- mm04
   /** Feature extraction — REAL pixel statistics for BOTH containers
@@ -653,7 +731,9 @@ object Multimodal {
           val payload = if (id % 2 == 0) pngPixelPayload(id, n)
                         else jpegPixelPayload(id, n)
           val Some((w, h, ch, px)) = decodePixels(payload)
-          val r = layerRowOf(id, w, h, ch, px)
+          // metadata/frame halves unused by featuresOf — dummy them
+          val r = layerRowOf(id, w, h, ch, px,
+            MediaMeta(id, "", 0L, "", 0, 0, 0, 0L), 0, Array.empty)
           featuresOf(r, wEnc)
         })
       }.toDF().transform(Present.sorted(_, "doc_id"))

@@ -201,7 +201,7 @@ object Similarity {
     * map-side E-step ([[graft.functions.CellArgmin]]); `exclude` names
     * a column holding a cell to skip (the spill router's primary), or
     * lit(-1) for none. */
-  private def bestCellCol(s: SparkSession, cent: DataFrame,
+  private[operators] def bestCellCol(s: SparkSession, cent: DataFrame,
       embedding: Column, exclude: Column): Column = {
     import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
     val bc = s.sparkContext.broadcast(collectCentModel(cent))
@@ -244,14 +244,14 @@ object Similarity {
     * centroids are recomputed FROM the final assignment (the standard
     * closing M-step), so the centroid layer derives from the
     * materialized assignment layer and the two agree. */
-  private[operators] def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfAssign(s: SparkSession, dir: String): DataFrame = {
     val k = ivfCells(s, dir)
     DedupPrepare.ensure(s, "ivfassign", dir, () => kmeansAssign(s, dir, k),
       Seq("vec_id"), Seq("vec_id"),
       variant = s"_k${k}r$IvfRounds", fpFile = "embeddings.parquet")
   }
 
-  private def ivfCent(s: SparkSession, dir: String): DataFrame =
+  private[graft] def ivfCent(s: SparkSession, dir: String): DataFrame =
     DedupPrepare.ensure(s, "ivfcent", dir,
       () => centroidsOf(explodedEl(s, dir), ivfAssign(s, dir)),
       Seq("cell"), Seq("cell", "pos"),

@@ -33,7 +33,12 @@ object IvfPqSweep {
     val nq = exact.map(_._1).size
     println(s"[sweep] $tag exact baseline: ${exact.size} pairs over $nq queries")
 
-    val settings = for (np <- Seq(1, 2, 4); sl <- Seq(32, 128)) yield (np, sl)
+    // r14 (verdict #5): the r13 corpus-proportional cells moved the
+    // operating point (~500-member cells); sweep the shortlist up to 512
+    // at nprobe 1/2 to find where ADC ranking error stops starving the
+    // exact rerank
+    val settings = for (np <- Seq(1, 2); sl <- Seq(32, 128, 256, 512))
+      yield (np, sl)
     val rows = settings.map { case (np, sl) =>
       val candPerQ = Similarity.ivfPqCandidates(spark, sfDir, np).count().toDouble / nq
       val t0 = System.nanoTime()

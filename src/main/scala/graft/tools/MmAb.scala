@@ -30,6 +30,12 @@ object MmAb {
 
     for ((name, shipped, legacy) <- Seq[
         (String, () => DataFrame, () => DataFrame)](
+      ("mm01", () => Multimodal.mm01(spark, sfDir),
+        () => Multimodal.mm01Legacy(spark, sfDir)),
+      ("mm02", () => Multimodal.mm02(spark, sfDir),
+        () => Multimodal.mm02Legacy(spark, sfDir)),
+      ("mm03", () => Multimodal.mm03(spark, sfDir),
+        () => Multimodal.mm03Legacy(spark, sfDir)),
       ("mm04", () => Multimodal.mm04(spark, sfDir),
         () => Multimodal.mm04Legacy(spark, sfDir)),
       ("mm05", () => Multimodal.mm05(spark, sfDir),

@@ -34,7 +34,7 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     s"alpha bravo charlie tok$i delta echo tok${i % 7} foxtrot golf " +
       s"hotel tok${i % 13} india juliet"
 
-  private def layers = Seq("shingles3", "minhash", "lshbands", "unifreq")
+  private def layers = Seq("shingles3", "minhash", "lshbands", "unifreq", "pixels")
 
   private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.mkString("|")).sorted.toSeq
@@ -61,7 +61,7 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     // append cost (observed flake in the full run)
     val appendSecs = report.map(_.secs).sum
     assert(report.map(_.action).sorted ==
-      Seq("appended", "appended", "appended", "merged"))
+      Seq("appended", "appended", "appended", "appended", "merged"))
 
     // from-scratch reference: corpus v2 built in one shot
     writeDocs(dirB, v1 ++ batch, "overwrite")
@@ -90,7 +90,8 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     assert(preName != expected, "append should alias, not re-key")
 
     val creport = LayerMaintenance.compact(spark, dirA)
-    assert(creport.map(_.action) == Seq("compacted", "compacted", "compacted"))
+    assert(creport.map(_.action) ==
+      Seq("compacted", "compacted", "compacted", "compacted"))
     for (f <- layers) {
       assert(sortedRows(LayerMaintenance.maintainedLayer(spark, dirA, f)) ==
         sortedRows(LayerMaintenance.maintainedLayer(spark, dirB, f)),
@@ -202,7 +203,8 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
 
     // first delivery: normal ingest
     val r1 = LayerMaintenance.ingestBatch(spark, batch, dir)
-    assert(r1.map(_.action).sorted == Seq("appended", "appended", "appended", "merged"))
+    assert(r1.map(_.action).sorted ==
+      Seq("appended", "appended", "appended", "appended", "merged"))
     val corpus1 = sortedRows(spark.read.parquet(s"$dir/documents.parquet"))
     val layers1 = layers.map(f =>
       f -> sortedRows(LayerMaintenance.maintainedLayer(spark, dir, f))).toMap
@@ -211,7 +213,8 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     // append skipped, every layer absorption skipped — nothing changes
     val r2 = LayerMaintenance.ingestBatch(spark, batch, dir)
     assert(r2.map(_.action).sorted ==
-      Seq("replayed", "replayed", "replayed", "unchanged"), r2.toString)
+      Seq("replayed", "replayed", "replayed", "replayed", "unchanged"),
+      r2.toString)
     assert(sortedRows(spark.read.parquet(s"$dir/documents.parquet")) == corpus1)
     for (f <- layers)
       assert(sortedRows(LayerMaintenance.maintainedLayer(spark, dir, f)) ==
@@ -236,7 +239,8 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     val r = LayerMaintenance.ingestBatch(spark,
       arrivals.toDF("doc_id", "text", "lang", "source", "n_chars"), dirC)
     assert(r.map(_.action).sorted ==
-      Seq("appended", "appended", "appended", "merged"), r.toString)
+      Seq("appended", "appended", "appended", "appended", "merged"),
+      r.toString)
 
     // corpus has exactly one copy, layers equal a from-scratch rebuild
     writeDocs(dirR, arrivals, "append")
@@ -283,7 +287,7 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     val report = LayerMaintenance.ingestBatch(spark,
       (arrivals :+ junk).toDF("doc_id", "text", "lang", "source", "n_chars"), dirB)
     assert(report.map(_.action).sorted ==
-      Seq("appended", "appended", "appended", "merged"))
+      Seq("appended", "appended", "appended", "appended", "merged"))
 
     // REBUILD path: corpus v2 built from scratch
     writeDocs(dirR, v1 ++ arrivals, "overwrite")
