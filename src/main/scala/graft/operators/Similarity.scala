@@ -1063,16 +1063,20 @@ object Similarity {
     * inside the routed cell by construction: ADC only has to get the
     * true neighbors into the top-[[IvfPqShortlist]], not rank them.
     *
-    * Operating point (r12, from the committed clustered-corpus sweep
-    * `IVFPQ_SWEEP_SF1_CLUSTERED.json`): shortlist 128, nprobe 1. At 32
-    * the ADC shortlist STARVED the rerank (recall@5 0.22 at every
-    * nprobe); 128 recovers exact-in-cell recall (0.54 — the ivf1/ivf2
-    * ceiling, so the residual gap is routing/cap, not ADC), while
-    * nprobe 2/4 cost 2–4× the ADC rows for zero recall gain. Cost of
-    * the widening: +96 raw-vector rerank reads per query — noise next
-    * to the (N/cells)-row ADC scan.
+    * Operating point (r14, from the committed clustered-corpus sweep
+    * `IVFPQ_SWEEP_SF1_CLUSTERED_R14.json`): shortlist 256, nprobe 1.
+    * History: at 32 the ADC shortlist STARVED the rerank (recall@5 0.22
+    * at every nprobe — r11); 128 was sized for r12's 1000-member cells;
+    * r13's corpus-proportional cells (~500 members) moved the operating
+    * point and left ivfpq at 0.88 vs ivf1's 0.98 — ADC ranking error
+    * within the cell. The r14 sweep isolates it exactly: at identical
+    * ADC cost (625 candidate rows/query, the whole routed cell),
+    * shortlist 256 reaches 0.98 (= the exact-in-cell ivf1 ceiling;
+    * nprobe 2 + sl 256 reads 1.00) and 512 adds nothing. Cost of the
+    * widening: +128 raw-vector rerank reads per query — noise next to
+    * the (N/cells)-row ADC scan.
     */
-  val IvfPqShortlist = 128
+  val IvfPqShortlist = 256
 
   def ss07(s: SparkSession, dir: String): DataFrame =
     ivfPq(s, dir, nprobe = 1, shortlist = IvfPqShortlist)

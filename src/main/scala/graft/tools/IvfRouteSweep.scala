@@ -173,8 +173,12 @@ object IvfRouteSweep {
         .agg(count(lit(1)).as("n")).filter(col("n") >= cap).count()
       val r1 = recallAt(members, cf, cfn, 1)
       val r2 = recallAt(members, cf, cfn, 2)
+      // nprobe 4 (r14): on natural-geometry corpora the recall limiter
+      // is cell-boundary routing, not capacity — the np4 column shows
+      // where the serving dial saturates
+      val r4 = recallAt(members, cf, cfn, 4)
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"""{"cells":$k,"cap":$cap,"spill":$spill,"recall5_np1":$r1%.3f,"recall5_np2":$r2%.3f,"members_kept":$nKept,"members_lost":${nEmb - nKept},"cells_at_cap":$cellsAtCap,"wall_sec":$secs%.1f}""")
+      println(f"""{"cells":$k,"cap":$cap,"spill":$spill,"recall5_np1":$r1%.3f,"recall5_np2":$r2%.3f,"recall5_np4":$r4%.3f,"members_kept":$nKept,"members_lost":${nEmb - nKept},"cells_at_cap":$cellsAtCap,"wall_sec":$secs%.1f}""")
       members.unpersist(); a.unpersist(); cf.unpersist(); cfn.unpersist()
     }
     spark.stop()

@@ -9,11 +9,22 @@ import org.apache.spark.sql.functions._
   * guard the operators against synthetic-Zipf overfitting: langid hit
   * rate on real English, gate drop-rate mix, quality-score spread, BPE
   * fertility under the committed 32k artifact, perplexity spread, and
-  * dd04↔dd12 top-pair agreement. usage: NaturalAudit <naturalDir>
+  * dd04↔dd12 top-pair agreement.
+  *
+  * r14 additions: pass a merges parquet as the second arg to ALSO
+  * serve ta17 from that trained table via the ta17With swap hook (the
+  * r13 fertility-5.26 finding was measured under a dev lexicon; the
+  * natural-trained 32k artifact is the honest number), and when the
+  * corpus carries the hashed-BoW natural embeddings
+  * (gen_natural.py --emb-bow) the audit prints the ANN/dd07/dd10
+  * numbers on vectors with REAL cluster structure — the last family
+  * whose quality numbers rested entirely on synthetic geometry.
+  * usage: NaturalAudit <naturalDir> [mergesParquet]
   */
 object NaturalAudit {
   def main(args: Array[String]): Unit = {
     val dir = args.head
+    val mergesPath = args.lift(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,6 +74,36 @@ object NaturalAudit {
 
     val dd05 = q("dd05_simhash_sig").select(col("simhash")).distinct().count()
     println(s"dd05 simhash: $dd05 distinct signatures")
+
+    // ta17 under an explicitly trained merge table (the natural 32k
+    // artifact): fertility + coverage without the dev-lexicon caveat
+    for (mp <- mergesPath) {
+      graft.functions.GraftFunctions.register(spark)
+      import graft.operators.TextAnalysis
+      val words = graft.Tables.documents(spark, dir)
+        .select(explode(call_function("tok_split", col("text"))).as("tok"))
+        .filter(col("tok") =!= "").distinct()
+      val lex = TextAnalysis.bpeWordsFrom(spark, words,
+        spark.read.parquet(mp))
+      val f = TextAnalysis.ta17With(spark, dir, lex)
+        .agg(sum("n_bpe").cast("double"), sum("n_tokens").cast("double"),
+          count(lit(1))).head()
+      println(f"ta17 bpe (trained table $mp): " +
+        f"fertility=${f.getDouble(0) / f.getDouble(1)}%.3f over " +
+        f"${f.getLong(2)} docs")
+    }
+
+    // ANN / embedding-family audit on the hashed-BoW natural vectors:
+    // exact-dup texts are identical vectors by construction, so the
+    // geometry carries the corpus's real duplicate structure
+    val dd07 = q("dd07_embed_cosine_neardup").collect()
+    val tight = dd07.count(_.getAs[Double]("cosine") >= 0.999)
+    println(s"dd07 top-${dd07.length}: $tight pairs at cosine>=0.999")
+    val dd10 = q("dd10_semantic_clusters")
+    val cstats = dd10.agg(countDistinct(col("cluster_id")),
+      max(col("cluster_size")), count(lit(1))).head()
+    println(s"dd10 clusters: ${cstats.getLong(0)} clusters over " +
+      s"${cstats.getLong(2)} member rows, max size ${cstats.getLong(1)}")
     spark.stop()
   }
 }

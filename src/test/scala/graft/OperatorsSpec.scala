@@ -1002,10 +1002,11 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(r1 >= 0.8, s"ivf1 recall $r1 — learned cells failed clusterable data")
     assert(r2 >= r1 - 1e-9)
     // IVF-PQ's exact rerank must recover IVF-alone recall here: the
-    // 25-member true cells fit the 128-candidate ADC shortlist (the r12
-    // operating point from the committed clustered-corpus sweep), so
-    // the composed index cannot degrade below the coarse route at all —
-    // this is the operating-point pin on the separable fixture
+    // 25-member true cells fit the 256-candidate ADC shortlist (the r14
+    // operating point from the committed clustered-corpus sweep, sized
+    // for the corpus-proportional ~500-member cells), so the composed
+    // index cannot degrade below the coarse route at all — this is the
+    // operating-point pin on the separable fixture
     assert(rivfpq >= r1 - 1e-9,
       s"ivfpq recall $rivfpq < ivf1 recall $r1 — rerank lost the cell")
   }

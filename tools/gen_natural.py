@@ -20,9 +20,21 @@ expects (single spaces, printable ASCII kept, the rest dropped) so
 DuckDB string functions and UTF8String byte walks agree trivially.
 
 Usage: python3 tools/gen_natural.py testdata/natural [--siblings <sfdir>]
+                                                     [--emb-bow]
 (--siblings copies the non-documents tables from an existing sf corpus
 so the oracle checker's 10 table views all resolve; the text-family
 queries never read them.)
+
+--emb-bow (r13 verdict #6): instead of copying the sibling's SYNTHETIC
+embeddings, derive a deterministic hashed bag-of-words projection of
+the natural documents themselves — 64-dim SimHash-style random
+projection (per-token weight vectors from md5, averaged over the doc's
+tokens). Zero egress, fully deterministic, and the vectors inherit the
+corpus's REAL cluster structure: exact-dup license texts map to
+identical vectors, boilerplate near-dups to near-identical ones — the
+geometry the ANN/dd07/dd10 family had only ever been audited on
+synthetically. Both engines read the same parquet floats, so every ss
+oracle runs unchanged.
 Builder-side dev tool (driver python env), not part of the library.
 """
 import glob
@@ -94,3 +106,44 @@ total = sum(len(t) for t in texts)
 words = sum(len(t.split()) for t in texts)
 print(f"{len(docs)} docs, {total/1e6:.1f} Mchars, {words/1e3:.0f} kwords, "
       f"{len(set(texts))} distinct texts -> {out}/documents.parquet")
+
+if "--emb-bow" in sys.argv:
+    import hashlib
+    import struct
+    DIM = 64
+    wcache = {}
+
+    def tokw(tok):
+        # 64 per-token weights in [-1, 1] from 8 md5 digests (8 dims per
+        # 16-byte digest via int16 pairs) — one cache entry per distinct
+        # token, deterministic across runs/engines
+        w = wcache.get(tok)
+        if w is None:
+            buf = b"".join(hashlib.md5(f"{tok}:{b}".encode()).digest()
+                           for b in range(DIM // 8))
+            ints = struct.unpack(f"<{DIM}h", buf[:DIM * 2])
+            w = [v / 32768.0 for v in ints]
+            wcache[tok] = w
+        return w
+
+    vecs = []
+    for t in texts:
+        toks = t.lower().split()
+        acc = [0.0] * DIM
+        for tok in toks:
+            w = tokw(tok)
+            for j in range(DIM):
+                acc[j] += w[j]
+        # float32 round-trip so the parquet floats are the ground truth
+        vecs.append([struct.unpack("<f", struct.pack("<f", a / len(toks)))[0]
+                     for a in acc])
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([sum(s.encode()) % 20 for _, s in docs], pa.int32()),
+    }), f"{out}/embeddings.parquet")
+    import collections
+    dup = collections.Counter(tuple(v) for v in vecs)
+    print(f"bow embeddings: {len(vecs)} x {DIM}, "
+          f"{sum(c for c in dup.values() if c > 1)} vectors in exact-dup "
+          f"groups -> {out}/embeddings.parquet")
