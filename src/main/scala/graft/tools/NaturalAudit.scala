@@ -96,7 +96,7 @@ object NaturalAudit {
     // ANN / embedding-family audit on the hashed-BoW natural vectors:
     // exact-dup texts are identical vectors by construction, so the
     // geometry carries the corpus's real duplicate structure
-    val dd07 = q("dd07_embed_cosine_neardup").collect()
+    val dd07 = q("dd07_embedding_neardup").collect()
     val tight = dd07.count(_.getAs[Double]("cosine") >= 0.999)
     println(s"dd07 top-${dd07.length}: $tight pairs at cosine>=0.999")
     val dd10 = q("dd10_semantic_clusters")
