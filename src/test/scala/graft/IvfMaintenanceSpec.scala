@@ -113,7 +113,8 @@ class IvfMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     val perCell = Similarity.ivfMembers(spark, dir)
       .groupBy("cell").count().collect()
     assert(perCell.forall(_.getLong(1) <= Dedup.BucketCap.toLong))
-    val audit = spark.table(DedupPrepare.capAuditName(physicalOf("ivfmem")))
+    val audit = spark.table(
+      DedupPrepare.capAuditName(physicalOf("ivfmem", dir)))
       .filter(col("layer") === "ivfmem/append@9000")
       .collect()
     assert(audit.length == 1)
@@ -159,13 +160,15 @@ class IvfMaintenanceSpec extends AnyFunSuite with SparkTestBase {
       "reclustered membership != from-scratch")
   }
 
-  private def physicalOf(fam: String): String = {
-    // resolve the standing physical table of an IVF family by catalog
-    // scan (any k) — the spec-side twin of the maintenance finder
+  private def physicalOf(fam: String, dir: String): String = {
+    // resolve THIS corpus's standing physical table of an IVF family by
+    // catalog scan (any k) — scoped by the dir tag, because the suite
+    // shares one session and other specs mint their own ivf tables
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24).toLowerCase
     val names = spark.catalog.listTables().collect().map(_.name).toSeq
-    names.find(n => n.contains(s"graft_prep_${fam}_") &&
+    names.find(n => n.contains(s"graft_prep_${fam}_") && n.contains(safe) &&
       n.matches(s".*_[0-9a-f]{8}_k\\d+[rc].*")).getOrElse(
-      sys.error(s"no standing $fam table"))
+      sys.error(s"no standing $fam table for $dir"))
   }
 
   test("maintainVectorStream: micro-batches absorb into the standing index") {
