@@ -197,7 +197,11 @@ object Bench {
     // `showSuccess := false`, this line is the literal final output.
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQ,"failed":$nFailed,"sf":${Json.quote(sfDir.split('/').last)}}""")
+    // canary_sec rides the compact line too (r14 verdict): adjudicating a
+    // contended driver box against a strict capture needed the verbose
+    // artifact — with the box-speed stamp inline, BENCH_rN.json
+    // self-normalizes across rounds.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQ,"failed":$nFailed,"canary_sec":${f"$canaryStart%.3f"},"sf":${Json.quote(sfDir.split('/').last)}}""")
     System.out.flush()
   }
 }

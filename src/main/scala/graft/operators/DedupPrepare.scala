@@ -370,7 +370,16 @@ object DedupPrepare {
   /** Truncation audit of a capped layer write (r9 verdict #6 — the "no
     * silent caps" rule): what the cap dropped, recorded where a user
     * can query it. One row per build (or per ingest append) of a capped
-    * layer. */
+    * layer.
+    *
+    * `keysTotal`/`keysCapped` universe is PER PRODUCER (r14 ADVICE): a
+    * full BUILD row counts over every key of the layer (the IVF build
+    * writes keys_total = k, the whole index); an APPEND row counts over
+    * the keys the BATCH touched (for the IVF ingest: distinct primary ∪
+    * spill target cells). Rows/`rowsIn`/`rowsKept`/`rowsDropped` always
+    * describe the producing job's own input, so drop accounting
+    * reconciles by summing rows per `layer` tag regardless of
+    * producer. */
   final case class CapAudit(layer: String, cap: Long, keysTotal: Long,
       keysCapped: Long, rowsIn: Long, rowsKept: Long, rowsDropped: Long)
 

@@ -363,8 +363,18 @@ object LayerMaintenance {
         fpFile = "embeddings.parquet")._1
       val pat = (java.util.regex.Pattern.quote(base) +
         "_[0-9a-f]{8}_k(\\d+)" + suffix + "$").r
-      names.flatMap(n => pat.findFirstMatchIn(n).map(m =>
-        (n, m.group(1).toInt))).headOption
+      val matches = names.flatMap(n => pat.findFirstMatchIn(n).map(m =>
+        (n, m.group(1).toInt)))
+      // at most one fingerprint generation may stand per family (r14
+      // ADVICE, low): the rebuild path sweeps siblings, so two
+      // generations coexisting means a corpus rewritten in place without
+      // a rebuild sweep — appending into an arbitrary one would target a
+      // stale index nondeterministically. Fail loudly instead.
+      require(matches.size <= 1,
+        s"findIvf: multiple standing $fam generations for $dir " +
+          s"(${matches.map(_._1).mkString(", ")}) — rewrite the corpus " +
+          "through a rebuild sweep before appending")
+      matches.headOption
     }
     for {
       (a, ka) <- find("ivfassign", s"r${Similarity.IvfRounds}")
@@ -460,10 +470,18 @@ object LayerMaintenance {
     //    batch may legitimately leave zero member rows, so the member
     //    table itself cannot witness absorption)
     val auditLayer = s"ivfmem/append@$bMin"
-    val auditAbsorbed = replay &&
-      s.catalog.tableExists(DedupPrepare.capAuditName(mT)) &&
-      !s.table(DedupPrepare.capAuditName(mT))
-        .filter(col("layer") === auditLayer).isEmpty
+    // absorption is witnessed by EITHER the batch-stamped audit marker OR
+    // batch member rows already present (r14 ADVICE, medium): member rows
+    // and the marker are two non-atomic jobs, so a crash between them
+    // leaves rows without a marker — re-running admission then would
+    // double-append every admitted (cell, vec_id). A batch that admitted
+    // ZERO rows leaves neither witness, and re-running its admission is
+    // naturally idempotent (standing counts were not changed by it).
+    val auditAbsorbed = replay && (
+      (s.catalog.tableExists(DedupPrepare.capAuditName(mT)) &&
+        !s.table(DedupPrepare.capAuditName(mT))
+          .filter(col("layer") === auditLayer).isEmpty) ||
+      !s.table(mT).filter(col("vec_id") >= bMin).isEmpty)
     if (auditAbsorbed) b += LayerDelta("ivfmem", "replayed", 0L, 0.0)
     else {
       val (kept, secs) = timed {
@@ -510,7 +528,14 @@ object LayerMaintenance {
         // (primary overflow cells ∪ spill-rejected cells)
         val nIn = assigned.count()
         val nKept = kept.count()
-        val cells = assigned.select(col("cell")).distinct().count()
+        // keys_total for an append row = distinct cells the batch TOUCHED
+        // (primary assignments ∪ spill targets) — r14 ADVICE, low: the
+        // full-build audit writes keys_total = k (every index cell), so
+        // the two producers' rows differ in universe; counting spill
+        // targets here makes the append row self-consistent (keys_capped
+        // below counts over the same primary ∪ spill universe).
+        val cells = assigned.select(col("cell"))
+          .union(spilled.select(col("cell"))).distinct().count()
         val cellsCapped = ranked.filter(col("rn") > col("room"))
           .select(col("cell"))
           .union(spRanked.filter(col("rn") > col("room2"))

@@ -135,7 +135,10 @@ if "--emb-bow" in sys.argv:
             for j in range(DIM):
                 acc[j] += w[j]
         # float32 round-trip so the parquet floats are the ground truth
-        vecs.append([struct.unpack("<f", struct.pack("<f", a / len(toks)))[0]
+        # guard: a doc with zero whitespace tokens must yield a zero vector,
+        # not a ZeroDivisionError abort (r14 ADVICE)
+        d = max(len(toks), 1)
+        vecs.append([struct.unpack("<f", struct.pack("<f", a / d))[0]
                      for a in acc])
     pq.write_table(pa.table({
         "vec_id": pa.array(range(len(vecs)), pa.int64()),
