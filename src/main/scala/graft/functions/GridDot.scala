@@ -769,7 +769,8 @@ object GraftFunctions {
     ("clf_margin",  classOf[ClfMargin],   exprs => ClfMargin(exprs(0), exprs(1))),
     ("tok_split",   classOf[TokSplit],    exprs => TokSplit(exprs(0))),
     ("gate_stats",  classOf[GateStats],   exprs => GateStats(exprs(0), exprs(1), exprs(2))),
-    ("simhash60_text", classOf[SimHash60Text], exprs => SimHash60Text(exprs(0))))
+    ("simhash60_text", classOf[SimHash60Text], exprs => SimHash60Text(exprs(0))),
+    ("tok_hash131",  classOf[TokHash131],  exprs => TokHash131(exprs(0))))
 
   def register(spark: SparkSession): Unit = {
     // idempotent: re-registering an already-present function makes Spark

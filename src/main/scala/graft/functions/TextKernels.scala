@@ -887,3 +887,45 @@ object GateStats {
     }
   }
 }
+
+/** Native Catalyst expression: the classifier feature hash as a SCALAR —
+  * `tok_hash131(tok)` returns [[ClfMargin.poly131]] of one token (the
+  * polynomial-131 code-point fold mod 1e9+7, run over the UTF-8 bytes
+  * via [[ClfMargin.poly131Utf8]]).
+  *
+  * Why it exists (round 15, the docfeats layer): [[ClfMargin]] fuses
+  * tokenize+hash+lookup per DOCUMENT, which is right for direct serving
+  * — but the vocabulary layer needs the hash of each DISTINCT token
+  * exactly once (vocab-sized, not corpus-sized), so the per-token fold
+  * must be addressable on its own. Pinned ≡ ClfMargin.poly131 in
+  * DocFeatsSpec (fixtures + fuzz, codegen on/off). */
+case class TokHash131(child: Expression) extends UnaryExpression {
+
+  import org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"tok_hash131 expects string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "tok_hash131"
+
+  /** Kernel shared by interpreted eval and codegen (called per row). */
+  def kernel(a: Any): Long =
+    ClfMargin.poly131Utf8(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def nullSafeEval(a: Any): Any = kernel(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("tokHash131", this, classOf[TokHash131].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $self.kernel($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -117,10 +117,23 @@ object Dedup {
     * 10⁸-member group cost one row per map partition, and the join-back
     * is AQE-skew-splittable — the same rule dd11's span layer follows.
     */
-  def dd01(s: SparkSession, dir: String): DataFrame = {
+  def dd01(s: SparkSession, dir: String): DataFrame =
+    // served from the docfeats layer since r15: the signature (the
+    // query's dominant map-side cost — full-text md5 over the corpus)
+    // is read back as a pruned 2-column bucketed scan instead of
+    // recomputed per query; the group/join-back shape is unchanged.
+    // dd01Legacy keeps the direct form (DocFeatsSpec pins ≡).
+    dd01Over(TextFeatures.docFeats(s, dir)
+      .select(col("doc_id"), col("sig")))
+
+  /** The pre-layer dd01 (signature computed in-query) — parity anchor. */
+  private[graft] def dd01Legacy(s: SparkSession, dir: String): DataFrame = {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-    val sigs = Tables.documents(s, dir)
-      .select(col("doc_id"), md5(norm.cast("binary")).as("sig"))
+    dd01Over(Tables.documents(s, dir)
+      .select(col("doc_id"), md5(norm.cast("binary")).as("sig")))
+  }
+
+  private def dd01Over(sigs: DataFrame): DataFrame = {
     val groups = sigs.groupBy(col("sig"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_n"))
     sigs.join(groups, "sig")
@@ -693,6 +706,18 @@ object Dedup {
   // ---------------------------------------------------------------- dd05
   /** SimHash signature table: simhash + 4 banding chunks per doc. */
   def dd05(s: SparkSession, dir: String): DataFrame =
+    // served from the docfeats layer since r15: the per-doc token
+    // hash + 60-bit majority vote (the query's whole cost) is read
+    // back instead of recomputed; chunks derive arithmetically.
+    // dd05Legacy keeps the direct kernel form (DocFeatsSpec pins ≡).
+    Present.sorted(
+      (0 to 3).foldLeft(TextFeatures.docFeats(s, dir)
+          .select(col("doc_id"), col("simhash"))) { (df, j) =>
+        df.withColumn(s"c$j", expr(s"(simhash >> ${15 * j}) & 32767"))
+      }, "doc_id")
+
+  /** The pre-layer dd05 (simhash computed in-query) — parity anchor. */
+  private[graft] def dd05Legacy(s: SparkSession, dir: String): DataFrame =
     // Present.sorted: the simhash kernel pipeline is shuffle-free, so a
     // bare orderBy would run it twice (range-bound sampling + real pass)
     Present.sorted(simhashSig(Tables.documents(s, dir)), "doc_id")

@@ -355,8 +355,14 @@ object DedupPrepare {
     * relation is worth materializing. */
   def simhashChunks(s: SparkSession, dir: String): DataFrame =
     ensure(s, "simchunks", dir,
+      // since r15 the signature comes from the docfeats layer (the
+      // same simhash60 kernel, computed once per corpus) instead of a
+      // fresh corpus-wide tokenize+hash; chunks derive arithmetically
       () => capForLayer(s, "simchunks", dir, "",
-        Dedup.simhashSig(Tables.documents(s, dir))
+        (0 to 3).foldLeft(TextFeatures.docFeats(s, dir)
+            .select(col("doc_id"), col("simhash"))) { (df, j) =>
+          df.withColumn(s"c$j", expr(s"(simhash >> ${15 * j}) & 32767"))
+        }
           .select(col("doc_id"), col("simhash"),
             explode(map_from_arrays(
               array((0 to 3).map(lit): _*),

@@ -70,7 +70,17 @@ object LayerMaintenance {
     Fam("minhash", "", Seq("doc_id"), Seq("doc_id")),
     Fam("lshbands", "", Seq("b", "bh"), Seq("b", "bh", "doc_id")),
     Fam("unifreq", "_lang", Seq("tok"), Seq("tok")),
+    // vocab BEFORE docfeats: the batch's docfeats rows are encoded
+    // against the dictionary merged in the same pass
+    Fam("tokdict", s"_s${TextFeatures.VocabStripes}", Seq("tok"), Seq("tok")),
+    Fam("docfeats", "", Seq("doc_id"), Seq("doc_id")),
     Fam("pixels", "_v2", Seq("doc_id"), Seq("doc_id")))
+
+  /** The merge-class families (vocab-sized rewrite instead of per-doc
+    * append; no doc_id column, so the per-doc replay witness and the
+    * append alias don't apply — they re-key to the post-ingest
+    * fingerprint name instead). */
+  private val MergeClass = Set("unifreq", "tokdict")
 
   /** Build every maintained layer for `dir` (the "prime the standing
     * corpus" step an ingest pipeline runs once at corpus creation). */
@@ -79,6 +89,8 @@ object LayerMaintenance {
     DedupPrepare.minhashSig(s, dir)
     DedupPrepare.lshBands(s, dir)
     TextAnalysis.langFreq(s, dir)
+    TextFeatures.vocab(s, dir)
+    TextFeatures.docFeats(s, dir)
     Multimodal.pixelLayer(s, dir)
   }
 
@@ -132,7 +144,19 @@ object LayerMaintenance {
     DedupPrepare.invalidate(dir)
     val specs = Maintained.map { f =>
       val (base, newName) = DedupPrepare.naming(s, f.family, dir, f.variant)
-      (f, base, newName, findExisting(s, base, f.variant))
+      val existing = findExisting(s, base, f.variant) match {
+        case some @ Some(_) if f.family == "docfeats" =>
+          // docfeats can only be extended when its dictionary also
+          // stands in this session; without it, leave the family
+          // UN-aliased so the next ensure() rebuilds from the updated
+          // corpus (correct, just not incremental)
+          val vocabBase = DedupPrepare.naming(s, "tokdict", dir,
+            s"_s${TextFeatures.VocabStripes}")._1
+          if (findExisting(s, vocabBase,
+            s"_s${TextFeatures.VocabStripes}").isDefined) some else None
+        case other => other
+      }
+      (f, base, newName, existing)
     }
 
     // standing max doc_id per append family, for the freshness contract
@@ -172,7 +196,7 @@ object LayerMaintenance {
           // how a replayed unifreq merge is healed: the re-key to the
           // post-ingest fingerprint name already happened)
           LayerDelta(f.family + f.variant, "unchanged", 0L, 0.0)
-        case Some(actual) if replay && f.family != "unifreq" &&
+        case Some(actual) if replay && !MergeClass(f.family) &&
             layerMax(actual).exists(_ >= bMin) =>
           // at-least-once replay (r10 ADVICE): this family already
           // absorbed the batch — the bucketed append is job-atomic, so
@@ -241,6 +265,32 @@ object LayerMaintenance {
                 DedupPrepare.writeBucketed(d, actual, f.bucketCols, f.sortCols,
                   mode = "append")
                 d.count()
+              case "tokdict" =>
+                // dictionary merge: standing ids untouched, the batch's
+                // NEW tokens ranked after each stripe's standing max
+                // (append-stability — standing docfeats/model rows stay
+                // valid). Vocab-sized rewrite under the new fingerprint
+                // name, like unifreq.
+                val merged = TextFeatures.vocabMerged(s.table(actual),
+                  TextFeatures.batchTokens(batch))
+                DedupPrepare.writeBucketed(merged, newName, f.bucketCols,
+                  f.sortCols)
+                s.sql(s"DROP TABLE IF EXISTS $actual")
+                DedupPrepare.dropAliases(base)
+                DedupPrepare.sweepStale(s, base, keep = Set(newName))
+                s.table(newName).count()
+              case "docfeats" =>
+                // per-doc map class: encode ONLY the batch's docs
+                // against the dictionary merged above (vocab precedes
+                // docfeats in [[Maintained]], and the spec assembly
+                // already demoted this family to absent if the
+                // dictionary is not standing)
+                val vNew = DedupPrepare.resolveAlias(DedupPrepare.naming(
+                  s, "tokdict", dir, s"_s${TextFeatures.VocabStripes}")._2)
+                val d = TextFeatures.docFeatRows(s, batch, s.table(vNew))
+                DedupPrepare.writeBucketed(d, actual, f.bucketCols,
+                  f.sortCols, mode = "append")
+                d.count()
               case "unifreq" =>
                 // counts merge: vocab-sized rewrite under the NEW
                 // fingerprint name (content changes per-row, so this
@@ -256,7 +306,7 @@ object LayerMaintenance {
                 s.table(newName).count()
             }
           }
-          if (f.family != "unifreq") {
+          if (!MergeClass(f.family)) {
             DedupPrepare.aliasLayer(newName, actual)
             // drop S's cached relation (file listing) for the appended
             // table: the write may have run on a DIFFERENT session (the
@@ -266,7 +316,7 @@ object LayerMaintenance {
             // file set
             s.catalog.refreshTable(actual)
           }
-          val action = if (f.family == "unifreq") "merged" else "appended"
+          val action = if (MergeClass(f.family)) "merged" else "appended"
           LayerDelta(f.family + f.variant, action, rows, secs)
       }
     }

@@ -88,7 +88,27 @@ object Sampling {
     * train doc can't fan out the join).
     */
   def sp03(s: SparkSession, dir: String): DataFrame =
-    sp03Over(Tables.documents(s, dir))
+    // served from the docfeats layer since r15: the content signature
+    // (the same normalized-text md5 dd01 keys on — the query's
+    // dominant map-side cost) is read back as a pruned bucketed scan;
+    // the split hash keys on doc_id alone, so the text column is never
+    // touched. sp03Over stays as the composition/parity anchor.
+    sp03FromSigs(TextFeatures.docFeats(s, dir)
+      .select(col("doc_id"), col("sig")))
+
+  /** [[sp03]] over a precomputed (doc_id, sig) relation. */
+  private def sp03FromSigs(sigs: DataFrame): DataFrame = {
+    val docs = sigs.withColumn("bucket", bucket)
+    val train = docs.filter(col("bucket") < 90)
+      .groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("train_doc_id"), count(lit(1)).as("n_train"))
+    docs.filter(col("bucket") >= 90)
+      .select(col("doc_id"), col("sig"),
+        when(col("bucket") < 95, "val").otherwise("test").as("split"))
+      .join(train, Seq("sig"))
+      .select(col("doc_id"), col("split"), col("train_doc_id"), col("n_train"))
+      .orderBy("doc_id")
+  }
 
   /** (doc_id, bucket) for any docs-shaped relation — the split hash,
     * exposed for composition and specs. */

@@ -808,6 +808,40 @@ object TextAnalysis {
     * every soak scale, where N·1e9 would not).
     */
   def ta12(s: SparkSession, dir: String): DataFrame = {
+    // served from the docfeats layer since r15: probes are the per-doc
+    // unigram HISTOGRAM (distinct tokens per doc — a strict subset of
+    // the occurrence stream) against the int-keyed model table; the
+    // per-token term g_uni comes PRE-QUANTIZED from the uniprobid
+    // layer (same grid formula), and c·g products are exact integer
+    // arithmetic, so the result is bit-identical to ta12Legacy
+    // (DocFeatsSpec pins ≡). No tokenize, no string keys, and the
+    // Zipf head still broadcasts.
+    val hist = TextFeatures.docFeats(s, dir)
+      .select(col("doc_id"), explode(col("uni")).as("u"))
+      .select(col("doc_id"), col("u.id").as("tok_id"),
+        col("u.c").cast("long").as("n"))
+    val up = TextFeatures.uniProbId(s, dir)
+    val head = up.filter(col("c") >= RarityHeadCut)
+      .select(col("tok_id"), col("g_uni"))
+    val tail = up.filter(col("c") < RarityHeadCut)
+      .select(col("tok_id"), col("g_uni"))
+    val scored = hist.join(broadcast(head), Seq("tok_id"))
+      .unionByName(hist.join(tail, Seq("tok_id")))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_tokens"),
+        (sum(col("n") * col("g_uni")).cast("double") / 1e9
+          / sum(col("n")).cast("double")).as("xent"))
+    val p = pow(lit(2.0), col("xent")) * 1e6
+    perDoc
+      .withColumn("ppl",
+        (when(p >= 0, floor(p + 0.5)).otherwise(ceil(p - 0.5)).cast("long")
+          .cast("double") / 1e6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  /** The pre-layer ta12 (tokenize + string-keyed probe per query) —
+    * parity anchor for DocFeatsSpec. */
+  private[graft] def ta12Legacy(s: SparkSession, dir: String): DataFrame = {
     val tk = Tables.documents(s, dir)
       .select(col("doc_id"), explode(ws).as("tok"))
       .filter(col("tok") =!= "")
@@ -867,7 +901,7 @@ object TextAnalysis {
     * − 1000` — uniform in [−1, 1] milli-units — so the DuckDB oracle can
     * regenerate the table in closed form.
     */
-  private[operators] def clfWeights(s: SparkSession, dir: String): DataFrame =
+  private[graft] def clfWeights(s: SparkSession, dir: String): DataFrame =
     DedupPrepare.ensure(s, "clfw", dir,
       () => s.range(0, ClfFeatDim.toLong)
         .select(col("id").cast("int").as("feature"),
@@ -899,7 +933,42 @@ object TextAnalysis {
     * contract as the shingle family's ≥n-token floor).
     */
   def ta13(s: SparkSession, dir: String): DataFrame =
-    ta13With(s, dir, clfWeights(s, dir))
+    // served from the docfeats layer since r15: the per-doc classifier
+    // FEATURE HISTOGRAM (feat domain ≤ ClfFeatDim) is stored, so
+    // serving is a pure map-side fold over ≤ distinct-features-per-doc
+    // entries — no tokenize, no per-occurrence hashing, still zero
+    // shuffle, and the weights stay data (same swap contract:
+    // ta13Layered takes any (feature, w_milli) table; ta13With remains
+    // the text-path anchor, DocFeatsSpec pins ≡ for default AND
+    // swapped weights).
+    ta13Layered(s, dir, clfWeights(s, dir))
+
+  /** [[ta13]] off the layer against an explicit weight table. */
+  private[graft] def ta13Layered(s: SparkSession, dir: String,
+      weights: DataFrame): DataFrame = {
+    val wArr = new Array[Long](ClfFeatDim)
+    weights.select(col("feature"), col("w_milli")).collect()
+      .foreach(r => wArr(r.getInt(0)) = r.getLong(1))
+    val wLit = typedlit(wArr.toSeq)
+    // exact integer accumulation in weight-millis, same as clf_margin's
+    // fold — the sum is order-independent, so histogram order (sorted
+    // by feature in the layer) vs document order cannot matter
+    val wm = aggregate(col("clf"), lit(0L),
+      (acc, x) => acc + x.getField("c").cast("long") *
+        element_at(wLit, x.getField("f") + 1))
+    val margin =
+      (col("w_milli").cast("double") / 1000.0) / col("n_tokens").cast("double")
+    val sig = lit(1.0) / (lit(1.0) + exp(-col("margin")))
+    TextFeatures.docFeats(s, dir)
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        wm.as("w_milli"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("margin", margin)
+      .withColumn("score", Dedup.gridL(sig).cast("double") / 1e9)
+      .withColumn("keep", (col("score") >= 0.5).cast("int"))
+      .select("doc_id", "n_tokens", "margin", "score", "keep")
+      .transform(Present.sorted(_, "doc_id"))
+  }
 
   /** [[ta13]] against an explicit weight table — the swap hook: the spec
     * feeds an alternative (feature, w_milli) relation and pins that
@@ -1075,13 +1144,97 @@ object TextAnalysis {
     * idiom.
     */
   def ta14(s: SparkSession, dir: String): DataFrame = {
+    // served from the docfeats layer since r15: the bigram stream is a
+    // map-side transform over the stored int-id sequence (no corpus
+    // re-tokenize — the single largest warm cost of the sf10 record),
+    // probe keys are ONE packed long instead of two strings (the head
+    // broadcast shrinks ~4×, hashing is a long compare), and the
+    // model tables are the id-keyed derives with bit-identical g
+    // values. Branch partials, integer sums, and the final division
+    // are unchanged, so output ≡ ta14PartialWith ≡ ta14With
+    // (DocFeatsSpec + Ta14PlanSpec pin the chain). The string-keyed
+    // KenLM swap contract lives on in [[ta14With]].
+    val head = TextFeatures.bigHeadId(s, dir)
+    val coversAll = head.count() < BigramHeadK
+    ta14LayeredWith(s, dir, TextFeatures.uniProbId(s, dir),
+      TextFeatures.biProbId(s, dir), Some((head, coversAll)))
+  }
+
+  /** The pre-layer ta14 (tokenize + string-keyed probes per query) —
+    * parity anchor for DocFeatsSpec. */
+  private[graft] def ta14Legacy(s: SparkSession, dir: String): DataFrame = {
     val head = bigramHead(s, dir)
     val coversAll = head.count() < BigramHeadK
-    // serves the per-branch partial-aggregate plan (r12 adoption):
+    // the per-branch partial-aggregate plan (r12 adoption):
     // bit-identical to [[ta14With]] (spec-pinned + the committed sf10
     // A/B's exact-equality check), 0.83× its wall at sf10
     ta14PartialWith(s, dir, uniProb(s, dir), bigramProb(s, dir),
       Some((head, coversAll)))
+  }
+
+  /** [[ta14PartialWith]] re-expressed over the docfeats layer's id
+    * stream and the id-keyed model tables: `up` = (tok_id, c, g_uni,
+    * g_back), `bp` = (bg, c12, g) with bg the packed bigram id. Plan
+    * shape identical to the partial form — per-branch map-side partial
+    * aggregates, head-broadcast/shuffle split, stats-driven
+    * shuffle-branch elision — only the keys changed width. */
+  private[graft] def ta14LayeredWith(s: SparkSession, dir: String,
+      up: DataFrame, bp: DataFrame,
+      head: Option[(DataFrame, Boolean)] = None): DataFrame = {
+    val df = Present.pooled(TextFeatures.docFeats(s, dir)
+      .filter(col("n_tokens") >= 1)
+      .select(col("doc_id"), col("ids")))
+    val first = df.select(col("doc_id"),
+      element_at(col("ids"), 1).as("tok_id"))
+    val bg = df.filter(size(col("ids")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(2), size(col("ids"))),
+          i => TextFeatures.packBg(element_at(col("ids"), i - 1),
+            element_at(col("ids"), i)))).as("bg"))
+    val bpg = bp.select(col("bg"), col("g"))
+    val uhead = up.filter(col("c") >= RarityHeadCut)
+    val utail = up.filter(col("c") < RarityHeadCut)
+    def lookup(rel: DataFrame): DataFrame =
+      rel.join(broadcast(uhead), Seq("tok_id"))
+        .unionByName(rel.join(utail, Seq("tok_id")))
+    val hj = head match {
+      case Some((hd, _)) => bg.join(
+        broadcast(hd.select(col("bg"), col("g").as("g_h"))),
+        Seq("bg"), "left")
+      case None => bg.withColumn("g_h", lit(null).cast("long"))
+    }
+    def part(rel: DataFrame, g: Column, isBg: Int, isBack: Int): DataFrame =
+      rel.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"), sum(g).as("g_sum"))
+        .select(col("doc_id"), col("n"),
+          (lit(isBg.toLong) * col("n")).as("n_bg"),
+          (lit(isBack.toLong) * col("n")).as("n_back"), col("g_sum"))
+    val headPart = part(hj.filter(col("g_h").isNotNull), col("g_h"), 1, 0)
+    val miss = hj.filter(col("g_h").isNull).select("doc_id", "bg")
+    val tj = head match {
+      case Some((_, true)) => miss.withColumn("g", lit(null).cast("long"))
+      case _ => miss.join(bpg, Seq("bg"), "left")
+    }
+    val tailPart = part(tj.filter(col("g").isNotNull), col("g"), 1, 0)
+    val backPart = part(lookup(
+      tj.filter(col("g").isNull).select(col("doc_id"),
+        TextFeatures.bgT2(col("bg")).as("tok_id"))),
+      col("g_back"), 0, 1)
+    val firstPart = part(lookup(first), col("g_uni"), 0, 0)
+    val perDoc = headPart.unionByName(tailPart).unionByName(backPart)
+      .unionByName(firstPart)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_tokens"),
+        sum(col("n_bg")).cast("long").as("n_bigrams"),
+        sum(col("n_back")).cast("long").as("n_backoff"),
+        (sum(col("g_sum")).cast("double") / 1e9
+          / sum(col("n")).cast("double")).as("xent"))
+    val p = pow(lit(2.0), col("xent")) * 1e6
+    perDoc
+      .withColumn("ppl",
+        when(p >= 0, floor(p + 0.5)).otherwise(ceil(p - 0.5)).cast("long")
+          .cast("double") / 1e6)
+      .orderBy("doc_id")
   }
 
   /** [[ta14]] against explicit model tables — the weights-as-data swap

@@ -92,10 +92,16 @@ object PlanAudit {
     // same env override as Bench: plan census at other scale factors
     // (the sf1.0 soak re-checks the budgets against real file stats)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    if (args.sameElements(Array("-counts"))) {
+    if (args.headOption.contains("-counts")) {
       // exchange census over every registered query (pre-AQE initial
-      // plans — deterministic), the input to PlanBudgetSpec's budgets
-      for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      // plans — deterministic), the input to PlanBudgetSpec's budgets;
+      // an optional comma-separated prefix filter scopes a big-scale
+      // census to the queries under audit (each plan build pays its
+      // layer builds — at sf10 an unfiltered census pays all of them)
+      val only = args.drop(1).headOption
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      for (name <- SparkEntry.queries.keys.toSeq.sorted
+          if only.forall(_.exists(name.startsWith))) {
         val ex = exchangeCount(SparkEntry.queries(name)(spark, dir))
         println(s"COUNT $name $ex")
       }

@@ -39,6 +39,43 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
   private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.mkString("|")).sorted.toSeq
 
+  /** The docfeats layer DECODED through its dictionary: int token ids
+    * are an internal, append-order-dependent encoding (an appended
+    * vocab ranks new tokens after standing ones; a rebuild interleaves
+    * them), so append ≡ rebuild is asserted on the decoded content —
+    * per-position tokens, per-token/per-feature histogram counts, and
+    * the direct columns — not on raw id values. */
+  private def docfeatsCanon(dir: String): Seq[String] = {
+    val df = LayerMaintenance.maintainedLayer(spark, dir, "docfeats")
+    val v = LayerMaintenance.maintainedLayer(spark, dir, "tokdict")
+      .select(col("tok_id"), col("tok"))
+    val seq = df.select(col("doc_id"), col("sig"), col("simhash"),
+        col("n_tokens"), posexplode_outer(col("ids")).as(Seq("pos", "tok_id")))
+      .join(v, Seq("tok_id"), "left")
+      .select(lit("seq"), col("doc_id"), col("sig"), col("simhash"),
+        col("n_tokens"), col("pos"), col("tok"))
+    val uni = df.select(col("doc_id"), explode(col("uni")).as("u"))
+      .select(col("doc_id"), col("u.id").as("tok_id"), col("u.c").as("c"))
+      .join(v, Seq("tok_id"))
+      .select(lit("uni"), col("doc_id"), col("tok"), col("c"))
+    val clf = df.select(col("doc_id"), explode(col("clf")).as("x"))
+      .select(lit("clf"), col("doc_id"), col("x.f"), col("x.c"))
+    sortedRows(seq) ++ sortedRows(uni) ++ sortedRows(clf)
+  }
+
+  /** Vocab invariants after any maintenance: ids unique (the dictionary
+    * is a bijection) and feat = poly131(tok) mod ClfFeatDim. */
+  private def assertVocabSane(dir: String): Unit = {
+    val v = LayerMaintenance.maintainedLayer(spark, dir, "tokdict")
+    val n = v.count()
+    assert(v.select("tok").distinct().count() == n)
+    assert(v.select("tok_id").distinct().count() == n, "vocab ids collide")
+    val bad = v.filter(pmod(call_function("tok_hash131", col("tok")),
+      lit(graft.operators.TextAnalysis.ClfFeatDim.toLong)).cast("int")
+      =!= col("feat")).count()
+    assert(bad == 0L, s"$bad vocab rows with wrong feat")
+  }
+
   test("append ≡ rebuild, consumer queries agree, compact restores invariants") {
     val dirA = java.nio.file.Files.createTempDirectory("graft_lm_a").toString
     val dirB = java.nio.file.Files.createTempDirectory("graft_lm_b").toString
@@ -60,8 +97,8 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     // around the call would count OTHER suites' ensure() builds as
     // append cost (observed flake in the full run)
     val appendSecs = report.map(_.secs).sum
-    assert(report.map(_.action).sorted ==
-      Seq("appended", "appended", "appended", "appended", "merged"))
+    assert(report.map(_.action).sorted == Seq("appended", "appended", "appended", "appended", "appended",
+        "merged", "merged"))
 
     // from-scratch reference: corpus v2 built in one shot
     writeDocs(dirB, v1 ++ batch, "overwrite")
@@ -72,9 +109,19 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
         sortedRows(LayerMaintenance.maintainedLayer(spark, dirB, f)),
         s"layer $f: appended != rebuilt")
     }
+    // docfeats/vocab: equality modulo the id encoding (see docfeatsCanon)
+    assert(docfeatsCanon(dirA) == docfeatsCanon(dirB),
+      "docfeats: appended != rebuilt (decoded)")
+    assertVocabSane(dirA)
 
     // a consumer query through ensure() resolves the alias and agrees
     assert(sortedRows(Dedup.dd03(spark, dirA)) == sortedRows(Dedup.dd03(spark, dirB)))
+    // layer-served consumers across the ingest boundary: the appended
+    // docfeats/vocab serve the SAME answers as a from-scratch build
+    assert(sortedRows(graft.operators.TextAnalysis.ta14(spark, dirA)) ==
+      sortedRows(graft.operators.TextAnalysis.ta14(spark, dirB)))
+    assert(sortedRows(Dedup.dd01(spark, dirA)) ==
+      sortedRows(Dedup.dd01(spark, dirB)))
 
     // Cost is NOT asserted here: at spec scale (1200 docs) both sides
     // are fixed-per-job-overhead-dominated and the suite runs
@@ -91,7 +138,7 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
 
     val creport = LayerMaintenance.compact(spark, dirA)
     assert(creport.map(_.action) ==
-      Seq("compacted", "compacted", "compacted", "compacted"))
+      Seq("compacted", "compacted", "compacted", "compacted", "compacted"))
     for (f <- layers) {
       assert(sortedRows(LayerMaintenance.maintainedLayer(spark, dirA, f)) ==
         sortedRows(LayerMaintenance.maintainedLayer(spark, dirB, f)),
@@ -203,8 +250,8 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
 
     // first delivery: normal ingest
     val r1 = LayerMaintenance.ingestBatch(spark, batch, dir)
-    assert(r1.map(_.action).sorted ==
-      Seq("appended", "appended", "appended", "appended", "merged"))
+    assert(r1.map(_.action).sorted == Seq("appended", "appended", "appended", "appended", "appended",
+        "merged", "merged"))
     val corpus1 = sortedRows(spark.read.parquet(s"$dir/documents.parquet"))
     val layers1 = layers.map(f =>
       f -> sortedRows(LayerMaintenance.maintainedLayer(spark, dir, f))).toMap
@@ -213,7 +260,8 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     // append skipped, every layer absorption skipped — nothing changes
     val r2 = LayerMaintenance.ingestBatch(spark, batch, dir)
     assert(r2.map(_.action).sorted ==
-      Seq("replayed", "replayed", "replayed", "replayed", "unchanged"),
+      Seq("replayed", "replayed", "replayed", "replayed", "replayed",
+        "unchanged", "unchanged"),
       r2.toString)
     assert(sortedRows(spark.read.parquet(s"$dir/documents.parquet")) == corpus1)
     for (f <- layers)
@@ -238,9 +286,8 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     // standing), layer absorption must run to completion
     val r = LayerMaintenance.ingestBatch(spark,
       arrivals.toDF("doc_id", "text", "lang", "source", "n_chars"), dirC)
-    assert(r.map(_.action).sorted ==
-      Seq("appended", "appended", "appended", "appended", "merged"),
-      r.toString)
+    assert(r.map(_.action).sorted == Seq("appended", "appended", "appended", "appended", "appended",
+        "merged", "merged"), r.toString)
 
     // corpus has exactly one copy, layers equal a from-scratch rebuild
     writeDocs(dirR, arrivals, "append")
@@ -251,6 +298,8 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
       assert(sortedRows(LayerMaintenance.maintainedLayer(spark, dirC, f)) ==
         sortedRows(LayerMaintenance.maintainedLayer(spark, dirR, f)),
         s"healed vs rebuilt: $f")
+    assert(docfeatsCanon(dirC) == docfeatsCanon(dirR),
+      "healed vs rebuilt: docfeats (decoded)")
   }
 
   test("streaming maintenance: N micro-batches ≡ one-shot batch ≡ rebuild; alias bumped per batch") {
@@ -286,8 +335,8 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     // BATCH path: the same arrivals as ONE ingestBatch call
     val report = LayerMaintenance.ingestBatch(spark,
       (arrivals :+ junk).toDF("doc_id", "text", "lang", "source", "n_chars"), dirB)
-    assert(report.map(_.action).sorted ==
-      Seq("appended", "appended", "appended", "appended", "merged"))
+    assert(report.map(_.action).sorted == Seq("appended", "appended", "appended", "appended", "appended",
+        "merged", "merged"))
 
     // REBUILD path: corpus v2 built from scratch
     writeDocs(dirR, v1 ++ arrivals, "overwrite")
@@ -305,5 +354,10 @@ class LayerMaintenanceSpec extends AnyFunSuite with SparkTestBase {
       assert(sortedRows(LayerMaintenance.maintainedLayer(spark, dirB, f)) ==
         sortedRows(LayerMaintenance.maintainedLayer(spark, dirR, f)),
         s"batch vs rebuild: $f")
+    assert(docfeatsCanon(dirS) == docfeatsCanon(dirR),
+      "stream vs rebuild: docfeats (decoded)")
+    assert(docfeatsCanon(dirB) == docfeatsCanon(dirR),
+      "batch vs rebuild: docfeats (decoded)")
+    assertVocabSane(dirS)
   }
 }

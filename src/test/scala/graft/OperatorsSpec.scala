@@ -1009,6 +1009,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     // operating-point pin on the separable fixture
     assert(rivfpq >= r1 - 1e-9,
       s"ivfpq recall $rivfpq < ivf1 recall $r1 — rerank lost the cell")
+    // r15 adaptive routing on the SEPARABLE fixture: the distance-ratio
+    // stop must (a) dominate np1 per (query, rank) — its cell set is a
+    // superset of the np1 route by construction — and (b) actually stay
+    // NARROW here: well-separated clusters put the 2nd centroid far
+    // outside β, so the mean probe width must sit well under the npMax
+    // budget (this is the "clustered guard unchanged" half of the
+    // committed ADAPTIVE_PROBE_SWEEP_R15 artifact)
+    val ad = graft.operators.Similarity.ss12(spark, dir).collect()
+    val np1 = graft.operators.Similarity.ss02(spark, dir).collect()
+    def byQ(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Double]("cosine")).sorted.reverse).toMap
+    val (ca, c1) = (byQ(ad), byQ(np1))
+    for (qid <- c1.keys; i <- 0 until 5)
+      assert(ca(qid)(i) >= c1(qid)(i),
+        s"q$qid rank ${i + 1}: adaptive cosine below np1")
+    val meanProbes = graft.operators.Similarity.bestCellsAdaptive(spark, dir)
+      .groupBy("query_id").count().collect().map(_.getLong(1)).sum / 10.0
+    assert(meanProbes <= 2.0,
+      f"adaptive probed $meanProbes%.1f cells/query on separable data — stop rule inert")
   }
 
   test("dd07 on clusterable data: IVF-cell blocking recovers the exact top pairs, label-free") {

@@ -90,6 +90,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // ivfmem layer — every probe path lost 2 exchanges
     "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 10,
     "ss03_knn_lsh" -> 5, "ss04_knn_ivf_multiprobe" -> 10,
+    // ss12 (r15): adaptive distance-ratio-stop routing — ss02's probe
+    // shape exactly (the stop filter rides the same routing window)
+    "ss12_knn_ivf_adaptive" -> 10,
     "ss05_knn_recall_audit" -> 59,  // + ss06 PQ (r7) + ss07 IVF-PQ (r8)
     // ss06: reads the materialized code+codebook layers; the censused
     // exchanges are the small derived aggs (cbn/rn2/lut/qn2), the
@@ -120,20 +123,22 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "ta07_pii_scrub" -> 1, "ta08_quality_gate" -> 1,
     "ta09_rarity_score" -> 4, "ta10_corpus_diagnostics" -> 6,
     "ta11_boilerplate" -> 1,
-    // ta12: ta09's head/tail lookup-join shape + the vocab-sized corpus
-    // total agg and its 1-row broadcast-totals crossJoin
-    "ta12_lm_perplexity" -> 6,
+    // ta12 (r15 layer-served): per-doc unigram histogram explode off
+    // the bucketed docfeats read, head broadcast + tail int join, one
+    // per-doc agg + sort; the corpus-total crossJoin is GONE — the
+    // total folds into the uniprobid layer at build (6 -> 4)
+    "ta12_lm_perplexity" -> 4,
     // ta13: zero-shuffle map-side column program + presentation sort
-    // (weights arrive as an in-plan literal from the model-table load)
+    // (r15: the fold runs over the stored clf histogram; weights still
+    // arrive as an in-plan literal from the model-table load)
     "ta13_hash_classifier" -> 1,
-    // ta14 (r12 adoption): per-branch PARTIAL per-doc aggregates — each
-    // term branch (head-matched, tail-matched, backoff, first-token)
-    // folds to (doc_id, n, g_sum) the moment it knows its g, so the
-    // head-matched mass collapses map-side in its partial HashAggregate
-    // and never shuffles; the budget is the four branch aggs + the
-    // final per-doc merge agg + unigram tail joins + sort (the r11
-    // sharing-point repartition and its reuses are gone: 12 -> 11)
-    "ta14_bigram_lm" -> 11,
+    // ta14 (r15 layer-served): the r12 per-branch partial-aggregate
+    // shape over the docfeats id stream — bigrams are a map-side
+    // transform of the stored int sequence (no tokenize), the head
+    // broadcast keys on one packed long, and the first/backoff unigram
+    // probes join the int-keyed uniprobid layer (11 -> 8: the string
+    // model-table exchanges collapsed into the id-keyed layer builds)
+    "ta14_bigram_lm" -> 8,
     // ta15 (r9): map-side token count -> tiny (lang,bucket) agg ->
     // bounded-relation share windows -> final sort
     "ta15_length_histogram" -> 3,
@@ -190,12 +195,11 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // r13: 21 -> 19 — the members-layer read replaced the query-time
     // cap window, and at sf10 stats one derived agg side is reused
     "ss07_knn_ivfpq" -> 19,
-    // ta14 (r12 plan): at sf10 the bigram model outgrows the head cap
-    // (1.6M rows > BigramHeadK), so the head-miss SMJ branch and its
-    // backoff legs materialize (coversAll elides them at ≤sf1.0);
-    // the extra exchanges are the miss-probe join + the backoff/tail
-    // branch aggs it feeds (11 -> 16)
-    "ta14_bigram_lm" -> 16)
+    // ta14 (r15 layered plan): at sf10 the bigram model outgrows the
+    // head cap (biprobid > BigramHeadK rows), so the head-miss branch
+    // and its backoff legs materialize (coversAll elides them at
+    // ≤sf1.0): the miss-probe join + backoff/tail branch aggs (8 -> 15)
+    "ta14_bigram_lm" -> 15)
   private val sf10Dir = "testdata/sf10"
 
   test("every registered query has a budget (new queries must be budgeted)") {
@@ -254,9 +258,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
       // r8: mixRates/sp07/sp09 swapped their empty-partition windows
       // for the same 1-row broadcast-totals crossJoin (r7 verdict #2)
       "sp07_mixture_resample", "sp09_source_cap", "sp10_temperature_mixture",
-      "cp02_training_batches",
-      // r8: ta12's corpus-total scalar rides the same 1-row shape
-      "ta12_lm_perplexity")
+      "cp02_training_batches")
+      // (ta12 left the set in r15: its corpus-total scalar now folds
+      // into the uniprobid layer at build, so no query-time crossJoin)
     val nl = Set.newBuilder[String]
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = SparkEntry.queries(name)(spark, dir)

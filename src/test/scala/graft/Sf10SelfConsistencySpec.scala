@@ -80,6 +80,15 @@ class Sf10SelfConsistencySpec extends AnyFunSuite with SparkTestBase {
     for (qid <- c1.keys; i <- 0 until 5)
       assert(c2(qid)(i) >= c1(qid)(i),
         s"q$qid rank ${i + 1}: nprobe=2 cosine below nprobe=1")
+    // r15: adaptive routing always includes the np1 cell, so its
+    // per-rank cosines dominate ss02's — at sf10 like everywhere
+    val iva = q("ss12_knn_ivf_adaptive")
+    assertTop5Shape(iva, "ss12")
+    val ca = iva.collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Double]("cosine")).sorted.reverse).toMap
+    for (qid <- c1.keys; i <- 0 until 5)
+      assert(ca(qid)(i) >= c1(qid)(i),
+        s"q$qid rank ${i + 1}: adaptive cosine below nprobe=1")
     val audit = q("ss05_knn_recall_audit").collect()
     assert(audit.length == 10)
     for (r <- audit) {
