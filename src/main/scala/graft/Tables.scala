@@ -49,8 +49,28 @@ object Tables {
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** The corpus tables serve through the INTAKE layers (r15 opt, guide
+    * §6 "one huge unsplittable file… fix at the source; otherwise
+    * repartition immediately after the read"): the generator-provided
+    * documents/embeddings parquet arrive as ONE ROW GROUP (500k docs /
+    * 88 MB at sf10), so every raw scan — and therefore every text/vector
+    * kernel above it — ran in ONE task while 31 cores idled; this was
+    * the invisible floor under the whole map-side query family. Intake
+    * rewrites the table once per corpus fingerprint into the engine's
+    * own layout (32 doc_id/vec_id buckets, one file each): scans
+    * parallelize, and every doc_id- or vec_id-keyed join/groupBy
+    * downstream is co-bucketed with the other layers. This is ingest —
+    * the move-the-bytes-once step a 100 TB deployment performs on
+    * arrival — NOT result caching: the layer is a row-identical copy of
+    * the raw parquet, built from it on first touch and fingerprint-keyed
+    * like every prep table (a rewritten corpus mints a new layer).
+    * Raw accessors remain for the intake builds themselves. */
+  def documentsRaw(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddingsRaw(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    graft.operators.DedupPrepare.intakeDocuments(s, d)
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    graft.operators.DedupPrepare.intakeEmbeddings(s, d)
 }
 
 /** One registered engine query: a DataFrame program plus (optionally) the

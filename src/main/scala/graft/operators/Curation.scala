@@ -448,11 +448,12 @@ object Curation {
     * by every ingest batch. */
   private def corpusKeepers(s: SparkSession, dir: String): DataFrame =
     DedupPrepare.ensure(s, "cp04keeper", dir,
-      () => Tables.documents(s, dir)
+      // r15 opt: sig from the docfeats layer (bit-identical md5 formula,
+      // DocFeatsSpec's dd01 pin) instead of a corpus text scan — the
+      // build reads two pruned columns of a bucketed table
+      () => TextFeatures.docFeats(s, dir)
         .filter((col("doc_id") % BatchMod) =!= BatchRes)
-        .select(col("doc_id"),
-          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-            .cast("binary")).as("sig"))
+        .select(col("doc_id"), col("sig"))
         .groupBy(col("sig")).agg(min(col("doc_id")).as("exact_keeper")),
       Seq("sig"), Seq("sig"), variant = s"_m${BatchMod}r$BatchRes")
 
@@ -483,12 +484,12 @@ object Curation {
     val candAgg = cand.groupBy(col("d")).agg(count(lit(1)).as("n_cand"))
     val nearAgg = ver.groupBy(col("d"))
       .agg(min(col("m")).as("near_id"), count(lit(1)).as("n_near"))
-    // batch sigs are a map-side scan of the batch slice; the keeper
-    // manifest join shuffles only the batch onto the layer's sig buckets
-    val batchSig = Tables.documents(s, dir).filter(isBatchCol)
-      .select(col("doc_id"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-          .cast("binary")).as("sig"))
+    // batch sigs from the docfeats layer (r15 opt — bit-identical md5
+    // formula, DocFeatsSpec's dd01 pin; was a batch text scan + md5 per
+    // query); the keeper manifest join shuffles only the batch onto the
+    // layer's sig buckets
+    val batchSig = TextFeatures.docFeats(s, dir).filter(isBatchCol)
+      .select(col("doc_id"), col("sig"))
     batchSig
       .join(corpusKeepers(s, dir), Seq("sig"), "left")
       .join(candAgg.withColumnRenamed("d", "doc_id"), Seq("doc_id"), "left")

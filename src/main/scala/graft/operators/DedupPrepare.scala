@@ -259,6 +259,18 @@ object DedupPrepare {
       s.table(name)
   }
 
+  /** Corpus INTAKE layers — see [[graft.Tables.documents]]'s doc for the
+    * why (the raw single-row-group parquet serializes every scan). A
+    * row-identical bucketed rewrite of the raw table, one file per
+    * bucket, fingerprint-keyed so a rewritten corpus re-ingests. */
+  private[graft] def intakeDocuments(s: SparkSession, dir: String): DataFrame =
+    ensure(s, "docsrc", dir, () => Tables.documentsRaw(s, dir),
+      Seq("doc_id"), Seq("doc_id"))
+
+  private[graft] def intakeEmbeddings(s: SparkSession, dir: String): DataFrame =
+    ensure(s, "embsrc", dir, () => Tables.embeddingsRaw(s, dir),
+      Seq("vec_id"), Seq("vec_id"), fpFile = "embeddings.parquet")
+
   /** Distinct word-3-shingles (doc_id, s), bucketed+sorted by doc_id. */
   def shingles3(s: SparkSession, dir: String): DataFrame =
     ensure(s, "shingles3", dir,

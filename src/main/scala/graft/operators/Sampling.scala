@@ -374,12 +374,13 @@ object Sampling {
     * the tokenizer-parameterized packing a real pretraining pipeline
     * runs: bins are context windows, so their fill must be counted in
     * the same unit the model consumes. Same fold, same determinism and
-    * append-stability; the count source is the broadcast-lexicon join
-    * ([[graft.operators.TextAnalysis.bpeDocCounts]]), so the extra cost
-    * over sp06 is one vocab-sized broadcast + the per-doc sum. */
+    * append-stability; since r15 the count source is the docfeats
+    * histogram probe ([[graft.operators.TextAnalysis.bpeDocCountsLayered]]
+    * — no text scan, bit-identical counts, DocFeatsSpec pins ≡), so the
+    * extra cost over sp06 is one vocab-sized broadcast + the per-doc sum. */
   def sp11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = graft.operators.TextAnalysis.bpeDocCounts(s, dir)
+    val toks = graft.operators.TextAnalysis.bpeDocCountsLayered(s, dir)
       .select(col("doc_id"), col("lang"),
         expr(s"doc_id div $PackShard").as("shard"),
         col("n_bpe").cast("int").as("n_tokens"))
@@ -696,10 +697,13 @@ object Sampling {
           col("n_docs").cast("double") / col("tot_docs").cast("double"))
         .withColumn("w_micro",
           floor(pow(col("p_obs"), MixTemperature) * 1e6 + 0.5).cast("long")))
-    val totW = weighted.agg(sum(col("w_micro")).as("tot_w"))
-    val scaleMin = weighted.agg(
+    // ONE aggregate for both grand scalars (r15 opt: two separate 1-row
+    // aggs cost two passes over the pooled counts and two sequential
+    // broadcast stages; sum and min fold in the same pass — values, and
+    // therefore every downstream rate/threshold, are bit-identical)
+    val tots = weighted.agg(sum(col("w_micro")).as("tot_w"),
       min(col("n_docs").cast("double") / col("w_micro").cast("double")).as("scale"))
-    val rated = weighted.crossJoin(broadcast(totW)).crossJoin(broadcast(scaleMin))
+    val rated = weighted.crossJoin(broadcast(tots))
       .withColumn("target_share",
         col("w_micro").cast("double") / col("tot_w").cast("double"))
       .withColumn("rate",

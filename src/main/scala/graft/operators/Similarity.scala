@@ -364,7 +364,16 @@ object Similarity {
     * query↔centroid cosine (tie-break cell asc) → (query_id, ccell).
     * Shared by ss02/ss04 (exact in-cell scoring) and ss07 (ADC scoring):
     * one routing definition, every probe path agrees on where to look. */
-  private[graft] def bestCells(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  private[graft] def bestCells(s: SparkSession, dir: String, nprobe: Int): DataFrame =
+    bestCellsRanked(s, dir, nprobe).select(col("query_id"), col("ccell"))
+
+  /** [[bestCells]] with the per-query cell rank KEPT in the output —
+    * (query_id, ccell, rn). The rank makes nested dials derivable from
+    * one routing pass: `rn = 1` IS bestCells(1), `rn <= 2` IS
+    * bestCells(2) (same window, same tie-break), which is what lets
+    * ss05 probe once at the widest dial and slice (r15 opt). */
+  private[graft] def bestCellsRanked(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
     val cent = ivfCent(s, dir)
     val centNorm = cent.groupBy(col("cell"))
       .agg(sum(Dedup.gridL(col("c") * col("c"))).as("cn2"))
@@ -380,7 +389,7 @@ object Similarity {
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("ccell"))
     qc.withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("ccell"))
+      .select(col("query_id"), col("ccell"), col("rn"))
   }
 
   /** Adaptive probe width: a query may probe up to this many cells —
@@ -453,6 +462,23 @@ object Similarity {
 
   private[graft] def ivfOver(s: SparkSession, dir: String,
       best: DataFrame): DataFrame = {
+    val scored = ivfScoredOver(s, dir, best)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("ccell").as("cell"), col("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The exact-in-cell SCORED candidate relation behind [[ivfOver]]:
+    * every (query, routed-cell member) pair with its grid-exact cosine,
+    * extra columns of `best` (e.g. [[bestCellsRanked]]'s `rn`) carried
+    * through. Split out so ss05 can score ONE wide probe and slice
+    * nested dials from it instead of re-probing per dial (r15 opt). */
+  private[graft] def ivfScoredOver(s: SparkSession, dir: String,
+      best: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     // exact search inside the chosen cell(s), membership = the built
@@ -462,20 +488,13 @@ object Similarity {
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .filter(col("query_id") < 10).join(broadcast(best), Seq("query_id"))
       .withColumn("qn2", normL(col("qe")))
-    val scored = ivfMembers(s, dir)
+    ivfMembers(s, dir)
       .select(col("vec_id").as("neighbor_id"), col("cell"),
         col("embedding").as("ne"), col("nn2"))
       .join(broadcast(q),
         col("cell") === col("ccell") && col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         cosine(dotL(col("qe"), col("ne")), col("qn2"), col("nn2")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("ccell").as("cell"), col("rank"),
-        col("neighbor_id"), col("cosine"))
-      .orderBy("query_id", "rank")
   }
 
   val ss02Sql: String = ivfSql(nprobe = 1)
@@ -898,12 +917,36 @@ object Similarity {
     val exact = ss01(s, dir).select(col("query_id"), col("neighbor_id"))
     def hit(df: DataFrame, name: String) =
       df.select(col("query_id"), col("neighbor_id"), lit(1L).as(name))
+    // r15 opt (guide §2.4 — remove redundant passes): the audit used to
+    // run each variant's FULL standalone pipeline (5 routings, 2 member
+    // probes, 2 ADC-piece builds). The variants nest: ss02's candidate
+    // set is exactly the rn=1 slice of ss04's rank-carried probe, and
+    // ss07's ADC candidates are that same rn=1 slice, so ONE wide probe
+    // (bestCellsRanked(2), scored once, pooled) serves h1/h2 and ss07's
+    // candidate set; ss06/ss07 share one pooled PqServe (lut + rn2).
+    // Each slice feeds the IDENTICAL top-5 window each standalone query
+    // runs (same keys, same tie-breaks) — spec-pinned hit-for-hit
+    // against the standalone pipelines in OperatorsSpec.
+    val scored2 = Present.pooled(
+      ivfScoredOver(s, dir, bestCellsRanked(s, dir, 2)))
+    def ivfTop5(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val pq = pqServe(s, dir, pool = true)
+    val cand7 = scored2.filter(col("rn") === 1)
+      .select(col("query_id"), col("ccell"), col("neighbor_id").as("vec_id"))
     exact
-      .join(hit(ss02(s, dir), "h1"), Seq("query_id", "neighbor_id"), "left")
-      .join(hit(ss04(s, dir), "h2"), Seq("query_id", "neighbor_id"), "left")
+      .join(hit(ivfTop5(scored2.filter(col("rn") === 1)), "h1"),
+        Seq("query_id", "neighbor_id"), "left")
+      .join(hit(ivfTop5(scored2), "h2"), Seq("query_id", "neighbor_id"), "left")
       .join(hit(ss03(s, dir), "h3"), Seq("query_id", "neighbor_id"), "left")
-      .join(hit(ss06(s, dir), "h4"), Seq("query_id", "neighbor_id"), "left")
-      .join(hit(ss07(s, dir), "h5"), Seq("query_id", "neighbor_id"), "left")
+      .join(hit(ss06Over(s, pq), "h4"), Seq("query_id", "neighbor_id"), "left")
+      .join(hit(ivfPqOver(s, dir, cand7, pq, IvfPqShortlist), "h5"),
+        Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(
         count(lit(1)).as("n_exact"),
@@ -1036,23 +1079,42 @@ object Similarity {
       Seq("m"), Seq("m", "code", "pos"),
       variant = s"_m${PqM}k${PqK}r$PqRounds", fpFile = "embeddings.parquet")
 
-  def ss06(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
+  /** The PQ serving pieces every ADC consumer builds — codes table,
+    * codebook + norms, PQ-reconstructed vector norms `rn2`, query
+    * sub-blocks + norms, and the per-query ADC lookup table `lut`.
+    * Built identically by ss06 (full-corpus ADC) and ss07 (cell-routed
+    * ADC); split out so ss05 builds them ONCE and shares (r15 opt —
+    * `pool = true` persists the reused model-sized relations). */
+  private[graft] final case class PqServe(codes: DataFrame, cb: DataFrame,
+      rn2: DataFrame, qn2: DataFrame, lut: DataFrame)
+
+  private[graft] def pqServe(s: SparkSession, dir: String,
+      pool: Boolean = false): PqServe = {
+    def pooled(df: DataFrame) = if (pool) Present.pooled(df) else df
     val codes = pqCodes(s, dir)
     val cb = pqCodebook(s, dir)
     val cbn = cb.groupBy(col("m"), col("code"))
       .agg(sum(Dedup.gridL(col("c") * col("c"))).as("cn2"))
     // PQ-reconstructed squared norm per vector: Σ_m ‖centroid(code)‖²
-    val rn2 = codes.join(broadcast(cbn), Seq("m", "code"))
-      .groupBy(col("vec_id")).agg(sum(col("cn2")).as("rn2"))
+    val rn2 = pooled(codes.join(broadcast(cbn), Seq("m", "code"))
+      .groupBy(col("vec_id")).agg(sum(col("cn2")).as("rn2")))
     val qsub = subEl(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("m"), col("pos"),
         col("x").as("qx"))
     val qn2 = qsub.groupBy(col("query_id"))
       .agg(sum(Dedup.gridL(col("qx") * col("qx"))).as("qn2"))
-    val lut = qsub.join(broadcast(cb), Seq("m", "pos"))
+    val lut = pooled(qsub.join(broadcast(cb), Seq("m", "pos"))
       .groupBy(col("query_id"), col("m"), col("code"))
-      .agg(sum(Dedup.gridL(col("qx") * col("c"))).as("l"))
+      .agg(sum(Dedup.gridL(col("qx") * col("c"))).as("l")))
+    PqServe(codes, cb, rn2, qn2, lut)
+  }
+
+  def ss06(s: SparkSession, dir: String): DataFrame =
+    ss06Over(s, pqServe(s, dir))
+
+  private[graft] def ss06Over(s: SparkSession, pq: PqServe): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import pq.{codes, rn2, qn2, lut}
     val scored = codes.join(broadcast(lut), Seq("m", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("l")).as("adot"))
@@ -1193,26 +1255,19 @@ object Similarity {
     * routed cells per query, ADC shortlist width `shortlist`. Identical
     * plan at any setting; ss07 is (1, [[IvfPqShortlist]]). */
   private[graft] def ivfPq(s: SparkSession, dir: String,
-      nprobe: Int, shortlist: Int): DataFrame = {
+      nprobe: Int, shortlist: Int): DataFrame =
+    ivfPqOver(s, dir, ivfPqCandidates(s, dir, nprobe), pqServe(s, dir),
+      shortlist)
+
+  /** [[ivfPq]] over an explicit candidate set + pre-built PQ pieces —
+    * the shareable core (ss05 feeds the candidates it already scored
+    * exactly and the pooled [[PqServe]], r15 opt). */
+  private[graft] def ivfPqOver(s: SparkSession, dir: String,
+      cand: DataFrame, pq: PqServe, shortlist: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val codes = pqCodes(s, dir)
-    val cb = pqCodebook(s, dir)
-    // candidates: capped members of each query's routed cell
-    val cand = ivfPqCandidates(s, dir, nprobe)
+    import pq.{codes, rn2, qn2, lut}
     // ADC over the candidates' code rows only — the compressed scan
-    val cbn = cb.groupBy(col("m"), col("code"))
-      .agg(sum(Dedup.gridL(col("c") * col("c"))).as("cn2"))
-    val rn2 = codes.join(broadcast(cbn), Seq("m", "code"))
-      .groupBy(col("vec_id")).agg(sum(col("cn2")).as("rn2"))
-    val qsub = subEl(s, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("m"), col("pos"),
-        col("x").as("qx"))
-    val qn2 = qsub.groupBy(col("query_id"))
-      .agg(sum(Dedup.gridL(col("qx") * col("qx"))).as("qn2"))
-    val lut = qsub.join(broadcast(cb), Seq("m", "pos"))
-      .groupBy(col("query_id"), col("m"), col("code"))
-      .agg(sum(Dedup.gridL(col("qx") * col("c"))).as("l"))
     val adc = cand.join(codes, Seq("vec_id"))
       .join(broadcast(lut), Seq("query_id", "m", "code"))
       .groupBy(col("query_id"), col("ccell"), col("vec_id"))

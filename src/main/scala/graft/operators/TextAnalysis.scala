@@ -616,6 +616,39 @@ object TextAnalysis {
     langFreq(s, dir).groupBy(col("tok")).agg(sum(col("c")).as("c"))
 
   def ta09(s: SparkSession, dir: String): DataFrame = {
+    // served from the docfeats layer since r15 (ta12's probe shape): the
+    // per-doc unigram HISTOGRAM probes the int-keyed frequency layer, so
+    // the corpus tokenize + string-keyed join are gone; every legacy
+    // per-occurrence term is c_doc × the per-distinct-token term and all
+    // pre-division arithmetic is exact integer math, so the result is
+    // bit-identical to [[ta09Legacy]] (DocFeatsSpec pins ≡). The Zipf
+    // head still broadcasts; only the tail takes the shuffle join.
+    val hist = TextFeatures.docFeats(s, dir)
+      .select(col("doc_id"), explode(col("uni")).as("u"))
+      .select(col("doc_id"), col("u.id").as("tok_id"),
+        col("u.c").cast("long").as("n"))
+    val up = TextFeatures.uniProbId(s, dir)
+    val head = up.filter(col("c") >= RarityHeadCut)
+      .select(col("tok_id"), col("c"))
+    val tail = up.filter(col("c") < RarityHeadCut)
+      .select(col("tok_id"), col("c"))
+    val scored = hist.join(broadcast(head), Seq("tok_id"))
+      .unionByName(hist.join(tail, Seq("tok_id")))
+    scored.groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).cast("long").as("n_tokens"),
+        sum(when(col("c") === 1, col("n")).otherwise(0L)).cast("long")
+          .as("n_hapax"),
+        (sum(col("n") * col("c")).cast("double") /
+          sum(col("n")).cast("double")).as("mean_tok_count"),
+        (sum(col("n") * Dedup.gridL(lit(1.0) / col("c"))).cast("double") / 1e9 /
+          sum(col("n")).cast("double")).as("rarity"))
+      .orderBy("doc_id")
+  }
+
+  /** The pre-layer ta09 (tokenize + string-keyed frequency probe per
+    * query) — parity anchor for DocFeatsSpec. */
+  private[graft] def ta09Legacy(s: SparkSession, dir: String): DataFrame = {
     val tk = Tables.documents(s, dir)
       .select(col("doc_id"), explode(ws).as("tok"))
       .filter(col("tok") =!= "")
@@ -1437,6 +1470,50 @@ object TextAnalysis {
     * corpus.
     */
   def ta15(s: SparkSession, dir: String): DataFrame = {
+    // served from the docfeats layer since r15: the only per-doc inputs
+    // are (lang, non-empty token count) — the layer's n_tokens plus a
+    // text-free pruned documents scan for lang; the corpus text scan +
+    // tokenize kernel are gone. Inclusion rule is the DECLARED oracle
+    // semantics (n_tokens > 0). On every oracle-checked corpus this is
+    // exactly [[ta15Legacy]]'s trim-gate (DocFeatsSpec pins ≡ there);
+    // the two diverge only on whitespace-only docs that contain
+    // non-space whitespace ("\t"), where the legacy kernel counted the
+    // split's EMPTY fields (n_ws_tokens=2 for "\t") and emitted a row
+    // its own declared oracle excludes — the layer path fixes that
+    // latent divergence (spec-pinned in DocFeatsSpec with the fixture
+    // that triggers it).
+    val grouped = TextFeatures.docFeats(s, dir)
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .withColumn("bucket", (length(bin(col("n_tokens"))) - 1).cast("int"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+    val wl = Window.partitionBy(col("lang"))
+    val wcum = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped
+      .withColumn("lo_tokens", expr("shiftleft(CAST(1 AS BIGINT), bucket)"))
+      .withColumn("doc_share",
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(wl).cast("double"))
+      .withColumn("token_share",
+        col("sum_tokens").cast("double") /
+          sum(col("sum_tokens")).over(wl).cast("double"))
+      .withColumn("cum_token_share",
+        sum(col("sum_tokens")).over(wcum).cast("double") /
+          sum(col("sum_tokens")).over(wl).cast("double"))
+      .select("lang", "bucket", "lo_tokens", "n_docs", "sum_tokens",
+        "doc_share", "token_share", "cum_token_share")
+      .orderBy("lang", "bucket")
+  }
+
+  /** The pre-layer ta15 (text scan + text_metrics kernel per query) —
+    * parity anchor for DocFeatsSpec. Carries the legacy trim-gate
+    * inclusion rule (see [[ta15]]'s note on whitespace-only docs). */
+  private[graft] def ta15Legacy(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // token count via the compiled one-pass text_metrics kernel (the
     // ta03 lesson — the HOF filter runs an interpreted lambda per
@@ -1526,7 +1603,53 @@ object TextAnalysis {
     }, Seq("tok"), Seq("tok"), variant = s"_v$VocabSize")
 
   def ta16(s: SparkSession, dir: String): DataFrame =
-    ta16With(s, dir, vocabLayer(s, dir))
+    ta16Layered(s, dir)
+
+  /** [[ta16]] served from the docfeats layer (r15 opt): the in-vocab id
+    * set is re-keyed to docfeats token ids (16-row model join of two
+    * tok-bucketed layers, collected like [[ta16With]]'s model load);
+    * n_oov folds over the per-doc unigram histogram (one 16-entry map
+    * probe per DISTINCT token instead of per occurrence); ids8 decodes
+    * only the FIRST 8 ids of the layer's id stream (the OOV hash rides
+    * a broadcast dictionary join of ≤8 rows/doc). No text scan, no
+    * per-occurrence tokenize — bit-identical to [[ta16With]] (same
+    * h60 fallback, same counts; DocFeatsSpec pins ≡). */
+  private[graft] def ta16Layered(s: SparkSession, dir: String): DataFrame = {
+    val inv = vocabLayer(s, dir)
+      .join(TextFeatures.vocab(s, dir).select(col("tok"), col("tok_id")),
+        Seq("tok"))
+      .select(col("tok_id"), col("id")).collect()
+    val invMap = typedlit(
+      inv.map(r => r.getInt(0) -> r.getLong(1)).toMap)
+    val df = TextFeatures.docFeats(s, dir)
+    val nInv = aggregate(col("uni"), lit(0),
+      (acc, x) => acc + when(element_at(invMap, x.getField("id")).isNotNull,
+        x.getField("c")).otherwise(lit(0)))
+    val base = df.select(col("doc_id"), col("n_tokens"),
+      (col("n_tokens") - nInv).cast("int").as("n_oov"), col("ids"))
+    val first8 = base
+      .select(col("doc_id"),
+        posexplode(slice(col("ids"), 1, 8)).as(Seq("pos", "tok_id")))
+      .join(broadcast(TextFeatures.vocab(s, dir)
+        .select(col("tok_id"), col("tok"))), Seq("tok_id"))
+      .select(col("doc_id"), col("pos"),
+        coalesce(element_at(invMap, col("tok_id")),
+          lit(VocabSize.toLong) + Dedup.h60(col("tok")) % OovBuckets)
+          .cast("string").as("idstr"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("idstr")))),
+        x => x.getField("idstr")), ",").as("ids8"))
+    base.select("doc_id", "n_tokens", "n_oov")
+      .join(first8, Seq("doc_id"), "left")
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(0.0))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("oov_rate"),
+        coalesce(col("ids8"), lit("")).as("ids8"))
+      .transform(Present.sorted(_, "doc_id"))
+  }
 
   /** ta16: VOCABULARY ENCODE — the tokenizer's token→id step plus the
     * per-doc OOV coverage audit a pipeline runs before committing to a
@@ -1886,7 +2009,49 @@ object TextAnalysis {
   }
 
   def ta17(s: SparkSession, dir: String): DataFrame =
-    ta17With(s, dir, bpeWords(s, dir))
+    ta17Layered(s, dir)
+
+  /** [[ta17]] served from the docfeats layer (r15 opt): n_tokens/n_bpe
+    * fold over the per-doc unigram histogram (c · n_sub per distinct
+    * id), ids8 probes only the FIRST 8 token ids of the layer's id
+    * stream — both against the id-keyed lexicon [[bpeIdLex]]; no text
+    * scan, no per-occurrence encode. Hit semantics are the kernel's
+    * exactly: n_tokens counts lexicon hits (the histogram probe's inner
+    * join), ids8 keeps hits among the first 8 POSITIONS — bit-identical
+    * to [[ta17With]]([[bpeWords]]), DocFeatsSpec pins ≡ on the edge
+    * corpus and sf0.001. */
+  private[graft] def ta17Layered(s: SparkSession, dir: String): DataFrame = {
+    val idlex = bpeIdLex(s, dir)
+    val df = TextFeatures.docFeats(s, dir)
+    val nb = df
+      .select(col("doc_id"), explode(col("uni")).as("u"))
+      .select(col("doc_id"), col("u.id").as("tok_id"),
+        col("u.c").cast("long").as("n"))
+      .join(broadcast(idlex.select(col("tok_id"), col("n_sub"))),
+        Seq("tok_id"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_tokens"),
+        sum(col("n") * col("n_sub")).as("n_bpe"))
+    val id8 = df
+      .select(col("doc_id"),
+        posexplode(slice(col("ids"), 1, 8)).as(Seq("pos", "tok_id")))
+      .join(broadcast(idlex.select(col("tok_id"), col("subids"))),
+        Seq("tok_id"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("pos"), col("subids")))),
+        x => x.getField("subids"))).as("flat"))
+      .select(col("doc_id"),
+        array_join(transform(slice(col("flat"), 1, 8), x => x.cast("string")),
+          ",").as("ids8"))
+    nb.join(id8, Seq("doc_id"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("n_bpe"),
+        (col("n_bpe").cast("double") / col("n_tokens").cast("double"))
+          .as("bpe_per_tok"),
+        col("ids8"))
+      .orderBy("doc_id")
+  }
 
   /** ta17: BPE SUBWORD ENCODE — the iterative pair-merge tokenizer every
     * training pipeline actually measures and packs in (Sennrich et al.
@@ -1923,7 +2088,14 @@ object TextAnalysis {
         // retired form); the filter below drops null-struct rows
         coalesce(col("st.n_tokens"), lit(0L)).as("n_tokens"),
         col("st.n_bpe").as("n_bpe"),
-        (col("st.n_bpe").cast("double") / col("st.n_tokens").cast("double"))
+        // guarded: the pooled cache materializes this projection BEFORE
+        // the n_tokens > 0 filter below, so a zero-hit doc (whitespace-
+        // only, or all-OOV under a swapped partial lexicon) would hit
+        // the ANSI divide-by-zero error and crash the query — a latent
+        // r12 bug surfaced by the r15 DocFeatsSpec edge pin. The guard
+        // changes no surviving row (rows with n_tokens = 0 are dropped).
+        when(col("st.n_tokens") > 0,
+          col("st.n_bpe").cast("double") / col("st.n_tokens").cast("double"))
           .as("bpe_per_tok"),
         col("st.ids8").as("ids8")))
     // n_tokens counts LEXICON HITS (the retired inner join dropped
@@ -2087,6 +2259,47 @@ object TextAnalysis {
     * engine must be able to measure in them. Same join shape as ta17
     * (explode → broadcast lexicon → per-doc sum); `explode_outer` +
     * left join keep zero-token docs at count 0 (they still pack). */
+  /** The BPE lexicon re-keyed to docfeats token ids — (tok_id, subids,
+    * n_sub): [[bpeWords]] ⋈ the token dictionary, both bucketed by tok
+    * so the join is exchange-free and vocab-sized. The BPE family's
+    * serving queries probe THIS relation against the docfeats id
+    * stream/histogram instead of re-tokenizing the corpus (r15 opt —
+    * the same id-keying step uniprobid/biprobid took in the docfeats
+    * round; derived per query because both inputs are already
+    * materialized layers and the join is broadcast-sized). */
+  private[graft] def bpeIdLex(s: SparkSession, dir: String): DataFrame =
+    bpeWords(s, dir)
+      .join(TextFeatures.vocab(s, dir).select(col("tok"), col("tok_id")),
+        Seq("tok"))
+      .select(col("tok_id"), col("ids").as("subids"), col("n_sub"))
+
+  /** Per-doc BPE counts served from the docfeats layer (r15 opt): n_bpe
+    * = Σ over the per-doc unigram histogram of c · n_sub(tok_id) — the
+    * same integer the kernel's per-occurrence walk accumulates, summed
+    * per distinct token instead (exact integer math, so bit-identical;
+    * DocFeatsSpec pins ≡ against [[bpeDocCounts]]). lang rides a
+    * text-free pruned documents scan; the left join keeps zero-token
+    * docs at 0 exactly as the kernel's coalesce does. With a full-corpus
+    * lexicon every histogram id resolves; under a PARTIAL lexicon the
+    * inner probe drops misses exactly as the kernel scores them 0. */
+  private[graft] def bpeDocCountsLayered(s: SparkSession, dir: String): DataFrame = {
+    val nb = TextFeatures.docFeats(s, dir)
+      .select(col("doc_id"), explode(col("uni")).as("u"))
+      .select(col("doc_id"), col("u.id").as("tok_id"),
+        col("u.c").cast("long").as("n"))
+      .join(broadcast(bpeIdLex(s, dir).select(col("tok_id"), col("n_sub"))),
+        Seq("tok_id"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n") * col("n_sub")).as("n_bpe"))
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(nb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+  }
+
+  /** The kernel form of the per-doc BPE counts (pre-layer, r12–r14) —
+    * parity anchor for DocFeatsSpec; the partial-lexicon contract spec
+    * pins it against [[bpeDocCountsJoin]]. */
   private[graft] def bpeDocCounts(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
     val st = ExpressionUtils.column(graft.functions.BpeDocStats(
@@ -2126,10 +2339,11 @@ object TextAnalysis {
     * docs migrate ~log2(fertility)≈2 buckets up; everything else about
     * the plan is ta15's (one agg + broadcast-side shares). */
   def ta18(s: SparkSession, dir: String): DataFrame = {
-    // pooled: the n_bpe > 0 filter would otherwise push INTO the kernel
-    // projection and clone the per-doc encode pass (ta17's evaluate-once
-    // note); the cached counts relation is 3 skinny columns per doc
-    val grouped = Present.pooled(bpeDocCounts(s, dir))
+    // served from the docfeats layer since r15 (bpeDocCountsLayered —
+    // no text scan, no per-occurrence encode); still pooled: the
+    // n_bpe > 0 filter would otherwise push into the histogram probe
+    // and clone it; the cached counts relation is 3 skinny columns
+    val grouped = Present.pooled(bpeDocCountsLayered(s, dir))
       .filter(col("n_bpe") > 0)
       .withColumn("bucket", (length(bin(col("n_bpe"))) - 1).cast("int"))
       .groupBy(col("lang"), col("bucket"))

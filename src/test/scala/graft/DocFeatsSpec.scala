@@ -101,6 +101,64 @@ class DocFeatsSpec extends AnyFunSuite with SparkTestBase {
       TextAnalysis.ta14Legacy(spark, dir))
   }
 
+  test("edge corpus: r15-opt layer-served queries equal their legacy forms") {
+    pinPair("ta09", TextAnalysis.ta09(spark, dir),
+      TextAnalysis.ta09Legacy(spark, dir))
+    pinPair("ta17", TextAnalysis.ta17(spark, dir),
+      TextAnalysis.ta17With(spark, dir, TextAnalysis.bpeWords(spark, dir)))
+    // ta18 and sp11 are deterministic functions of the per-doc BPE
+    // counts relation; pinning the layered counts ≡ the kernel counts
+    // covers the only input that changed for both
+    pinPair("bpecnt", TextAnalysis.bpeDocCountsLayered(spark, dir),
+      TextAnalysis.bpeDocCounts(spark, dir))
+    pinPair("ta16", TextAnalysis.ta16(spark, dir),
+      TextAnalysis.ta16With(spark, dir, TextAnalysis.vocabLayer(spark, dir)))
+  }
+
+  /** Whitespace-free edge corpus for the ta15 pin: on whitespace-ONLY
+    * docs with non-space whitespace ("\t") the LEGACY kernel counted
+    * the \s+ split's empty fields (n_ws_tokens("\t") = 2) and emitted a
+    * row the declared oracle's `n_tokens > 0` gate excludes — a latent
+    * legacy↔oracle divergence the layer path fixes (next test pins the
+    * fix); equality holds everywhere else. */
+  private lazy val dirNoWs: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_docfeats_nws").toString
+    val bodies = fixtures.filter(_.exists(c => !c.isWhitespace)) ++ Seq(
+      "hello world hello world hello",
+      "tail" + "x" * 6 + " appears once only zq")
+    val docs = bodies.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "u", t.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(3).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("ta15: layer-served equals legacy on whitespace-free corpora") {
+    pinPair("ta15", TextAnalysis.ta15(spark, dirNoWs),
+      TextAnalysis.ta15Legacy(spark, dirNoWs))
+  }
+
+  test("ta15 whitespace-only docs: layer path follows the declared oracle gate") {
+    import org.apache.spark.sql.functions.sum
+    // the edge corpus holds docs like "\t" and " \t \n " — zero
+    // non-empty tokens. The layer path excludes them (the oracle's
+    // n_tokens > 0 rule); the legacy kernel counted split empties and
+    // included them. Assert the fix and document the divergence.
+    val servedDocs = TextAnalysis.ta15(spark, dir)
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    val legacyDocs = TextAnalysis.ta15Legacy(spark, dir)
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    val realTokenDocs = TextFeatures.docFeats(spark, dir)
+      .filter(col("n_tokens") > 0).count()
+    assert(servedDocs == realTokenDocs,
+      "layer-served ta15 must count exactly the docs with ≥1 non-empty token")
+    assert(legacyDocs > servedDocs,
+      "edge corpus no longer triggers the legacy empty-field inclusion — " +
+        "keep a whitespace-only fixture or drop this pin")
+  }
+
   test("sf0.001 corpus: every layer-served query equals its legacy form") {
     val d = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$d/documents.parquet").exists())
@@ -114,6 +172,16 @@ class DocFeatsSpec extends AnyFunSuite with SparkTestBase {
       TextAnalysis.ta13With(spark, d, TextAnalysis.clfWeights(spark, d)))
     pinPair("ta14", TextAnalysis.ta14(spark, d),
       TextAnalysis.ta14Legacy(spark, d))
+    pinPair("ta09", TextAnalysis.ta09(spark, d),
+      TextAnalysis.ta09Legacy(spark, d))
+    pinPair("ta15", TextAnalysis.ta15(spark, d),
+      TextAnalysis.ta15Legacy(spark, d))
+    pinPair("ta17", TextAnalysis.ta17(spark, d),
+      TextAnalysis.ta17With(spark, d, TextAnalysis.bpeWords(spark, d)))
+    pinPair("bpecnt", TextAnalysis.bpeDocCountsLayered(spark, d),
+      TextAnalysis.bpeDocCounts(spark, d))
+    pinPair("ta16", TextAnalysis.ta16(spark, d),
+      TextAnalysis.ta16With(spark, d, TextAnalysis.vocabLayer(spark, d)))
   }
 
   test("ta13 swap contract survives the layer: swapped weights, same plans") {

@@ -1029,6 +1029,37 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .groupBy("query_id").count().collect().map(_.getLong(1)).sum / 10.0
     assert(meanProbes <= 2.0,
       f"adaptive probed $meanProbes%.1f cells/query on separable data — stop rule inert")
+
+    // r15 opt pin: the restructured ss05 (one wide rank-carried probe
+    // sliced for h1/h2/ss07-candidates + one shared PqServe) must equal
+    // the pre-r15 composition of the STANDALONE pipelines bit-for-bit —
+    // the standalone queries themselves are unchanged, so composing
+    // them reconstructs the old audit exactly
+    import org.apache.spark.sql.functions.{col, lit, coalesce, sum => fsum, count => fcount}
+    val S = graft.operators.Similarity
+    def hit(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.select(col("query_id"), col("neighbor_id"), lit(1L).as(name))
+    val legacyAudit = S.ss01(spark, dir).select(col("query_id"), col("neighbor_id"))
+      .join(hit(S.ss02(spark, dir), "h1"), Seq("query_id", "neighbor_id"), "left")
+      .join(hit(S.ss04(spark, dir), "h2"), Seq("query_id", "neighbor_id"), "left")
+      .join(hit(S.ss03(spark, dir), "h3"), Seq("query_id", "neighbor_id"), "left")
+      .join(hit(S.ss06(spark, dir), "h4"), Seq("query_id", "neighbor_id"), "left")
+      .join(hit(S.ss07(spark, dir), "h5"), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(fcount(lit(1)).as("n_exact"),
+        fsum(coalesce(col("h1"), lit(0L))).cast("long").as("hit_ivf1"),
+        fsum(coalesce(col("h2"), lit(0L))).cast("long").as("hit_ivf2"),
+        fsum(coalesce(col("h3"), lit(0L))).cast("long").as("hit_lsh"),
+        fsum(coalesce(col("h4"), lit(0L))).cast("long").as("hit_pq"),
+        fsum(coalesce(col("h5"), lit(0L))).cast("long").as("hit_ivfpq"))
+    val got = S.ss05(spark, dir)
+      .select("query_id", "n_exact", "hit_ivf1", "hit_ivf2", "hit_lsh",
+        "hit_pq", "hit_ivfpq")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val want = legacyAudit.collect().map(_.toSeq)
+      .sortBy(_.head.asInstanceOf[Long].toString)
+    assert(got.toSeq == want.toSeq,
+      "restructured ss05 != standalone-pipeline composition")
   }
 
   test("dd07 on clusterable data: IVF-cell blocking recovers the exact top pairs, label-free") {
@@ -1586,10 +1617,15 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> r).toMap
     assert(sw(1L).getLong(2) == 10
       && sw(1L).getString(4) == "0,0,0,1,0,0,0,1")
-    for (df <- Seq(graft.operators.TextAnalysis.ta17(spark, dir),
-                   graft.operators.TextAnalysis.ta17With(spark, dir, alt)))
-      assert(PlanAudit.exchangeCount(df) ==
-        PlanAudit.exchangeCount(graft.operators.TextAnalysis.ta17(spark, dir)))
+    // swap-hook plan contract: an alternative lexicon serves under the
+    // IDENTICAL plan shape. ta17With is the swap surface — ta17 itself
+    // is layer-served since r15 (DocFeatsSpec pins ta17 ≡
+    // ta17With(bpeWords) value-for-value), so the shape comparison is
+    // between the two kernel-path instantiations
+    assert(PlanAudit.exchangeCount(
+        graft.operators.TextAnalysis.ta17With(spark, dir, alt)) ==
+      PlanAudit.exchangeCount(graft.operators.TextAnalysis.ta17With(
+        spark, dir, graft.operators.TextAnalysis.bpeWords(spark, dir))))
   }
 
   test("ta17 lexicon on the test corpus: reconstruction, contiguous ranks, no null ids") {

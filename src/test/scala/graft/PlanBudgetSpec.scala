@@ -75,7 +75,9 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // cp04: batch-sized probes of the built sig + band indexes — the
     // candidate distinct, the verify-chain joins/aggs and the final
     // left-join assembly; every input is a bucketed layer read
-    "cp04_incremental_ingest" -> 13,
+    // (r15: 13 -> 14 — batch sigs read from docfeats instead of a text
+    // scan + md5: one layer-read join more, one corpus text scan less)
+    "cp04_incremental_ingest" -> 14,
     // cp05 (r9): diff of two published doc_id-bucketed manifests —
     // the version join + presentation sort, nothing corpus-derived
     // at query time
@@ -87,33 +89,42 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "sp10_temperature_mixture" -> 3,
     // ss02/ss04 (r13): the query-time capPerKey membership window (and
     // its per-query norm derivation) moved into the built cap+spill
-    // ivfmem layer — every probe path lost 2 exchanges
-    "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 10,
-    "ss03_knn_lsh" -> 5, "ss04_knn_ivf_multiprobe" -> 10,
+    // ivfmem layer — every probe path lost 2 exchanges.
+    // r15 (embsrc intake): the raw embeddings scan became a
+    // vec_id-bucketed layer read, so every vec_id/query_id-keyed
+    // groupBy in the probe chains (qel norms, exploded dots) rides the
+    // bucket partitioning — each probe path lost 3 more exchanges
+    "ss01_knn_bruteforce" -> 3, "ss02_knn_ivf" -> 7,
+    "ss03_knn_lsh" -> 5, "ss04_knn_ivf_multiprobe" -> 7,
     // ss12 (r15): adaptive distance-ratio-stop routing — ss02's probe
     // shape exactly (the stop filter rides the same routing window)
-    "ss12_knn_ivf_adaptive" -> 10,
-    "ss05_knn_recall_audit" -> 59,  // + ss06 PQ (r7) + ss07 IVF-PQ (r8)
+    "ss12_knn_ivf_adaptive" -> 7,
+    // ss05 (r15 restructure): ONE rank-carried nprobe=2 probe serves
+    // h1/h2 and ss07's candidates; ss06/ss07 share one pooled PqServe
+    // (lut/rn2); + the embsrc bucketing drops (59 -> 29)
+    "ss05_knn_recall_audit" -> 29,
     // ss06: reads the materialized code+codebook layers; the censused
     // exchanges are the small derived aggs (cbn/rn2/lut/qn2), the
     // scored partial-sum and the per-query window + final sort
-    "ss06_knn_pq" -> 9,
+    // (r15 embsrc: qsub/qn2/lut fold onto the bucket partitioning)
+    "ss06_knn_pq" -> 5,
     // ss07: composes the two built indexes — IVF routing (cell probe
     // chain) + ADC partial-sum over candidate codes + shortlist window
-    // + broadcast exact rerank + final sort
-    "ss07_knn_ivfpq" -> 20,
+    // + broadcast exact rerank + final sort (r15 embsrc: -7, same
+    // vec_id-keyed eliding as ss02/ss06)
+    "ss07_knn_ivfpq" -> 13,
     // ss08 (r9, r10 de-dedup'd): ss04's routing chain (cell probe) +
     // capped-cell scan; the theta filter REPLACES the top-k rank window
     // — no per-query window over the scan, and no per-pair dedup at all
     // (ivfAssign is one-cell-per-vector, so a pair joins at most once)
-    "ss08_range_search" -> 10,
-    // ss09 (r9): ss04's routing + built-member scan (10) with the
+    "ss08_range_search" -> 7,
+    // ss09 (r9): ss04's routing + built-member scan with the
     // metadata predicate joined into the membership BEFORE scoring —
     // +1 for the predicate side's exchange
-    "ss09_knn_filtered" -> 11,
-    // ss10 (r10): ss08's radius chain (10) + ss09's predicate-side
+    "ss09_knn_filtered" -> 8,
+    // ss10 (r10): ss08's radius chain (7) + ss09's predicate-side
     // exchange (+1) — the composition adds nothing else
-    "ss10_range_filtered" -> 11,
+    "ss10_range_filtered" -> 8,
     // ss11 (r13): assignment ⋈ membership accounting — the two layer
     // reads, the two groupings' exchanges fold into one pooled join
     "ss11_ivf_cap_audit" -> 3,
@@ -139,25 +150,30 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     // probes join the int-keyed uniprobid layer (11 -> 8: the string
     // model-table exchanges collapsed into the id-keyed layer builds)
     "ta14_bigram_lm" -> 8,
-    // ta15 (r9): map-side token count -> tiny (lang,bucket) agg ->
-    // bounded-relation share windows -> final sort
-    "ta15_length_histogram" -> 3,
+    // ta15 (r15 layer-served): docfeats n_tokens + the pruned documents
+    // lang join (both doc_id-bucketed — the join itself is exchange-
+    // free; +1 is the (lang,bucket) agg moving off the map-side scan)
+    // -> bounded-relation share windows -> final sort
+    "ta15_length_histogram" -> 4,
     // ta16 (r12): zero-shuffle map-side encode (vocab arrives as a
     // BROADCAST hash map probed by the VocabDocStats kernel — the r9
     // typedlit map's element_at probes were O(|vocab|) linear scans)
     // + presentation sort
     "ta16_vocab_encode" -> 1,
-    // ta17 (r12): the merge fold is pre-paid per distinct word in the
-    // bpewords lexicon layer AND the per-doc encode is one broadcast-
-    // lexicon kernel pass (BpeDocStats) — the r10 explode/broadcast-
-    // join/per-doc-agg pair is gone; only the presentation sort remains
-    "ta17_bpe_encode" -> 1,
+    // ta17 (r15 layer-served): histogram fold (n_tokens/n_bpe) + the
+    // first-8 ids8 probe, both against the broadcast id-keyed lexicon
+    // over bucketed docfeats reads, joined on doc_id + final sort —
+    // five SMALL exchanges replace the corpus text scan + kernel
+    // (the kernel swap surface ta17With keeps its 1-exchange shape,
+    // pinned in OperatorsSpec)
+    "ta17_bpe_encode" -> 5,
     // ta18 (r12): kernel per-doc counts (0) + bucket agg (1) + per-lang
     // share window (1) + sort (1) — the r10 count join's 2 are gone
     "ta18_bpe_length_histogram" -> 3,
-    // sp11 (r12): kernel per-doc counts (0) + the sp06 pack repartition
-    // (1) + presentation sort (1)
-    "sp11_bpe_pack" -> 2)
+    // sp11 (r15 layer-served): the docfeats histogram fold's agg + lang
+    // left-join exchanges (+2) replace the kernel text scan; then the
+    // sp06 pack repartition (1) + presentation sort (1)
+    "sp11_bpe_pack" -> 4)
 
   /** sf1.0 budgets where they differ from the small tree — all four are
     * SIZE-DRIVEN STRATEGY FLIPS (a side outgrowing the broadcast
@@ -174,7 +190,7 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "dd11_substring_spans" -> 2,     // dup-h side outgrows broadcast -> bucketed SMJ
     "dd12_ngram_jaccard_lsh" -> 7,   // kept/denominator sides outgrow broadcast
     "dd13_shingle_containment" -> 7, // same flip as dd12 (shared gated shape)
-    "cp04_incremental_ingest" -> 15) // verify-chain sides outgrow broadcast (dd03's flip)
+    "cp04_incremental_ingest" -> 16) // verify-chain sides outgrow broadcast (dd03's flip; r15 +1 = the docfeats batch-sig join, same delta as the base budget)
 
   private val sf1Dir = "testdata/sf1.0"
 
@@ -193,12 +209,18 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
   private val sf10Overrides = Map(
     "cp04_incremental_ingest" -> 13, // broadcast -> co-bucketed SMJ
     // r13: 21 -> 19 — the members-layer read replaced the query-time
-    // cap window, and at sf10 stats one derived agg side is reused
-    "ss07_knn_ivfpq" -> 19,
+    // cap window, and at sf10 stats one derived agg side is reused.
+    // r15 embsrc intake: 19 -> 14 (the vec_id-keyed eliding, +1 vs the
+    // sf0.001 census's 13 from the same agg-side reuse as before)
+    "ss07_knn_ivfpq" -> 14,
     // ta14 (r15 layered plan): at sf10 the bigram model outgrows the
     // head cap (biprobid > BigramHeadK rows), so the head-miss branch
     // and its backoff legs materialize (coversAll elides them at
-    // ≤sf1.0): the miss-probe join + backoff/tail branch aggs (8 -> 15)
+    // ≤sf1.0): the miss-probe join + backoff/tail branch aggs. 15 under
+    // THIS spec session's 4 shuffle partitions; a 32-thread PlanAudit
+    // census reads 14 — one bucketed-vs-shuffled join side aligns its
+    // partition count there and drops its exchange (count is partition-
+    // count-dependent for exactly this one mixed join)
     "ta14_bigram_lm" -> 15)
   private val sf10Dir = "testdata/sf10"
 
