@@ -25,10 +25,23 @@ object Tables {
     * testdata's sub-microsecond component is verified zero, so this is
     * lossless and matches DuckDB's TIMESTAMP_NS view of the same file.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     nanosTsToMicros(load(s, d, "events"))
   }
+  /** Batch events serve through the evsrc INTAKE layer (see the intake
+    * doc below): the raw single-file table caps scan parallelism at its
+    * row-group count (10 at sf10 — a 10-task ceiling on 32 cores for
+    * every q04/q05/q20/q22 pass), and the user_id bucketing makes every
+    * per-user window/as-of/aggregate downstream exchange-free. The
+    * STREAMING reader (EventStreams.fromParquetDir) keeps reading the
+    * raw arrival files — a stream must see files as they land.
+    * Like the other intake accessors this is SIZE-GATED
+    * ([[graft.operators.DedupPrepare.rawNeedsIntake]]): a tiny corpus
+    * whose single-task scan costs less than the bucketed layer's fixed
+    * task floor serves raw. */
+  def events(s: SparkSession, d: String): DataFrame =
+    graft.operators.DedupPrepare.intakeEvents(s, d)
 
   /** Normalize `ts` to session-local TIMESTAMP regardless of how the
     * corpus generation encoded it (also used by the streaming reader,

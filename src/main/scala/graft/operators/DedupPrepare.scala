@@ -262,13 +262,67 @@ object DedupPrepare {
   /** Corpus INTAKE layers — see [[graft.Tables.documents]]'s doc for the
     * why (the raw single-row-group parquet serializes every scan). A
     * row-identical bucketed rewrite of the raw table, one file per
-    * bucket, fingerprint-keyed so a rewritten corpus re-ingests. */
+    * bucket, fingerprint-keyed so a rewritten corpus re-ingests.
+    *
+    * SIZE-GATED (r15, guide §1.2/§6): intake only pays when the raw
+    * file actually serializes meaningful work behind one task — its
+    * bytes-per-row-group at or above `spark.graft.intake.minRgBytes`
+    * (default 16 MB: a 16 MB+ undivided row group is roughly a second
+    * of scan+decode pinned to one core, which already exceeds the
+    * bucketed layer's fixed ~0.3 s 32-task floor). Below the gate the
+    * raw single-file scan is strictly cheaper (measured at sf0.1: the
+    * always-on layer read cost +0.28 s MEAN across the 15 map-side
+    * document queries against a 3.5 MB corpus — a pure task-floor tax),
+    * so the accessor serves the raw table untouched. The gate is a
+    * session conf, not a hard constant: production (and the test suite,
+    * which pins the AT-SCALE plan shapes — SparkTestBase forces 0) can
+    * set it; the criterion is scale-adaptive by construction — the
+    * driver's sf0.1 bench stays on raw files while sf1.0+/sf10 corpora
+    * cross it naturally (35 MB+ single-row-group files). */
+  private val IntakeMinRgBytesDefault: Long = 16L * 1024 * 1024
+  private val rgGateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private[graft] def rawNeedsIntake(s: SparkSession, dir: String,
+      file: String): Boolean = {
+    val minRg = s.conf.getOption("spark.graft.intake.minRgBytes")
+      .map(_.toLong).getOrElse(IntakeMinRgBytesDefault)
+    if (minRg <= 0) return true
+    rgGateCache.computeIfAbsent(s"$dir/$file@$minRg", _ => {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$file")
+      val conf = s.sparkContext.hadoopConfiguration
+      val bytes = p.getFileSystem(conf).getFileStatus(p).getLen
+      val rgs = {
+        val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try in.getRowGroups.size() finally in.close()
+      }
+      bytes / math.max(rgs, 1) >= minRg
+    })
+  }
+
   private[graft] def intakeDocuments(s: SparkSession, dir: String): DataFrame =
-    ensure(s, "docsrc", dir, () => Tables.documentsRaw(s, dir),
+    if (!rawNeedsIntake(s, dir, "documents.parquet")) Tables.documentsRaw(s, dir)
+    else ensure(s, "docsrc", dir, () => Tables.documentsRaw(s, dir),
       Seq("doc_id"), Seq("doc_id"))
 
+  /** Events intake (r15 opt, same §6 diagnosis as docsrc/embsrc): the
+    * raw events.parquet is ONE file whose row-group count caps scan
+    * parallelism (10 row groups at sf10 = a 10-task ceiling under every
+    * events aggregate), and no pre-partitioning serves the per-user
+    * operators. Bucketed by user_id, sorted (user_id, ts): q08's
+    * top-1-per-user window, q22's as-of carry and sp05's
+    * (event_type, user_id) partial aggregate all read their clustering
+    * straight off the buckets (ClusteredDistribution accepts a subset
+    * key), so their input exchange disappears. Row-identical to
+    * [[graft.Tables.eventsRaw]] — EventsIntakeSpec pins equality. */
+  private[graft] def intakeEvents(s: SparkSession, dir: String): DataFrame =
+    if (!rawNeedsIntake(s, dir, "events.parquet")) Tables.eventsRaw(s, dir)
+    else ensure(s, "evsrc", dir, () => Tables.eventsRaw(s, dir),
+      Seq("user_id"), Seq("user_id", "ts"), fpFile = "events.parquet")
+
   private[graft] def intakeEmbeddings(s: SparkSession, dir: String): DataFrame =
-    ensure(s, "embsrc", dir, () => Tables.embeddingsRaw(s, dir),
+    if (!rawNeedsIntake(s, dir, "embeddings.parquet")) Tables.embeddingsRaw(s, dir)
+    else ensure(s, "embsrc", dir, () => Tables.embeddingsRaw(s, dir),
       Seq("vec_id"), Seq("vec_id"), fpFile = "embeddings.parquet")
 
   /** Distinct word-3-shingles (doc_id, s), bucketed+sorted by doc_id. */

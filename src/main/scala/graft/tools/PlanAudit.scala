@@ -87,6 +87,10 @@ object PlanAudit {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // census the production plan shapes: force the corpus intake
+      // layers ON (same rationale as SparkTestBase — the budgets pin
+      // the at-scale shapes, not the tiny-corpus raw-file fallback)
+      .config("spark.graft.intake.minRgBytes", "0")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // same env override as Bench: plan census at other scale factors

@@ -50,18 +50,23 @@ class PlanBudgetSpec extends AnyFunSuite with SparkTestBase {
     "q01_workload_share" -> 5, "q02_dim_join_revenue" -> 5,
     "q03_rf_normalize" -> 4, "q04_percentiles_positional" -> 12,
     "q05_rollup_minmax_argmax" -> 2, "q06_threshold_severity" -> 1,
-    "q07_top1_per_group" -> 2, "q08_dedup_keep_max" -> 2,
+    // q08/q21/sp05/q24 (r15 evsrc intake): the user_id-bucketed events
+    // layer satisfies the per-user clustering directly — q08's
+    // top-1-per-user window, q21's session windows, sp05's
+    // (event_type, user_id) partial agg and q24's per-user distinct all
+    // lost their input exchange
+    "q07_top1_per_group" -> 2, "q08_dedup_keep_max" -> 1,
     "q09_distinct_sorted" -> 2, "q10_warnings_collect" -> 2,
     "q11_union_anti_blocklist" -> 4, "q12_scalar_text" -> 1,
     "q13_json_extract" -> 1, "q14_date_arithmetic" -> 2,
     "q15_ratio_window_partitioned" -> 5, "q16_avg_exact" -> 3,
     "q17_shape_counts" -> 3, "q18_semi_anti_join" -> 5,
     "q19_window_hourly" -> 2, "q20_rollup_percentiles_3level" -> 14,
-    "q21_sessionize" -> 2, "q22_asof_join" -> 2,
-    "q23_range_join_bins" -> 14, "q24_kmv_distinct" -> 3,
+    "q21_sessionize" -> 1, "q22_asof_join" -> 2,
+    "q23_range_join_bins" -> 14, "q24_kmv_distinct" -> 2,
     "sp01_split_assign" -> 1, "sp02_stratified_sample" -> 2,
     "sp03_contamination_exact" -> 3, "sp04_contamination_ngram" -> 4,
-    "sp05_temporal_split_audit" -> 3, "sp06_sequence_pack" -> 2,
+    "sp05_temporal_split_audit" -> 2, "sp06_sequence_pack" -> 2,
     // sp07/sp09: 7 -> 3 in r8 — the empty-partition windows became
     // 1-row broadcast-totals joins over persisted bounded audit
     // relations (counts are of the tree-walk census, which reads a

@@ -17,6 +17,12 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // force the corpus intake layers ON regardless of local corpus
+      // size: the suite pins the AT-SCALE (production) plan shapes —
+      // the runtime size gate (DedupPrepare.rawNeedsIntake) would
+      // otherwise serve the tiny test corpora raw and the pins would
+      // stop guarding the shapes that actually run at sf1.0/sf10
+      .config("spark.graft.intake.minRgBytes", "0")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
