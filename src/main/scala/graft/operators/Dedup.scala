@@ -123,8 +123,13 @@ object Dedup {
     // is read back as a pruned 2-column bucketed scan instead of
     // recomputed per query; the group/join-back shape is unchanged.
     // dd01Legacy keeps the direct form (DocFeatsSpec pins ≡).
-    dd01Over(TextFeatures.docFeats(s, dir)
-      .select(col("doc_id"), col("sig")))
+    // Size-gated since r16 (DedupPrepare.serveDocfeatsLayered): below
+    // the crossover the in-query md5 of a few-MB corpus beats the
+    // layer read's task floor.
+    if (DedupPrepare.serveDocfeatsLayered(s, dir))
+      dd01Over(TextFeatures.docFeats(s, dir)
+        .select(col("doc_id"), col("sig")))
+    else dd01Legacy(s, dir)
 
   /** The pre-layer dd01 (signature computed in-query) — parity anchor. */
   private[graft] def dd01Legacy(s: SparkSession, dir: String): DataFrame = {
@@ -710,11 +715,16 @@ object Dedup {
     // hash + 60-bit majority vote (the query's whole cost) is read
     // back instead of recomputed; chunks derive arithmetically.
     // dd05Legacy keeps the direct kernel form (DocFeatsSpec pins ≡).
-    Present.sorted(
-      (0 to 3).foldLeft(TextFeatures.docFeats(s, dir)
-          .select(col("doc_id"), col("simhash"))) { (df, j) =>
-        df.withColumn(s"c$j", expr(s"(simhash >> ${15 * j}) & 32767"))
-      }, "doc_id")
+    // Size-gated since r16 (DedupPrepare.serveDocfeatsLayered): the
+    // legacy form is a shuffle-free kernel pipeline, cheaper below
+    // the crossover than the bucketed layer read.
+    if (DedupPrepare.serveDocfeatsLayered(s, dir))
+      Present.sorted(
+        (0 to 3).foldLeft(TextFeatures.docFeats(s, dir)
+            .select(col("doc_id"), col("simhash"))) { (df, j) =>
+          df.withColumn(s"c$j", expr(s"(simhash >> ${15 * j}) & 32767"))
+        }, "doc_id")
+    else dd05Legacy(s, dir)
 
   /** The pre-layer dd05 (simhash computed in-query) — parity anchor. */
   private[graft] def dd05Legacy(s: SparkSession, dir: String): DataFrame =

@@ -54,9 +54,11 @@ object DedupPrepare {
   /** Forget the memoized corpus fingerprints for `dir` (all source
     * files) — call after rewriting a corpus in place, before the next
     * prepared query. */
-  def invalidate(dir: String): Unit =
+  def invalidate(dir: String): Unit = {
     fpCache.keySet.removeIf(_.startsWith(s"$dir::"))
-  def invalidateAll(): Unit = fpCache.clear()
+    rgBytesCache.keySet.removeIf(_.startsWith(s"$dir/"))
+  }
+  def invalidateAll(): Unit = { fpCache.clear(); rgBytesCache.clear() }
 
   /** Build-time log (layer key → seconds), appended by [[ensure]] each
     * time a layer actually BUILDS (not when it is read back). Bench
@@ -280,14 +282,13 @@ object DedupPrepare {
     * driver's sf0.1 bench stays on raw files while sf1.0+/sf10 corpora
     * cross it naturally (35 MB+ single-row-group files). */
   private val IntakeMinRgBytesDefault: Long = 16L * 1024 * 1024
-  private val rgGateCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
-  private[graft] def rawNeedsIntake(s: SparkSession, dir: String,
-      file: String): Boolean = {
-    val minRg = s.conf.getOption("spark.graft.intake.minRgBytes")
-      .map(_.toLong).getOrElse(IntakeMinRgBytesDefault)
-    if (minRg <= 0) return true
-    rgGateCache.computeIfAbsent(s"$dir/$file@$minRg", _ => {
+  private val rgBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Bytes-per-row-group of one raw parquet file — the gate criterion
+    * shared by the intake AND serving decisions, memoized per file (one
+    * footer read per corpus file per JVM). */
+  private def rawRgBytes(s: SparkSession, dir: String, file: String): Long =
+    rgBytesCache.computeIfAbsent(s"$dir/$file", _ => {
       val p = new org.apache.hadoop.fs.Path(s"$dir/$file")
       val conf = s.sparkContext.hadoopConfiguration
       val bytes = p.getFileSystem(conf).getFileStatus(p).getLen
@@ -296,8 +297,39 @@ object DedupPrepare {
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
         try in.getRowGroups.size() finally in.close()
       }
-      bytes / math.max(rgs, 1) >= minRg
+      bytes / math.max(rgs, 1)
     })
+  private[graft] def rawNeedsIntake(s: SparkSession, dir: String,
+      file: String): Boolean = {
+    val minRg = s.conf.getOption("spark.graft.intake.minRgBytes")
+      .map(_.toLong).getOrElse(IntakeMinRgBytesDefault)
+    minRg <= 0 || rawRgBytes(s, dir, file) >= minRg
+  }
+
+  /** Docfeats layer SERVING gate (r16, the r15 verdict's one real
+    * regression cluster): r15 size-gated layer INTAKE on the measured
+    * bytes-per-row-group crossover but left layer SERVING always-on, so
+    * at tiny scale the layer-served dispatchers (dd01/dd05, ta13–ta18,
+    * sp11) paid the fixed 32-bucket read floor + histogram-join stages
+    * where the legacy single-pass kernel scan of a few-MB corpus is
+    * ~50 ms (driver sf0.1: ta14 0.32×, ta16 0.58×, ta17 0.52× …, while
+    * the same paths win 2.6–12× at sf10). Same doctrine, same
+    * criterion, own conf: a dispatcher serves the LAYERED form iff the
+    * raw corpus file's bytes-per-row-group ≥
+    * `spark.graft.docfeats.serve.minRgBytes` (default = the intake
+    * crossover, 16 MB — once a corpus is worth ingesting it is worth
+    * serving from the layers), else the legacy (r14) form, which the
+    * DocFeatsSpec parity pins hold bit-identical. The suite and
+    * PlanAudit force 0 so every plan pin and committed dump guards the
+    * at-scale production shapes. Only the dispatchers whose legacy form
+    * is a cheap one-pass kernel scan are gated; ta09/ta12/sp03/cp04 —
+    * whose legacy forms re-tokenize per occurrence with string joins —
+    * measured faster layered at BOTH scales and stay layered always. */
+  private[graft] def serveDocfeatsLayered(s: SparkSession,
+      dir: String): Boolean = {
+    val minRg = s.conf.getOption("spark.graft.docfeats.serve.minRgBytes")
+      .map(_.toLong).getOrElse(IntakeMinRgBytesDefault)
+    minRg <= 0 || rawRgBytes(s, dir, "documents.parquet") >= minRg
   }
 
   private[graft] def intakeDocuments(s: SparkSession, dir: String): DataFrame =

@@ -380,7 +380,7 @@ object Sampling {
     * extra cost over sp06 is one vocab-sized broadcast + the per-doc sum. */
   def sp11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = graft.operators.TextAnalysis.bpeDocCountsLayered(s, dir)
+    val toks = graft.operators.TextAnalysis.bpeDocCountsServe(s, dir)
       .select(col("doc_id"), col("lang"),
         expr(s"doc_id div $PackShard").as("shard"),
         col("n_bpe").cast("int").as("n_tokens"))

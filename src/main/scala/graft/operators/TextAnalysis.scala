@@ -973,8 +973,13 @@ object TextAnalysis {
     // shuffle, and the weights stay data (same swap contract:
     // ta13Layered takes any (feature, w_milli) table; ta13With remains
     // the text-path anchor, DocFeatsSpec pins ≡ for default AND
-    // swapped weights).
-    ta13Layered(s, dir, clfWeights(s, dir))
+    // swapped weights). Size-gated since r16
+    // ([[DedupPrepare.serveDocfeatsLayered]]): below the crossover the
+    // legacy one-pass kernel scan is strictly cheaper than the layer
+    // read's task floor.
+    if (DedupPrepare.serveDocfeatsLayered(s, dir))
+      ta13Layered(s, dir, clfWeights(s, dir))
+    else ta13With(s, dir, clfWeights(s, dir))
 
   /** [[ta13]] off the layer against an explicit weight table. */
   private[graft] def ta13Layered(s: SparkSession, dir: String,
@@ -1186,7 +1191,12 @@ object TextAnalysis {
     // values. Branch partials, integer sums, and the final division
     // are unchanged, so output ≡ ta14PartialWith ≡ ta14With
     // (DocFeatsSpec + Ta14PlanSpec pin the chain). The string-keyed
-    // KenLM swap contract lives on in [[ta14With]].
+    // KenLM swap contract lives on in [[ta14With]]. Size-gated since
+    // r16 ([[DedupPrepare.serveDocfeatsLayered]]): at tiny scale the
+    // layered chain's extra stages (layer reads + id-keyed model
+    // derives) cost more than the legacy single-pass probe — the
+    // driver's sf0.1 board read 0.32× — while sf10 keeps the ~4× win.
+    if (!DedupPrepare.serveDocfeatsLayered(s, dir)) return ta14Legacy(s, dir)
     val head = TextFeatures.bigHeadId(s, dir)
     val coversAll = head.count() < BigramHeadK
     ta14LayeredWith(s, dir, TextFeatures.uniProbId(s, dir),
@@ -1481,7 +1491,11 @@ object TextAnalysis {
     // split's EMPTY fields (n_ws_tokens=2 for "\t") and emitted a row
     // its own declared oracle excludes — the layer path fixes that
     // latent divergence (spec-pinned in DocFeatsSpec with the fixture
-    // that triggers it).
+    // that triggers it). Size-gated since r16
+    // ([[DedupPrepare.serveDocfeatsLayered]]); on every oracle-checked
+    // corpus the two forms are row-identical, so the gate only moves
+    // execution strategy.
+    if (!DedupPrepare.serveDocfeatsLayered(s, dir)) return ta15Legacy(s, dir)
     val grouped = TextFeatures.docFeats(s, dir)
       .filter(col("n_tokens") > 0)
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
@@ -1603,7 +1617,12 @@ object TextAnalysis {
     }, Seq("tok"), Seq("tok"), variant = s"_v$VocabSize")
 
   def ta16(s: SparkSession, dir: String): DataFrame =
-    ta16Layered(s, dir)
+    // size-gated since r16 ([[DedupPrepare.serveDocfeatsLayered]]):
+    // legacy = the zero-shuffle broadcast-vocab kernel scan, strictly
+    // cheaper below the crossover than the layered path's first-8
+    // dictionary join stages.
+    if (DedupPrepare.serveDocfeatsLayered(s, dir)) ta16Layered(s, dir)
+    else ta16With(s, dir, vocabLayer(s, dir))
 
   /** [[ta16]] served from the docfeats layer (r15 opt): the in-vocab id
     * set is re-keyed to docfeats token ids (16-row model join of two
@@ -2009,7 +2028,11 @@ object TextAnalysis {
   }
 
   def ta17(s: SparkSession, dir: String): DataFrame =
-    ta17Layered(s, dir)
+    // size-gated since r16 ([[DedupPrepare.serveDocfeatsLayered]]):
+    // legacy = the one-pass BpeDocStats kernel scan (broadcast lexicon,
+    // zero shuffle), strictly cheaper below the crossover.
+    if (DedupPrepare.serveDocfeatsLayered(s, dir)) ta17Layered(s, dir)
+    else ta17With(s, dir, bpeWords(s, dir))
 
   /** [[ta17]] served from the docfeats layer (r15 opt): n_tokens/n_bpe
     * fold over the per-doc unigram histogram (c · n_sub per distinct
@@ -2282,6 +2305,16 @@ object TextAnalysis {
     * docs at 0 exactly as the kernel's coalesce does. With a full-corpus
     * lexicon every histogram id resolves; under a PARTIAL lexicon the
     * inner probe drops misses exactly as the kernel scores them 0. */
+  /** The per-doc BPE count source ta18/sp11 dispatch through —
+    * size-gated since r16 ([[DedupPrepare.serveDocfeatsLayered]]):
+    * layered above the crossover (no text scan), the one-pass kernel
+    * below it (a few-MB corpus scans in ~50 ms where the layer read
+    * pays a fixed multi-stage task floor). Bit-identical either way
+    * (DocFeatsSpec pins ≡). */
+  private[graft] def bpeDocCountsServe(s: SparkSession, dir: String): DataFrame =
+    if (DedupPrepare.serveDocfeatsLayered(s, dir)) bpeDocCountsLayered(s, dir)
+    else bpeDocCounts(s, dir)
+
   private[graft] def bpeDocCountsLayered(s: SparkSession, dir: String): DataFrame = {
     val nb = TextFeatures.docFeats(s, dir)
       .select(col("doc_id"), explode(col("uni")).as("u"))
@@ -2340,10 +2373,12 @@ object TextAnalysis {
     * the plan is ta15's (one agg + broadcast-side shares). */
   def ta18(s: SparkSession, dir: String): DataFrame = {
     // served from the docfeats layer since r15 (bpeDocCountsLayered —
-    // no text scan, no per-occurrence encode); still pooled: the
-    // n_bpe > 0 filter would otherwise push into the histogram probe
-    // and clone it; the cached counts relation is 3 skinny columns
-    val grouped = Present.pooled(bpeDocCountsLayered(s, dir))
+    // no text scan, no per-occurrence encode), size-gated since r16
+    // (bpeDocCountsServe); still pooled: the n_bpe > 0 filter would
+    // otherwise push into the histogram probe (or the kernel
+    // projection) and clone it; the cached counts relation is 3 skinny
+    // columns
+    val grouped = Present.pooled(bpeDocCountsServe(s, dir))
       .filter(col("n_bpe") > 0)
       .withColumn("bucket", (length(bin(col("n_bpe"))) - 1).cast("int"))
       .groupBy(col("lang"), col("bucket"))

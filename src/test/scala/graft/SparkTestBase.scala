@@ -23,6 +23,10 @@ object SparkTestBase {
       // otherwise serve the tiny test corpora raw and the pins would
       // stop guarding the shapes that actually run at sf1.0/sf10
       .config("spark.graft.intake.minRgBytes", "0")
+      // same doctrine for docfeats layer SERVING (r16): the suite pins
+      // the layered (production) dispatch; specs that pin the LEGACY
+      // dispatch set the conf high locally and restore it
+      .config("spark.graft.docfeats.serve.minRgBytes", "0")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
