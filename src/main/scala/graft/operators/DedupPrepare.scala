@@ -426,17 +426,40 @@ object DedupPrepare {
     * either a corpus-sized broadcast or a doc_id SMJ that blinded the
     * bucketed read and re-shuffled both self-join sides (the sf1.0
     * census caught exactly that flip). Denormalizing one long onto the
-    * shingle row is the classic storage-for-shuffle trade. */
+    * shingle row is the classic storage-for-shuffle trade.
+    *
+    * SINGLETON-PRUNED (r16, guide §2.3 reduce-before-shuffle): rows
+    * whose shingle has document frequency 1 are dropped at write time —
+    * a df-1 shingle matches nothing in the `a.s = b.s` self-join, so it
+    * contributes no candidate pair and no intersection count; the
+    * Jaccard denominators are untouched because `n` is computed from
+    * the UNPRUNED [[keptByDoc]] before the prune. dd04's output is
+    * bit-identical (its only consumer; OperatorsSpec pins dd04 against
+    * the oracle-mirroring unpruned composition), but the self-join
+    * streams only the pairable rows — measured 83% of kept rows are
+    * df-1 at sf1.0 (1.89M of 2.28M; the synthetic sf0.1 corpus has
+    * almost none, so the prune is scale-progressive like everything
+    * else in this family). Append safety: kepts is a DERIVED layer
+    * that rebuilds from the appended shingle relation on next touch,
+    * so a standing df-1 shingle that gains a partner in a later batch
+    * re-enters on rebuild with df 2 (unlike lshBands, which is
+    * append-maintained in place and therefore must NOT be pruned). */
   def keptByShingle(s: SparkSession, dir: String): DataFrame =
     ensure(s, "kepts", dir,
       () => {
         val n = keptByDoc(s, dir)
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        shinglesByShingle(s, dir)
+        val kept = shinglesByShingle(s, dir)
           .join(stopShingles(s, dir), Seq("s"), "left_anti")
-          .join(n, Seq("doc_id"))
+        // df ≥ 2 prune: the groupBy(s) and the back-join on s both ride
+        // the shbys bucketing (no exchange at build)
+        val pairable = kept.join(
+          kept.groupBy(col("s")).agg(count(lit(1)).as("df"))
+            .filter(col("df") >= 2).select(col("s")),
+          Seq("s"))
+        pairable.join(n, Seq("doc_id"))
       },
-      Seq("s"), Seq("s"), variant = s"_df${DfCut}n")
+      Seq("s"), Seq("s"), variant = s"_df${DfCut}np")
 
   /** The same kept relation BY DOC — per-doc kept-shingle counts
     * (dd04's Jaccard denominators) group on doc_id with no exchange. */

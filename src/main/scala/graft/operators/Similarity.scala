@@ -927,8 +927,15 @@ object Similarity {
     // Each slice feeds the IDENTICAL top-5 window each standalone query
     // runs (same keys, same tie-breaks) — spec-pinned hit-for-hit
     // against the standalone pipelines in OperatorsSpec.
+    // r16: the pooled probe is NARROWED to the five columns its three
+    // consumers read (h1/h2 slices, ss07's candidates+rerank) — the
+    // embedding arrays and norms stop flowing through the cache — and
+    // ss07's exact rerank reads `cosine` back off this relation
+    // (ivfPqOverScored) instead of re-scanning the corpus.
     val scored2 = Present.pooled(
-      ivfScoredOver(s, dir, bestCellsRanked(s, dir, 2)))
+      ivfScoredOver(s, dir, bestCellsRanked(s, dir, 2))
+        .select(col("query_id"), col("ccell"), col("rn"),
+          col("neighbor_id"), col("cosine")))
     def ivfTop5(df: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -938,14 +945,15 @@ object Similarity {
     }
     val pq = pqServe(s, dir, pool = true)
     val cand7 = scored2.filter(col("rn") === 1)
-      .select(col("query_id"), col("ccell"), col("neighbor_id").as("vec_id"))
+      .select(col("query_id"), col("ccell"),
+        col("neighbor_id").as("vec_id"), col("cosine"))
     exact
       .join(hit(ivfTop5(scored2.filter(col("rn") === 1)), "h1"),
         Seq("query_id", "neighbor_id"), "left")
       .join(hit(ivfTop5(scored2), "h2"), Seq("query_id", "neighbor_id"), "left")
       .join(hit(ss03(s, dir), "h3"), Seq("query_id", "neighbor_id"), "left")
       .join(hit(ss06Over(s, pq), "h4"), Seq("query_id", "neighbor_id"), "left")
-      .join(hit(ivfPqOver(s, dir, cand7, pq, IvfPqShortlist), "h5"),
+      .join(hit(ivfPqOverScored(cand7, pq, IvfPqShortlist), "h5"),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(
@@ -1266,20 +1274,7 @@ object Similarity {
       cand: DataFrame, pq: PqServe, shortlist: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    import pq.{codes, rn2, qn2, lut}
-    // ADC over the candidates' code rows only — the compressed scan
-    val adc = cand.join(codes, Seq("vec_id"))
-      .join(broadcast(lut), Seq("query_id", "m", "code"))
-      .groupBy(col("query_id"), col("ccell"), col("vec_id"))
-      .agg(sum(col("l")).as("adot"))
-      .join(broadcast(qn2), Seq("query_id"))
-      .join(rn2, Seq("vec_id"))
-      .withColumn("approx_cos", cosine(col("adot"), col("qn2"), col("rn2")))
-    val ws = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_cos").desc, col("vec_id"))
-    val sl = adc.withColumn("srn", row_number().over(ws))
-      .filter(col("srn") <= shortlist)
-      .select(col("query_id"), col("ccell"), col("vec_id"))
+    val sl = adcShortlist(cand, pq, shortlist)
     // exact rerank: raw vectors for ≤ shortlist×queries rows only
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .filter(col("query_id") < 10)
@@ -1289,6 +1284,34 @@ object Similarity {
       .withColumn("nn2", normL(col("ne")))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine", cosine(dotL(col("qe"), col("ne")), col("qn2e"), col("nn2")))
+    rerankTop5(rer.select(col("query_id"), col("ccell"),
+      col("vec_id"), col("cosine")))
+  }
+
+  /** The ADC shortlist of [[ivfPqOver]] — (query_id, ccell, vec_id),
+    * the `srn <= shortlist` slice by approximate cosine. */
+  private def adcShortlist(cand: DataFrame, pq: PqServe,
+      shortlist: Int): DataFrame = {
+    import pq.{codes, rn2, qn2, lut}
+    // ADC over the candidates' code rows only — the compressed scan
+    val adc = cand.select(col("query_id"), col("ccell"), col("vec_id"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("ccell"), col("vec_id"))
+      .agg(sum(col("l")).as("adot"))
+      .join(broadcast(qn2), Seq("query_id"))
+      .join(rn2, Seq("vec_id"))
+      .withColumn("approx_cos", cosine(col("adot"), col("qn2"), col("rn2")))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    adc.withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= shortlist)
+      .select(col("query_id"), col("ccell"), col("vec_id"))
+  }
+
+  /** The exact-rerank presentation window shared by [[ivfPqOver]] and
+    * [[ivfPqOverScored]]: top-5 per query by (cosine desc, vec_id). */
+  private def rerankTop5(rer: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     rer.withColumn("rank", row_number().over(w))
@@ -1297,6 +1320,24 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("cosine"))
       .orderBy("query_id", "rank")
   }
+
+  /** [[ivfPqOver]] for a candidate set that ALREADY CARRIES its exact
+    * cosine (ss05's rank-1 slice of the wide probe, r16 opt): the
+    * shortlist's exact rerank reads `cosine` back off the candidate
+    * rows (a join against the pooled probe relation) instead of
+    * re-scanning the corpus and recomputing dot/norms. Bit-identical
+    * to [[ivfPqOver]] on the same candidates: the probe's cosine is
+    * the same grid-exact `cosine(dotL, qn2, nn2)` over the same
+    * embeddings (the membership layer's `nn2` is the same [[normL]]
+    * computed at layer write), and the rerank window keys/tie-breaks
+    * are unchanged — OperatorsSpec's ss05 composition pin holds
+    * hit-for-hit. Saves one full corpus scan + two broadcast joins per
+    * audit run. */
+  private[graft] def ivfPqOverScored(cand: DataFrame, pq: PqServe,
+      shortlist: Int): DataFrame =
+    rerankTop5(adcShortlist(cand, pq, shortlist)
+      .join(cand.select(col("query_id"), col("vec_id"), col("cosine")),
+        Seq("query_id", "vec_id")))
 
   lazy val ss07Sql: String = {
     val grid = (e: String) => s"CAST(ROUND(($e) * 1e9) AS BIGINT)"
